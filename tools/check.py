@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Runs graft.Verify via sbt (writes each query result to parquet +
+oracle_sql.json), then executes each oracle in DuckDB over the same
+testdata parquet and compares: schema (column names), row count, and a
+value hash computed over column-name-sorted, row-sorted string-rendered
+cells. Mirrors the contract described in the builder prompt.
+
+Usage: python3 tools/check.py [sfdir] [--skip-verify] [only_query ...]
+"""
+import json, subprocess, sys, hashlib, math, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+only = set(args[1:])
+skip_verify = "--skip-verify" in sys.argv
+
+if not skip_verify:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+import duckdb
+import pandas as pd
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def render(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def frame_hash(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    rows = sorted("\x1f".join(render(v) for v in row) for row in df.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for row in rows:
+        h.update(row.encode()); h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+fails = 0
+for name in sorted(oracles):
+    if only and name not in only:
+        continue
+    path = f"{OUT}/{name}"
+    try:
+        got = pd.read_parquet(path)
+    except Exception as e:
+        print(f"FAIL {name}: no spark result ({e})"); fails += 1; continue
+    try:
+        exp = con.execute(oracles[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: columns {sorted(got.columns)} vs oracle {sorted(exp.columns)}"); fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}"); fails += 1; continue
+    hg, he = frame_hash(got), frame_hash(exp)
+    if hg != he:
+        print(f"FAIL {name}: hash {hg} vs {he}")
+        both = got[sorted(got.columns)].merge(exp[sorted(exp.columns)], how="outer", indicator=True)
+        diff = both[both["_merge"] != "both"]
+        print(diff.head(6).to_string())
+        fails += 1; continue
+    print(f"ok   {name}: rows={len(got)} hash={hg}")
+
+# rows-only queries (no oracle)
+for name in sorted(os.listdir(OUT)):
+    p = os.path.join(OUT, name)
+    if os.path.isdir(p) and name not in oracles and (not only or name in only):
+        try:
+            n = len(pd.read_parquet(p))
+            print(f"ok   {name}: rows={n} (rows-only, no oracle)")
+            if n == 0:
+                print(f"WARN {name}: zero rows");
+        except Exception as e:
+            print(f"FAIL {name}: unreadable ({e})"); fails += 1
+
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
