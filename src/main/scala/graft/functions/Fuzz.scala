@@ -1,0 +1,153 @@
+package graft.functions
+
+/** Pure-Scala fuzzy string similarity kernel.
+  *
+  * Re-implements (from the published algorithm definitions) the scoring
+  * functions the reference uses via rapidfuzz/jellyfish:
+  *  - Indel ratio (`fuzz.ratio`): normalized Indel similarity × 100, where
+  *    Indel distance = len1 + len2 − 2·LCS (substitution costs 2). Reference
+  *    use: `src/aroa_etl/person_matching/similarity_measures.py:98`.
+  *  - `token_set_ratio`: order-free token-set variant
+  *    (`similarity_measures.py:108`).
+  *  - Jaro similarity (consensus syllable gate,
+  *    `src/aroa_etl/enc/matching.py:108`).
+  *
+  * These run inside UDFs / Aggregators on executors; they are allocation-light
+  * and thread-safe (no shared state).
+  */
+object Fuzz {
+
+  /** rapidfuzz `utils.default_process`: every non-alphanumeric char → space,
+    * lowercase, trim ends.
+    */
+  def defaultProcess(s: String): String = {
+    if (s == null) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+      else sb.append(' ')
+      i += 1
+    }
+    sb.toString.trim
+  }
+
+  /** Length of the longest common subsequence. Two-row DP: O(n·m) time,
+    * O(min) space — inputs here are names/cells, not documents.
+    */
+  def lcsLength(a: CharSequence, b: CharSequence): Int = {
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val n = s.length
+    if (n == 0) return 0
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var j = 0
+    while (j < t.length) {
+      val tc = t.charAt(j)
+      var i = 0
+      while (i < n) {
+        cur(i + 1) =
+          if (s.charAt(i) == tc) prev(i) + 1
+          else math.max(prev(i + 1), cur(i))
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      j += 1
+    }
+    prev(n)
+  }
+
+  /** Indel (insert/delete-only edit) distance. */
+  def indelDistance(a: String, b: String): Int =
+    a.length + b.length - 2 * lcsLength(a, b)
+
+  /** `fuzz.ratio` without preprocessing: 0.0–100.0. */
+  def ratioRaw(a: String, b: String): Double = {
+    val lensum = a.length + b.length
+    if (lensum == 0) 100.0
+    else 100.0 * (1.0 - indelDistance(a, b).toDouble / lensum)
+  }
+
+  /** `fuzz.ratio(a, b, processor=utils.default_process)`. */
+  def ratio(a: String, b: String): Double =
+    ratioRaw(defaultProcess(a), defaultProcess(b))
+
+  /** `fuzz.token_set_ratio(a, b, processor=utils.default_process)`.
+    *
+    * Algorithm (rapidfuzz): split into unique tokens; if the intersection is
+    * non-empty and either side has no extra tokens → 100. Otherwise score is
+    * the max of (diffA vs diffB Indel over the full joined strings) and the
+    * two sect-vs-sect+diff ratios, where the intersection contributes an
+    * exactly-matching prefix of known length.
+    */
+  def tokenSetRatio(a: String, b: String): Double = {
+    val ta = defaultProcess(a).split("\\s+").filter(_.nonEmpty).toSet
+    val tb = defaultProcess(b).split("\\s+").filter(_.nonEmpty).toSet
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val sect = ta.intersect(tb)
+    val diffAb = (ta -- tb).toArray.sorted
+    val diffBa = (tb -- ta).toArray.sorted
+    if (sect.nonEmpty && (diffAb.isEmpty || diffBa.isEmpty)) return 100.0
+
+    val abJoined = diffAb.mkString(" ")
+    val baJoined = diffBa.mkString(" ")
+    val sectLen = if (sect.isEmpty) 0 else sect.iterator.map(_.length).sum + sect.size - 1
+    val sectBonus = if (sectLen != 0) 1 else 0
+    val sectAbLen = sectLen + sectBonus + abJoined.length
+    val sectBaLen = sectLen + sectBonus + baJoined.length
+
+    def norm(dist: Int, lensum: Int): Double =
+      if (lensum == 0) 1.0 else 1.0 - dist.toDouble / lensum
+
+    val distDiff = indelDistance(abJoined, baJoined)
+    var best = norm(distDiff, sectAbLen + sectBaLen)
+    if (sectLen != 0) {
+      val sectAbDist = sectBonus + abJoined.length
+      val sectBaDist = sectBonus + baJoined.length
+      best = math.max(best, norm(sectAbDist, sectLen + sectAbLen))
+      best = math.max(best, norm(sectBaDist, sectLen + sectBaLen))
+    }
+    best * 100.0
+  }
+
+  /** Jaro similarity, 0.0–1.0 (jellyfish-compatible standard definition). */
+  def jaro(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+          matchedA(i) = true; matchedB(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / la + m / lb + (m - transpositions / 2) / m) / 3.0
+  }
+}

@@ -1,0 +1,203 @@
+package graft.functions
+
+/** Name normalization chains for record linkage (reference:
+  * `src/aroa_etl/attribute_processing/string_utils.py`).
+  *
+  * All functions are pure; the ordered regex chains reproduce the
+  * reference's insertion-order application exactly — including its quirks
+  * (e.g. `oe` → "a" in the umlaut table, `string_utils.py:30-34`), because
+  * downstream similarity cutoffs were tuned against these exact outputs.
+  */
+object NamePreprocess {
+
+  /** Diacritic fold, single pass (`string_utils.py:5-28`). Only the listed
+    * characters are touched; unknown characters pass through.
+    */
+  private val asciiMap: Map[Char, String] = Map(
+    "á" -> "a", "ï" -> "i", "ş" -> "s", "ó" -> "o", "ł" -> "l", "ñ" -> "n",
+    "è" -> "e", "ç" -> "c", "ß" -> "ss", "ô" -> "o", "ü" -> "u",
+    "æ" -> "ae", "ø" -> "o", "û" -> "u", "ã" -> "a", "ê" -> "e",
+    "ë" -> "e", "ù" -> "u", "î" -> "i", "é" -> "e", "í" -> "i", "ú" -> "u",
+    "ý" -> "y", "à" -> "a", "ì" -> "i", "ò" -> "o", "õ" -> "o", "ă" -> "a",
+    "ā" -> "a", "ē" -> "e", "ī" -> "i", "ō" -> "o", "ū" -> "u", "ȳ" -> "y",
+    "ǎ" -> "a", "ě" -> "e", "ǐ" -> "i", "ǒ" -> "o", "ǔ" -> "u", "ǜ" -> "u",
+    "ǽ" -> "ae", "ð" -> "d", "œ" -> "oe", "ẽ" -> "e", "ỹ" -> "y",
+    "ũ" -> "u", "ȩ" -> "e", "ȯ" -> "o", "ḧ" -> "h", "ẅ" -> "w", "ẗ" -> "t",
+    "ḋ" -> "d", "ẍ" -> "x", "ẁ" -> "w", "ẃ" -> "w", "ỳ" -> "y", "ÿ" -> "y",
+    "ŷ" -> "y", "ą" -> "a", "į" -> "i", "ś" -> "s", "ź" -> "z", "ć" -> "c",
+    "ń" -> "n", "ę" -> "e", "ţ" -> "t", "ģ" -> "g", "ķ" -> "k", "ņ" -> "n",
+    "ļ" -> "l", "ż" -> "z", "ċ" -> "c", "š" -> "s", "ž" -> "z", "ď" -> "d",
+    "ľ" -> "l", "ř" -> "r", "ǧ" -> "g", "ǳ" -> "dz", "ǆ" -> "dz",
+    "ǉ" -> "lj", "ǌ" -> "nj", "ǚ" -> "u", "ǘ" -> "u", "ǟ" -> "a",
+    "ǡ" -> "a", "ǣ" -> "ae", "ǥ" -> "g", "ǭ" -> "o", "ǯ" -> "z",
+    "ȟ" -> "h", "ȱ" -> "o", "ȹ" -> "y", "ḭ" -> "i", "ḯ" -> "i", "ḱ" -> "k"
+  ).map { case (k, v) => k.charAt(0) -> v }
+
+  def replaceSpecialCharacters(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      asciiMap.get(c) match {
+        case Some(rep) => sb.append(rep)
+        case None      => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Ordered umlaut folds (`string_utils.py:30-34`) — applied sequentially,
+    * so `æ` folded to "ae" above then becomes "a" here; `ue` not preceded
+    * by `a` becomes "a" (reference behavior, preserved verbatim).
+    */
+  private val umlautChain: Seq[(String, String)] = Seq(
+    "ä" -> "a", "ae" -> "a", "ö" -> "o", "oe" -> "a", "ü" -> "u",
+    "(?<!a)ue" -> "a")
+
+  def replaceUmlautCharacters(s: String): String =
+    umlautChain.foldLeft(s) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
+  /** Phonetic bigram folds (`string_utils.py:36-44`), ordered. */
+  private val bigramChain: Seq[(String, String)] = Seq(
+    "th" -> "t", "ck" -> "k", "ph" -> "f", "w" -> "v", "y" -> "i",
+    "j" -> "i", "tz" -> "z")
+
+  def replacePhoneticCharacters(s: String): String =
+    bigramChain.foldLeft(s) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+
+  /** Collapse doubled letters, single pass (`string_utils.py:165-167`). */
+  def removeDoubleCharacters(s: String): String =
+    s.replaceAll("([a-zA-Z])\\1", "$1")
+
+  /** Slavic/patronymic surname ending folds (`string_utils.py:169-174`). */
+  def removeLangSpecificLastNameEndings(s: String): String =
+    s.replaceAll("owa$|ova$", "")
+      .replaceAll("sohns$", "sons")
+      .replaceAll("sohn$", "son")
+      .replaceAll("(?<=sk|ck)a$", "i")
+
+  /** Strip maiden-name tail: " geb. …" / " gesch. …" (`string_utils.py:176-179`). */
+  def removeMaidenName(s: String): String =
+    s.replaceAll("\\sgeb\\.?\\s.*", "").replaceAll("\\sgesch\\.?\\s.*", "")
+
+  /** `preprocess_name` (`string_utils.py:192-198`): lower → diacritic fold
+    * → umlaut chain → phonetic bigrams → dedouble.
+    */
+  def preprocessName(s: String): String =
+    removeDoubleCharacters(
+      replacePhoneticCharacters(
+        replaceUmlautCharacters(
+          replaceSpecialCharacters(s.toLowerCase))))
+
+  /** `preprocess_last_name` (`string_utils.py:200-205`). */
+  def preprocessLastName(s: String): String =
+    preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(s.toLowerCase)))
+
+  /** `fix_name_uppercasing` (`string_utils.py:153-159`): every word
+    * ([a-zA-Zäüöß]+) → first letter upper, rest lower.
+    */
+  def fixNameUppercasing(s: String): String = {
+    val m = java.util.regex.Pattern.compile("[a-zA-Zäüöß]+").matcher(s)
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (m.find()) {
+      sb.append(s, last, m.start())
+      val w = m.group()
+      sb.append(Character.toUpperCase(w.charAt(0)))
+      sb.append(w.substring(1).toLowerCase)
+      last = m.end()
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
+  // --- OCR confusable repair (`string_utils.py:46-151`) -------------------
+
+  /** Keys counted toward the >30% non-ASCII rejection test
+    * (`string_utils.py:144-145` — membership in visual_non_ascii only).
+    */
+  private val visualNonAscii: Map[String, String] = Map(
+    "р" -> "p", "п" -> "n", "Η" -> "H", "ή" -> "n", "Γ" -> "T", "ѕ" -> "s",
+    "м" -> "M", "д" -> "A", "σ" -> "o", "Д" -> "A", "ш" -> "w", "с" -> "c",
+    "ω" -> "w", "Θ" -> "O", "ъ" -> "b", "Π" -> "N", "ن" -> "u", "β" -> "ß",
+    "х" -> "x", "ง" -> "i", "μ" -> "u", "ь" -> "b", "ц" -> "u", "в" -> "B",
+    "И" -> "N", "С" -> "C", "ρ" -> "p", "л" -> "n", "ы" -> "bl",
+    "З" -> "B", "г" -> "r", "В" -> "B", "ə" -> "", "Л" -> "N", "Ρ" -> "P",
+    "я" -> "", "○" -> "o", "א" -> "x", "у" -> "y", "Ь" -> "b", "い" -> "w",
+    "π" -> "n", "й" -> "N", "ه" -> "o", "Ы" -> "bl", "Х" -> "X",
+    "1" -> "l", "н" -> "H", "У" -> "y", "ж" -> "x", "מ" -> "n", "Г" -> "T",
+    "م" -> "p", "γ" -> "y", "Λ" -> "A", "。" -> ".", "ν" -> "v", "•" -> "",
+    "โ" -> "l", "η" -> "n", "ת" -> "n", "Š" -> "S", "m" -> "m", "Н" -> "H",
+    "ด" -> "d", "δ" -> "d", "Ψ" -> "Ps", "キ" -> "ki", "č" -> "c",
+    "ı" -> "i", "ς" -> "s", "ň" -> "n", "ê" -> "e", "わ" -> "wa",
+    "ę" -> "e", "ř" -> "r", "Б" -> "B", "よ" -> "yo", "ة" -> "ö",
+    "ó" -> "o", "φ" -> "p", "χ" -> "x", "í" -> "i", "І" -> "I", "Σ" -> "S",
+    "ち" -> "t", "Č" -> "C", "ė" -> "e", "ń" -> "n", "М" -> "M", "ψ" -> "y",
+    "ί" -> "i", "ق" -> "q", "工" -> "I", "υ" -> "u", "ả" -> "a", "ź" -> "z",
+    "す" -> "T", "λ" -> "l", "е" -> "e", "Ά" -> "A", "Ñ" -> "N", "É" -> "E",
+    "θ" -> "O", "ť" -> "t", "Ø" -> "O", "Ј" -> "J", "а" -> "a", "ë" -> "e",
+    "り" -> "n", "κ" -> "k", "ε" -> "e", "Ú" -> "U", "ě" -> "e", "د" -> "i",
+    "ằ" -> "a", "Ζ" -> "Z", "Ν" -> "N", "ひ" -> "U", "П" -> "N", "ć" -> "c",
+    "ũ" -> "u", "Т" -> "T", "ス" -> "J", "Э" -> "E", "ј" -> "j", "ů" -> "u",
+    "о" -> "o", "О" -> "O", "ą" -> "a", "Û" -> "U", "Á" -> "A", "ξ" -> "E",
+    "Ό" -> "O", "æ" -> "ae", "и" -> "n", "ч" -> "y", "ă" -> "a",
+    "さ" -> "t", "お" -> "F", "ż" -> "z", "Έ" -> "E", "ł" -> "l", "Ο" -> "O",
+    "ン" -> "y", "年" -> "T", "ό" -> "o", "à" -> "a", "Χ" -> "X", "்" -> "",
+    "Ż" -> "Z", "Ş" -> "S", "ص" -> "u", "ה" -> "h", "Р" -> "P", "ム" -> "A",
+    "ت" -> "ü", "ά" -> "a", "á" -> "a", "ま" -> "L", "ô" -> "o", "è" -> "e",
+    "к" -> "k", "で" -> "T", "é" -> "e", "έ" -> "e", "Ι" -> "I", "ο" -> "o",
+    "і" -> "i", "Ł" -> "L", "ú" -> "u", "α" -> "a", "Δ" -> "D", "Ε" -> "E",
+    "っ" -> "s", "ア" -> "y", "т" -> "t", "ã" -> "a", "ő" -> "ö", "ι" -> "i",
+    "Е" -> "E", "Ω" -> "O", "Ś" -> "S", "ñ" -> "n", "Τ" -> "T", "К" -> "K",
+    "ョ" -> "z", "š" -> "s", "ý" -> "y", "Β" -> "B", "日" -> "B ",
+    "ş" -> "s", "ا" -> "", "ž" -> "z", "з" -> "z", "ç" -> "c", "Κ" -> "K",
+    "خ" -> "i", "下" -> "T", "Ž" -> "Z", "Μ" -> "M", "å" -> "a", "ζ" -> "z",
+    "А" -> "A", "â" -> "a", "б" -> "b", "̇" -> "", "れ" -> "h", "じ" -> "i",
+    "の" -> "D", "." -> ".", "τ" -> "t", "'" -> "", "Α" -> "A", "ś" -> "s",
+    "ら" -> "b")
+
+  /** digits (`string_utils.py:46-50`) + A-Za-z/umlaut identity
+    * (`string_utils.py:58-77`) + symbols (`string_utils.py:78-85`).
+    */
+  private val visualBase: Map[String, String] = {
+    val numToChar = Map(
+      "0" -> "O", "1" -> "l", "2" -> "", "3" -> "B", "4" -> "A", "5" -> "",
+      "6" -> "", "7" -> "T", "8" -> "B", "9" -> "")
+    val letters =
+      (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString).toMap ++
+        "ßäÄöÖüÜ".map(c => c.toString -> c.toString).toMap
+    val symbols = Map(
+      "-" -> "-", " " -> " ", "|" -> "", "!" -> "", "#" -> "", "$" -> "",
+      "%" -> "", "&" -> "", "+" -> "", "*" -> "", "@" -> "", "?" -> "",
+      ";" -> "", "," -> "", "°" -> "", "~" -> "")
+    numToChar ++ letters ++ symbols
+  }
+
+  private val visualAll: Map[Char, String] =
+    (visualBase ++ visualNonAscii).map { case (k, v) => k.charAt(0) -> v }
+
+  private val nonAsciiKeys: Set[Char] = visualNonAscii.keySet.map(_.charAt(0))
+
+  /** `fix_visual_character_decoding` (`string_utils.py:142-151`): reject the
+    * whole value ("") when >30% of characters are OCR-confusable
+    * non-Latin; otherwise map each known character (dropping unknowns).
+    */
+  def fixVisualCharacterDecoding(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    var suspect = 0
+    var i = 0
+    while (i < s.length) {
+      if (nonAsciiKeys.contains(s.charAt(i))) suspect += 1
+      i += 1
+    }
+    if (suspect.toDouble / s.length > 0.3) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < s.length) {
+      visualAll.get(s.charAt(i)).foreach(sb.append)
+      i += 1
+    }
+    sb.toString
+  }
+}
