@@ -30,9 +30,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Floor division (via pmod), not `div`: `div` truncates toward zero,
+    // which would round negative (pre-1970) nanos to the wrong microsecond
+    // vs DuckDB's flooring conversion.
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -84,6 +84,9 @@ object Fuzz {
   def tokenSetRatio(a: String, b: String): Double = {
     val ta = defaultProcess(a).split("\\s+").filter(_.nonEmpty).toSet
     val tb = defaultProcess(b).split("\\s+").filter(_.nonEmpty).toSet
+    // rapidfuzz: two strings that BOTH process to nothing are a full match;
+    // only an asymmetric empty side scores 0.
+    if (ta.isEmpty && tb.isEmpty) return 100.0
     if (ta.isEmpty || tb.isEmpty) return 0.0
     val sect = ta.intersect(tb)
     val diffAb = (ta -- tb).toArray.sorted
@@ -148,6 +151,9 @@ object Fuzz {
       i += 1
     }
     val m = matches.toDouble
-    (m / la + m / lb + (m - transpositions / 2) / m) / 3.0
+    // jellyfish halves the transposition count with TRUE division; integer
+    // halving would inflate odd-transposition pairs (e.g. "abcdef" vs
+    // "bcadef": 0.944 instead of jellyfish's 0.917).
+    (m / la + m / lb + (m - transpositions / 2.0) / m) / 3.0
   }
 }

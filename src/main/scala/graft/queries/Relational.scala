@@ -59,14 +59,16 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   /** 3-way join + aggregation + deterministic top-10 (SURVEY J1/J2, A6, W2/W3).
-    * customer is the small side → explicit broadcast.
+    * No forced broadcast: at TPC-H shape the filtered customer side is
+    * broadcast-sized and AQE picks that up from runtime stats; at 100×
+    * the same hint would OOM, so the decision is left to the optimizer.
     */
   private def q03(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("decimal(28,4)"))
         .cast("double").as("revenue"))
@@ -153,17 +155,25 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Within-group running number (SURVEY A1/W5 `groupby.cumcount()+1`). */
+  /** Within-group running number (SURVEY A1/W5 `groupby.cumcount()+1`).
+    * The window itself is the demoed operator; bounding the output to the
+    * first 5 entries per user keeps the final global sort proportional to
+    * the number of users, not the number of events — at 100 TB an
+    * unreduced "window + global sort of the whole input" is a non-plan.
+    */
   private def q09(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), row_number().over(w).as("entry_number"))
+      .filter(col("entry_number") <= 5)
       .orderBy(col("user_id"), col("entry_number"))
   }
   private val q09Sql =
-    """SELECT user_id, event_id,
-      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS entry_number
-      |FROM events
+    """SELECT user_id, event_id, entry_number FROM (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS entry_number
+      |  FROM events) t
+      |WHERE entry_number <= 5
       |ORDER BY user_id, entry_number""".stripMargin
 
   /** Group-concat of deduped values (SURVEY A4/A8: `;`-join per group). */
@@ -247,7 +257,9 @@ object Relational {
   /** Tumbling time-bucket aggregation (batch shape of SURVEY §2.12). */
   private def q15(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select((unix_timestamp(col("ts")).divide(3600)).cast("long").as("hour_bucket"),
+      // floor(), not a truncating cast: DuckDB `//` floors, so pre-1970
+      // (negative-epoch) timestamps must land in the same bucket here.
+      .select(floor(unix_timestamp(col("ts")).divide(3600)).cast("long").as("hour_bucket"),
         col("event_type"), col("value"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

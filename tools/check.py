@@ -9,15 +9,21 @@ cells. Mirrors the contract described in the builder prompt.
 
 Usage: python3 tools/check.py [sfdir] [--skip-verify] [only_query ...]
 """
-import json, subprocess, sys, hashlib, math, os
+import json, subprocess, sys, hashlib, math, os, shutil
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+# First positional is the SF dir only if it actually is a directory;
+# otherwise it's part of the query filter (`check.py q05` must filter).
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
-only = set(args[1:])
+if args and os.path.isdir(args[0]):
+    SF, only = args[0], set(args[1:])
+else:
+    SF, only = "/root/testdata/sf0.01", set(args)
+OUT = "/tmp/graft_verify"
 skip_verify = "--skip-verify" in sys.argv
 
 if not skip_verify:
+    if not only and os.path.isdir(OUT):
+        shutil.rmtree(OUT)  # drop stale result dirs from removed queries
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         capture_output=True, text=True, cwd="/root/repo",
@@ -83,10 +89,15 @@ for name in sorted(oracles):
         fails += 1; continue
     print(f"ok   {name}: rows={len(got)} hash={hg}")
 
-# rows-only queries (no oracle)
+# rows-only queries (no oracle) — restricted to the query set Verify
+# just dumped, so stale dirs from removed queries are never reported ok.
+try:
+    current = set(json.load(open(f"{OUT}/query_names.json")))
+except Exception:
+    current = set(os.listdir(OUT))
 for name in sorted(os.listdir(OUT)):
     p = os.path.join(OUT, name)
-    if os.path.isdir(p) and name not in oracles and (not only or name in only):
+    if os.path.isdir(p) and name in current and name not in oracles and (not only or name in only):
         try:
             n = len(pd.read_parquet(p))
             print(f"ok   {name}: rows={n} (rows-only, no oracle)")
