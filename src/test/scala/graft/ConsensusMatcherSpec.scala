@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.consensus.{ColMatcher, Matchers}
+
+/** Golden tests for the consensus vote pipeline (C1–C11).
+  *
+  * Expectations are derived from the reference's 8-row / 2-document fixture
+  * chain (`testing_data/normalised_enc_data.csv` →
+  * `tests/enc/deduplication_test.py:9-53`): per-column groups below are the
+  * exact per-document value vectors after the reference's deduplication
+  * preprocess (nulls filled with `-`, date sentinels `0000`/`00`).
+  */
+class ConsensusMatcherSpec extends AnyFunSuite {
+
+  test("C1 majority vote: containment scoring with tie-to-last") {
+    // ["one two","one tw","on two"]: every token of "one two" is a superstring
+    // of supporters; winner needs support > 1.
+    assert(ColMatcher.matchDoc(Vector("one two", "one tw", "on two")) === Some("one two"))
+    // no two entries with equal token count -> no vote
+    assert(ColMatcher.matchDoc(Vector("a b", "c d e", "f")) === None)
+    // all tokens unique -> max support 1 -> no consensus
+    assert(ColMatcher.matchDoc(Vector("1943", "0000", "1944")) === None)
+  }
+
+  test("default matcher: umlaut variants fold to the umlaut form (do_001 last name)") {
+    assert(Matchers.default()(Vector("Muller", "Müller", "Mueller")) === Some("Müller"))
+  }
+
+  test("default matcher: OCR variant folds via ascii (do_002 last name)") {
+    assert(Matchers.default()(Vector("Schmidt", "Schmïdt", "-", "-", "-")) === Some("Schmidt"))
+  }
+
+  test("default matcher: syllable voting repairs Frandfurt/Frankfurter (do_001 place of birth)") {
+    assert(Matchers.default()(Vector("Frankfurt", "Frandfurt", "Frankfurter")) === Some("Frankfurt"))
+  }
+
+  test("default matcher: unanimous values win (first names)") {
+    assert(Matchers.default()(Vector("Bob1", "Bob1", "Bob1", "Bob1", "Bob1")) === Some("Bob1"))
+    assert(Matchers.default()(Vector("Bob2", "-", "Bob2", "-", "-")) === Some("Bob2"))
+    assert(Matchers.default()(Vector("-", "-", "-", "Stadt", "Stadt")) === Some("Stadt"))
+  }
+
+  test("C3 exclude-empty: fewer than two informative entries short-circuits to '-'") {
+    assert(Matchers.default()(Vector("-", "Main", "-")) === Some("-"))
+    // 'Unklar' is a QA marker, not information (matcher regex, not NA list)
+    assert(Matchers.default()(Vector("Unklar", "Unklar", "-")) === Some("-"))
+    assert(Matchers.strict()(Vector("-", "-", "7")) === Some("-"))
+  }
+
+  test("strict matcher: verbatim vote (prisoner categories)") {
+    assert(Matchers.strict()(Vector("2", "-", "2")) === Some("2"))
+  }
+
+  test("date matcher: verbatim vote with tie-to-last (do_002 imprisonment year)") {
+    assert(Matchers.date()(Vector("1944", "1943", "1943", "1943", "1944")) === Some("1943"))
+    assert(Matchers.date()(Vector("00", "08", "04", "08", "01")) === Some("08"))
+    assert(Matchers.date()(Vector("1943", "0000", "1944")) === None)
+  }
+
+  test("date matcher: break conditions on dash entries") {
+    assert(Matchers.date()(Vector("-", "-", "1943")) === Some("-")) // >1 all-dash entries
+    assert(Matchers.date()(Vector("--", "1943", "--")) === Some("-")) // modal value is dashes
+  }
+
+  test("C6 automatic umlaut substitution requires a same-position supporter") {
+    // Mueller supports Müller (ue <-> ü) but an unrelated word must not fold
+    assert(Matchers.default()(Vector("Mueller Frank", "Müller Frank", "Mueller Frank")) === Some("Müller Frank"))
+  }
+
+  test("C7 automatic abbreviation completion (Frankf. -> Frankfurt)") {
+    assert(Matchers.default()(Vector("Frankf.", "Frankfurt", "Frankfurt")) === Some("Frankfurt"))
+  }
+
+  test("C8 automatic capitalization follows the capitalized supporter") {
+    assert(Matchers.default()(Vector("frankfurt", "Frankfurt", "frankfurt")) === Some("Frankfurt"))
+  }
+
+  test("C10 fuzzy medoid picks the most central value; empty group -> '-'") {
+    assert(Matchers.fuzzy()(Vector("Frankfurt", "Frankfurt", "Frankfurter")) === Some("Frankfurt"))
+    assert(Matchers.fuzzy()(Vector("-", "-")) === Some("-"))
+  }
+
+  test("ascii helpers mirror the reference's per-char folds") {
+    assert(ColMatcher.toAscii("Müller=Lüdenscheid") === "Muller-Ludenscheid")
+    assert(ColMatcher.toAsciiWithUmlaut("Müller Straße") === "Müller Straße")
+    assert(ColMatcher.toAsciiWithUmlaut("ÜBEL") === "UBEL") // capital umlauts are folded
+    assert(ColMatcher.substituteUmlaute("Müßig") === "Muessig")
+  }
+}
