@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV source/sink (SURVEY S1/S6).
+  *
+  * Every reference entry point reads `,`- or `|`-separated CSV with an
+  * all-string schema (`pd.read_csv(..., dtype=str)` —
+  * `run_clustering.py:26`, `run-matching.py:31`); stages write the same
+  * shape back (`run-matching.py:69-72`). Spark's CSV reader keeps all
+  * columns as strings when schema inference is off, which is exactly the
+  * reference's dtype=str contract.
+  */
+object Csv {
+  /** All-string CSV scan. `indexCol=true` mirrors `index_col=0`: the
+    * leading unnamed pandas index column becomes `row_id: long` (the
+    * explicit row identity every downstream stage joins on).
+    */
+  def readStrings(
+      spark: SparkSession,
+      path: String,
+      sep: String = ",",
+      indexCol: Boolean = false): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("nullValue", "")
+      // RFC4180 doubled-quote escaping (the pandas to_csv/read_csv
+      // default); Spark's own default escape is backslash.
+      .option("escape", "\"")
+      .csv(path)
+    if (indexCol) {
+      val first = df.columns.head
+      df.withColumnRenamed(first, "row_id")
+        .withColumn("row_id", org.apache.spark.sql.functions.col("row_id").cast("long"))
+    } else df
+  }
+
+  /** Stage sink (`to_csv(sep="|")` shape). One directory of part files —
+    * no `coalesce(1)`: serializing through one task is the anti-pattern
+    * the engine avoids at scale.
+    */
+  def write(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.option("header", "true").option("sep", sep).mode("overwrite").csv(path)
+}
+
+/** Classpath fixture access: materializes a resource to a temp file so
+  * Spark's file-based readers can scan it regardless of working directory.
+  */
+object Fixtures {
+  def path(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graftfixtures/$name")
+    require(in != null, s"fixture $name not on classpath")
+    val tmp = java.nio.file.Files.createTempFile("graft_fixture_", s"_$name")
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+}

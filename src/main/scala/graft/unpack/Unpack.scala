@@ -1,0 +1,168 @@
+package graft.unpack
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+
+/** JSON repeat-group unpacking (SURVEY X1/X3/X4; reference
+  * `src/aroa_etl/enc/unpacking.py`).
+  *
+  * Crowd-sourcing transcriptions arrive as one JSON blob per row:
+  * `{"first_name_repeat":[{"first_name":"Dr.Alice"}], ...}`. Each repeat
+  * group is flattened to `field → [values]` and exploded into numbered
+  * columns (`first_name_0, first_name_1, …`) sized by the batch-wide
+  * maximum repeat count.
+  *
+  * Spark shape: the schema is data-dependent, so the plan is two-pass like
+  * the reference — pass 1 is a small *aggregation* per group (field order +
+  * max arity; no row data reaches the driver), pass 2 is a single static
+  * `select`. The flatten itself is one scalar UDF per repeat group
+  * producing an ordered `[(field, values)]` array; field order is carried
+  * in the array (Spark maps do not preserve order).
+  */
+object Unpack {
+
+  /** Python-`str()` rendering of a JSON scalar: null → "None" (the
+    * reference flattens with `str(value).strip()`, so nulls become the
+    * literal string "None" — preserved because downstream NA filtering
+    * depends on it).
+    */
+  private def pyStr(v: String): String = if (v == null) "None" else v.trim
+
+  /** Regex replace skipping bracketed spans, nesting-aware (SURVEY F22;
+    * reference `utils.py:42-57` `re_sub_exclude_parenthesis`).
+    */
+  def reSubExcludeParenthesis(s: String, pattern: String, repl: String): String = {
+    val p = java.util.regex.Pattern.compile(pattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    val sb = new java.lang.StringBuilder(s.length)
+    var depth = 0
+    var i = 0
+    var segStart = 0
+    def flush(end: Int): Unit = {
+      val seg = s.substring(segStart, end)
+      if (depth == 0) sb.append(p.matcher(seg).replaceAll(repl)) else sb.append(seg)
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == '[') { flush(i); sb.append(c); depth += 1; segStart = i + 1 }
+      else if (c == ')' || c == ']') { flush(i); sb.append(c); depth -= 1; segStart = i + 1 }
+      i += 1
+    }
+    flush(s.length)
+    sb.toString
+  }
+
+  /** X3 `additional_splits`: split mis-separated values
+    * ("Alice, Blice" → ["Alice","Blice"]), respecting parentheses.
+    * Consecutive separators yield empty entries (reference behavior).
+    */
+  def additionalSplits(values: Seq[String], splitRe: String): Seq[String] =
+    values.flatMap(v => reSubExcludeParenthesis(v.trim, splitRe, "|").split("\\|", -1).toSeq)
+
+  /** `filter_na` (unpacking.py:46-56): dedupe preserving order; if more
+    * than one value remains, drop empties; never return an empty list.
+    * Only applied to single-field repeat groups.
+    */
+  def filterNa(values: Seq[String]): Seq[String] = {
+    val deduped = values.distinct
+    val kept = if (deduped.size > 1) deduped.filter(_ != "") else deduped
+    if (kept.isEmpty) Seq("") else kept
+  }
+
+  /** `flatten_repeat_cell` (unpacking.py:35-44): list of `{field: value}`
+    * dicts → ordered `(field, [stringified values])` pairs.
+    */
+  def flattenRepeatCell(entries: Seq[Map[String, String]]): Seq[(String, Seq[String])] = {
+    val order = collection.mutable.ArrayBuffer.empty[String]
+    val out = collection.mutable.HashMap.empty[String, List[String]]
+    for (dict <- entries; (k, v) <- dict) {
+      if (!out.contains(k)) order += k
+      out(k) = out.getOrElse(k, Nil) :+ pyStr(v)
+    }
+    order.map(k => k -> out(k).toSeq).toSeq
+  }
+
+  private val parsedType =
+    MapType(StringType, ArrayType(MapType(StringType, StringType)))
+
+  /** Unpack every `*_repeat` group of `jsonColumn` into numbered columns.
+    *
+    * @param additionalSplitsOn predicate over inner field names that get
+    *   the extra `splitRe` splitting (X3)
+    */
+  def unpack(
+      input: DataFrame,
+      jsonColumn: String,
+      additionalSplitsOn: String => Boolean = _ => false,
+      splitRe: String = "[\\|;,\\s]"): DataFrame = {
+    val hadRowId = input.columns.contains("row_id")
+    val df0 = if (hadRowId) input else input.withColumn("row_id", monotonically_increasing_id())
+    val parsed = df0.withColumn("__parsed", from_json(col(jsonColumn), parsedType))
+
+    // Scalar flatten UDF: repeat entries -> ordered (field, values) pairs,
+    // with the reference's additional-splits + single-field NA filtering.
+    val splitsOn = additionalSplitsOn
+    val re = splitRe
+    val flattenUdf = udf { (entries: Seq[Map[String, String]]) =>
+      if (entries == null) Seq.empty[(String, Seq[String])]
+      else {
+        val flat = flattenRepeatCell(entries)
+        val split = flat.map { case (k, vs) =>
+          k -> (if (splitsOn(k)) additionalSplits(vs, re) else vs)
+        }
+        if (split.size == 1) split.map { case (k, vs) => k -> filterNa(vs) }
+        else split
+      }
+    }
+
+    // ---- pass 1a: repeat-group key order (first-occurrence, X4) --------
+    val keyOrder: Seq[String] = parsed
+      .select(col("row_id"), posexplode(map_keys(col("__parsed"))).as(Seq("pos", "key")))
+      .groupBy("key").agg(min(struct(col("row_id"), col("pos"))).as("first"))
+      .orderBy("first")
+      .collect().map(_.getString(0)).toSeq
+    require(keyOrder.forall(_.endsWith("_repeat")),
+      s"unpacking of non-'_repeat' groups is not implemented: ${keyOrder.filterNot(_.endsWith("_repeat"))}")
+
+    val flat = parsed.select(
+      df0.columns.filterNot(_ == jsonColumn).map(col).toSeq ++
+        keyOrder.map(k => flattenUdf(col("__parsed")(k)).as(s"__flat_$k")): _*)
+
+    // ---- pass 1b: inner field order + max arity per group --------------
+    final case class Field(group: String, name: String, maxLen: Int)
+    val fields: Seq[Field] = keyOrder.flatMap { k =>
+      flat
+        .select(col("row_id"), posexplode(col(s"__flat_$k")).as(Seq("pos", "fv")))
+        .groupBy(col("fv._1").as("fname"))
+        .agg(min(struct(col("row_id"), col("pos"))).as("first"),
+          max(size(col("fv._2"))).as("maxLen"))
+        .orderBy("first")
+        .collect().map(r => Field(k, r.getString(0), r.getInt(2)))
+    }
+    val byGroup: Map[String, Seq[Field]] = fields.groupBy(_.group)
+
+    // ---- pass 2: static projection -------------------------------------
+    val generated: Seq[(String, Column)] = keyOrder.flatMap { k =>
+      val groupFields = byGroup.getOrElse(k, Nil)
+      // split to numbered columns if ANY field of the group repeats
+      val groupMax = groupFields.map(_.maxLen).foldLeft(0)(math.max)
+      val groupMap = map_from_entries(col(s"__flat_$k"))
+      groupFields.flatMap { f =>
+        // try_element_at / get: null (not an ANSI error) on absent key or
+        // short array — the reference pads missing repeats with NaN.
+        val vals = try_element_at(groupMap, lit(f.name))
+        if (groupMax > 1)
+          (0 until f.maxLen).map(i => s"${f.name}_$i" -> get(vals, lit(i)))
+        else
+          Seq(f.name -> get(vals, lit(0)))
+      }
+    }
+
+    val existing = input.columns.filterNot(_ == jsonColumn).toSet
+    val collisions = generated.map(_._1).filter(existing)
+    require(collisions.isEmpty, s"unpacking of $jsonColumn would override columns: $collisions")
+
+    val keep = input.columns.filterNot(c => c == jsonColumn || (c == "row_id" && !hadRowId))
+    flat.select(keep.map(col).toSeq ++ generated.map { case (n, c) => c.as(n) }: _*)
+  }
+}

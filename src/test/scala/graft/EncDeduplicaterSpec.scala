@@ -1,0 +1,77 @@
+package graft
+
+import graft.consensus.{DedupSpec, EncDeduplicater}
+import graft.sources.{Csv, Fixtures}
+
+/** Golden port of the reference's deduplication stage test
+  * (`tests/enc/deduplication_test.py:9-53`) over the 8-row / 2-document
+  * fixture (`testing_data/normalised_enc_data.csv`).
+  */
+class EncDeduplicaterSpec extends SparkSpec {
+
+  private lazy val result = {
+    val df = Csv.readStrings(spark, Fixtures.path("normalised_enc_data.csv"), indexCol = true)
+    EncDeduplicater.run(df, DedupSpec(
+      idCol = "document_id",
+      personCols = Seq("first_name_cleaned_0", "first_name_cleaned_1", "last_name_cleaned_0"),
+      dateCols = Seq(
+        "birthdate_day_cleaned", "birthdate_month_cleaned", "birthdate_year_cleaned",
+        "imprisonment_day_cleaned", "imprisonment_month_cleaned", "imprisonment_year_cleaned"),
+      otherCols = Seq(
+        "imprisonment_camp_cleaned", "place_of_birth_0_cleaned", "place_of_birth_1_cleaned"),
+      otherStrictCols = (0 to 5).map(i => s"prisoner_category_${i}_cleaned"),
+      metadataCols = Seq("object_id", "workflow_id")))
+  }.cache()
+
+  private lazy val consensus = result
+    .filter(org.apache.spark.sql.functions.col("deleted") === false)
+    .orderBy("document_id")
+    .collect()
+    .map(r => r.getValuesMap[Any](result.columns.toIndexedSeq))
+
+  test("one consensus row per document plus the 8 raw rows") {
+    assert(result.count() === 10)
+    assert(consensus.length === 2)
+  }
+
+  test("last-name consensus: Mueller variants fold to the umlaut form") {
+    assert(consensus.map(_("last_name_cleaned_0")).toSeq === Seq("Müller", "Schmidt"))
+  }
+
+  test("first-name consensus") {
+    assert(consensus.map(_("first_name_cleaned_0")).toSeq === Seq("Alice", "Bob1"))
+    assert(consensus(1)("first_name_cleaned_1") === "Bob2")
+  }
+
+  test("place-of-birth consensus: syllable repair picks Frankfurt") {
+    assert(consensus.map(_("place_of_birth_0_cleaned")).toSeq === Seq("Frankfurt", "Stadt"))
+  }
+
+  test("document 1 ambiguous columns match the reference's exact set") {
+    val amb = consensus(0)("ambiguous_columns").asInstanceOf[String].split(", ").toSet
+    assert(amb === Set(
+      "imprisonment_year_cleaned", "prisoner_category_5_cleaned",
+      "imprisonment_camp_cleaned", "place_of_birth_1_cleaned"))
+    assert(consensus(0)("is_ambiguous") === true)
+    // ambiguous columns are blanked to "?" in the consensus row
+    assert(consensus(0)("imprisonment_year_cleaned") === "?")
+  }
+
+  test("object ids are assigned when person columns are present") {
+    assert(consensus.forall(_("object_id").asInstanceOf[String].nonEmpty))
+    // raw rows carry their document's object_id
+    val raw = result.filter(org.apache.spark.sql.functions.col("deleted") === true).collect()
+    assert(raw.length === 8)
+    assert(raw.forall(r => r.getAs[String]("object_id").nonEmpty))
+  }
+
+  test("metadata columns are copied onto consensus rows") {
+    assert(consensus.map(_("workflow_id")).toSeq === Seq("wo_001", "wo_001"))
+  }
+
+  test("matched values that were QA-flagged in a supporting raw row keep the flag") {
+    // imprisonment_camp 'Unklar' rows are flagged, but doc 2's consensus is
+    // 'Bu' (unflagged rows) -> no propagation; doc 1's camp is ambiguous '?'.
+    assert(consensus(1)("imprisonment_camp_qa") === false)
+  }
+}
