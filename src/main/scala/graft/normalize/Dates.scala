@@ -1,0 +1,235 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Date engine (SURVEY D1–D6; reference
+  * `src/aroa_etl/attribute_processing/column_processing.py:489-1031`,
+  * `aux_functions.py:96-134,337-408,451-519`).
+  *
+  * Dates are NOT timestamps here: they are zero-padded string triples
+  * (`"00"`/`"0000"` = unknown part) because partial dates (`1943-__-__`)
+  * are first-class. Everything is built from codegen'd column expressions;
+  * the day↔month swap, century rule and month-name folds are `when`
+  * cascades, not UDFs.
+  */
+object Dates {
+  import Clean._
+
+  /** 2-digit year century rule: ≥50 → 18xx else 19xx (birth-date prior). */
+  private def centuryFix(year: Column): Column = {
+    // intrinsically ANSI-safe cast (CSE can hoist it out of the when)
+    val y2 = when(year.rlike("^[0-9]{2}$"), year).cast("int")
+    when(year.rlike("^[0-9]{2}$"),
+      when(y2 >= 50, concat(lit("18"), year)).otherwise(concat(lit("19"), year)))
+      .otherwise(year)
+  }
+
+  private def zeroPad(c: Column): Column =
+    when(length(c) === 1 && c.rlike("^[0-9]"), concat(lit("0"), c)).otherwise(c)
+
+  private def monthNamesToNumbers(c: Column): Column =
+    Regexes.MonthCorrections.foldLeft(lower(c)) { case (acc, (p, r)) =>
+      regexp_replace(lower(acc), p, r)
+    }
+
+  /** `day_swap`/`month_swap` guard: both parts pure digits, both present.
+    * Length caps keep the ANSI long cast safe; >9-digit parts skip the
+    * swap and get flagged by the validity check instead.
+    */
+  private def swapGuard(day: Column, month: Column): Column =
+    !concat(day, month).rlike("[^0-9]") && month.rlike("[0-9]") && day.rlike("[0-9]") &&
+      length(day) <= 9 && length(month) <= 9
+
+  /** D1 `normalise_date` (column_processing.py:489-766): one free-text
+    * date column → `{out}_year/month/day_cleaned` + `{out}_qa` +
+    * `{out}_data_source` appended to the frame.
+    */
+  def normaliseDate(
+      input: DataFrame,
+      dateCol: String,
+      outName: String,
+      dataSource: String = "crowd_sourcing",
+      timespan: (Int, Int) = (1850, 1950)): DataFrame = {
+
+    var c = cleanCopy(col(dateCol))
+    val qaBase = createQaCol(c, "\\?", "^-$|nan")
+
+    // bare yyyy -> 0.0.yyyy
+    c = when(c.rlike(Regexes.Digit4Year), concat(lit("0.0."), c)).otherwise(c)
+    // 6/8-digit runs: re-separate as dd;mm;yyyy
+    val digits = regexp_replace(c, "[^0-9]", "")
+    c = when(length(digits).isin(6, 8),
+      concat(substring(digits, 1, 2), lit(";"), substring(digits, 3, 2), lit(";"),
+        substring(digits, 5, 8))).otherwise(c)
+    c = regexp_replace(pyStrip(c), Regexes.NameSemicolonTransformation, ";")
+    c = regexp_replace(pyStrip(c), ";{2,}", ";")
+    // age strings ("23 yrs") carry no date
+    c = when(c.rlike("(y|j|J).*|age"), lit("")).otherwise(c)
+    c = regexp_replace(pyStrip(c), Regexes.DateSplit, ".")
+
+    val parts = split(c, "\\.", 3)
+    def part(i: Int): Column = {
+      val p = pyStrip(coalesce(get(parts, lit(i)), lit("")))
+      // drop all-dash and all-questionmark placeholders, then non-digits
+      regexp_replace(
+        regexp_replace(regexp_replace(p, "^-+$", ""), "[^0-9]", ""),
+        "^\\?+$", "")
+    }
+    val day0 = regexp_replace(zeroPad(part(0)), Regexes.NoDoubleZerosMd, "")
+    val month0 = regexp_replace(zeroPad(part(1)), Regexes.NoDoubleZerosMd, "")
+    val year = regexp_replace(centuryFix(part(2)), Regexes.NoDoubleZerosY, "")
+
+    // day <-> month swap detection. The casts must be intrinsically safe
+    // (not merely guarded by the surrounding `when`): subexpression
+    // elimination can hoist them out of the conditional branch, and an
+    // ANSI cast of "" would then throw.
+    val guard = swapGuard(day0, month0)
+    val dayN = when(day0.rlike("^[0-9]{1,9}$"), day0).cast("long")
+    val monthN = when(month0.rlike("^[0-9]{1,9}$"), month0).cast("long")
+    val day = when(guard && monthN < 32 && monthN > 12 && dayN <= 12, month0).otherwise(day0)
+    val month = monthNamesToNumbers(
+      when(guard && monthN > 12 && dayN <= 12, day0).otherwise(month0))
+
+    appendDateCols(input, outName, dataSource, timespan,
+      year = year, month = month, day = day, qaBase = qaBase,
+      completenessCheck = true, int64Guard = true)
+  }
+
+  /** D2 `clean_date` (column_processing.py:808-1031): date already split
+    * into day/month/year columns (order: day, month, year).
+    */
+  def cleanDate(
+      input: DataFrame,
+      dayCol: String,
+      monthCol: String,
+      yearCol: String,
+      outName: String,
+      dataSource: String = "crowd_sourcing",
+      timespan: (Int, Int) = (1850, 1950),
+      dropdown: Boolean = true): DataFrame = {
+
+    val qaBase = Seq(dayCol, monthCol, yearCol)
+      .map(cn => createQaCol(col(cn), "unclear", Regexes.QaNoEntry))
+      .reduce(_ || _)
+
+    def s(cn: String): Column = pyStrip(coalesce(col(cn), lit("")))
+    var day = s(dayCol)
+    var month = s(monthCol)
+    var year = s(yearCol)
+
+    if (dropdown) {
+      month = when(col(monthCol).rlike("^[0-9]"), substring(col(monthCol), 1, 2)).otherwise(month)
+    } else {
+      month = monthNamesToNumbers(month)
+      day = zeroPad(regexp_replace(day, "(\\.0)", ""))
+      month = zeroPad(month)
+    }
+
+    def scrub(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(pyStrip(c), "(\\.0)", ""), "[-]", "00"), "[^0-9]", "")
+    day = scrub(day); month = scrub(month); year = scrub(year)
+
+    if (!dropdown) {
+      year = centuryFix(year)
+      day = zeroPad(day)
+      month = zeroPad(month)
+    }
+
+    appendDateCols(input, outName, dataSource, timespan,
+      year = year, month = month, day = day, qaBase = qaBase,
+      // clean_date never nulls empties before its completeness check, so
+      // the check can't fire — reproduced by skipping it
+      completenessCheck = false, int64Guard = false,
+      blankUnlessFullYear = true)
+  }
+
+  private def appendDateCols(
+      input: DataFrame,
+      outName: String,
+      dataSource: String,
+      timespan: (Int, Int),
+      year: Column, month: Column, day: Column,
+      qaBase: Column,
+      completenessCheck: Boolean,
+      int64Guard: Boolean,
+      blankUnlessFullYear: Boolean = false): DataFrame = {
+
+    var (y, m, d) = (year, month, day)
+
+    // validity QA runs on the PRE-blanked values (reference order:
+    // clean_date flags an out-of-range year even though it then blanks it)
+    var qa = qaBase ||
+      dateValidityCheck(d, 31, 0) ||
+      dateValidityCheck(m, 12, 0) ||
+      dateValidityCheck(y, timespan._2, timespan._1)
+
+    if (blankUnlessFullYear) {
+      // remove "00" parts when no complete year is present
+      val keep = length(y) === 4
+      val y0 = y
+      y = when(length(y0) === 4, y0).otherwise(lit(""))
+      m = when(keep, m).otherwise(lit(""))
+      d = when(keep, d).otherwise(lit(""))
+    }
+
+    if (completenessCheck) {
+      val dN = d === ""; val mN = m === ""; val yN = y === ""
+      qa = qa || !(dN === mN && dN === yN)
+    }
+
+    def guard(c: Column): Column =
+      if (int64Guard) regexp_replace(c, "[0-9]{10,}", "") else regexp_replace(c, "^-$", "")
+
+    input
+      .withColumn(s"${outName}_year_cleaned", guard(y))
+      .withColumn(s"${outName}_month_cleaned", guard(m))
+      .withColumn(s"${outName}_day_cleaned", guard(d))
+      .withColumn(s"${outName}_qa", qa)
+      .withColumn(s"${outName}_data_source", lit(dataSource))
+  }
+
+  /** D4 `date_timing_check` (aux_functions.py:337-408): lexicographic
+    * (year, month, day) comparison of two date triples → `timing` label +
+    * `timing_qa`. Non-numeric/empty parts resolve to "consistent" (the
+    * reference swallows the int() error).
+    */
+  def dateTimingCheck(
+      y1: Column, m1: Column, d1: Column,
+      y2: Column, m2: Column, d2: Column,
+      labels: (String, String, String) = ("year", "month", "day")): (Column, Column) = {
+    def num(c: Column): Column = when(c.rlike("^[0-9]+$"), c.cast("long"))
+    val anyBad = num(y1).isNull || num(y2).isNull || num(m1).isNull ||
+      num(m2).isNull || num(d1).isNull || num(d2).isNull
+    val timing =
+      when(num(y1) < num(y2), lit("consistent"))
+        .when(num(y1) > num(y2), lit(s"${labels._1}_t1 > ${labels._1}_t2"))
+        .when(num(m1) < num(m2), lit("consistent"))
+        .when(num(m1) > num(m2), lit(s"${labels._2}_t1 > ${labels._2}_t2"))
+        .when(num(d1) < num(d2), lit("consistent"))
+        .when(num(d1) > num(d2), lit(s"${labels._3}_t1 > ${labels._3}_t2"))
+        .otherwise(lit("consistent"))
+    val resolved = when(anyBad, lit("consistent")).otherwise(timing)
+    (resolved, resolved =!= "consistent")
+  }
+
+  /** D5 `parse_date` (similarity_measures.py:31-42): `yyyymmdd(.0)` or
+    * `dd.mm.yyyy` → struct(year, month, day) ints; null if unparseable.
+    */
+  def parseDate(c: Column): Column = {
+    val packed = "^(\\d\\d\\d\\d)(\\d\\d)(\\d\\d)\\.?0?$"
+    val dotted = "^(\\d\\d)\\.(\\d\\d)\\.(\\d\\d\\d\\d)$"
+    when(c.rlike(packed), struct(
+      regexp_extract(c, packed, 1).cast("int").as("year"),
+      regexp_extract(c, packed, 2).cast("int").as("month"),
+      regexp_extract(c, packed, 3).cast("int").as("day")))
+      .when(c.rlike(dotted), struct(
+        regexp_extract(c, dotted, 3).cast("int").as("year"),
+        regexp_extract(c, dotted, 2).cast("int").as("month"),
+        regexp_extract(c, dotted, 1).cast("int").as("day")))
+  }
+
+  /** D6: packed `yyyymmdd` → `dd.mm.yyyy`. */
+  def reformatDate(c: Column): Column =
+    concat(substring(c, 7, 2), lit("."), substring(c, 5, 2), lit("."), substring(c, 1, 4))
+}

@@ -1,0 +1,64 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prisoner-number normalization (SURVEY F16; reference
+  * `src/aroa_etl/attribute_processing/column_processing.py:347-484`).
+  *
+  * Chain: clean → strip alpha words → fix spacing around the A/B/R/Z
+  * camp markers → `;`-separate → numeric sort within the list → split to
+  * ≤5 `prisoner_number_trim_i` columns → de-dot `12.345` → extract the
+  * marker char into a `_additional_information` sibling → QA on
+  * anything non-numeric left.
+  */
+object PrisonerNumbers {
+  import Clean._
+  import PyText._
+
+  private val CharRegex = "(\\b[aAbBrRzZ](?=[^a-zA-Z])+)"
+  private val DeDot =
+    "((?<=\\b\\d{1})|(?<=[^\\d]\\d{1})|(?<=\\b\\d{2})|(?<=[^\\d]\\d{2})|(?<=\\b\\d{3})|(?<=[^\\d]\\d{3}))[.](?=\\d{3})"
+
+  def normalise(
+      input: DataFrame,
+      prisonerNo: String,
+      dataSource: String = "crowd_sourcing",
+      outName: String = "prisoner_number"): DataFrame = {
+
+    var c = cleanCopy(col(prisonerNo))
+    val qaBase = createQaCol(c, Regexes.QaPrisonerNo, Regexes.QaPrisonerNoNoEntry)
+
+    c = regexp_replace(pyStrip(c), "\\b[a-zA-z]{2,}\\b", "")
+    c = regexp_replace(c, "  ", " ")
+    c = regexp_replace(c, "(?<=[^0-9a-zA-Z])\\s(?=[0-9])|(?<=[a-zA-Z])\\s(?=[^0-9a-zA-Z])", "")
+    c = regexp_replace(c, "(?<=[0-9]{2})\\s(?=[0-9]{3})", "")
+    c = regexp_replace(pyStrip(c), Regexes.PrisonerNumberCharacterSeparator, "")
+    c = regexp_replace(pyStrip(c), Regexes.SemicolonTransformation, ";")
+    c = sortListUdf(c)
+
+    val parts = split(c, ";", 5)
+    val df1 = input.withColumn("__pparts", parts).withColumn("__pqa", qaBase)
+    val k = Names.maxParts(df1, col("__pparts"))
+
+    var out = df1
+    var qa: Column = col("__pqa")
+    for (i <- 0 until k) {
+      val trimName = s"${outName}_trim_${i + 1}"
+      val deDotted = regexp_replace(get(col("__pparts"), lit(i)), DeDot, "")
+      // marker extraction: a single A/B/R/Z ahead of a non-letter
+      val charRaw = regexp_extract(deDotted, CharRegex, 1)
+      val charCol = when(coalesce(length(charRaw), lit(0)) === 1, charRaw).otherwise(lit(""))
+      val cleaned = when(length(charCol) === 1, regexp_replace(deDotted, CharRegex, ""))
+        .otherwise(deDotted)
+      out = out
+        .withColumn(trimName, coalesce(cleaned, lit("")))
+        .withColumn(s"${trimName}_additional_information", charCol)
+      qa = qa || createQaCol(col(trimName), "[^0-9]", "^-$|nan|None")
+    }
+    out
+      .withColumn(s"${outName}_qa", qa)
+      .withColumn(s"${outName}_data_source", lit(dataSource))
+      .drop("__pparts", "__pqa")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.normalize
+
+/** Regex conditions for column processing (reference
+  * `src/aroa_etl/attribute_processing/regex_conditions.py` — ported
+  * verbatim; Java and Python regex dialects agree for every pattern here).
+  * These tables ARE the spec: downstream QA counts and split shapes were
+  * tuned against exactly these patterns.
+  */
+object Regexes {
+  val DashWords =
+    "(?i)\\bblank\\b|\\b\\[blank\\]\\b|\\b\\(blank\\)\\b|\\bblanc\\b|\\bnone\\b|\\bleer\\b|nicht bekannt|\\bk\\.+\\s*a\\b\\.*|\\bk\\.*\\s*a\\b\\.+|\\bnn\\b|\\bfehlt\\b|\\bempty\\b|\\bmissing\\b|\\bna\\b|\\bNA\\b|\\bNa\\b|\\bnot\\b|unklear|keine angabe|entfällt|unavailable|not listet|not statet|no information|\\bno\\b|nr\\. unbekannt|nicht angegeben|keine nummer|unknown|unbekant|\\bnil\\b|no data|xxx|unbekannt\\b|\\bkeine\\b|\\bohne\\b|_|^0+$"
+  val DeletedWords =
+    "(?i)lined out|crossed out|durchgestrichen|gestrichen|scored out|\\[strikethrough\\]|\"+"
+  val QuestionMarkWords =
+    "(?i)illegible|unclear|unsure|not clear|unreadable|unklar|nicht erkennbar|nicht lesbar|\\?+|unlesbar|unleserlich|ungenau|andere angabe"
+  val SemicolonWords =
+    "(?i),|\\bor\\b|\\boder\\b|\\band\\b|\\bund\\b|/|\\(|\\)|:|\\[|\\]"
+
+  val KeyWords =
+    "(\\b|\\()(mr\\.|mrs\\.|frau|fr\\.\\s|herr|herrn|frl\\.|ing\\.|tote|toter|died|neugeborenes|unbekannter\\stoter|unbekannte\\stote|auch|vel|freifrau|prinz|prinzessin|erbprinz|freiherr|freifr|reichsgraf|reichsgräfin|graf|gräfin|freiin|säugling|kind|wwe\\.|gefr\\.|soldat|baron|baronin|hr\\.|ehefrau|vel|alias|baby|wwe|schwester|wife|gattin|gatte|or|oder|od\\.\\s|jude|jüdin|bruder|heil|hitler)(\\s|\\b|\\)|$)"
+
+  val AcademicTitle = "\\b([dD]r\\.|[pP]rof\\.|[mM]udr\\.)"
+
+  val NobleName =
+    "\\b(?![a-z]\\')(van(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|von(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|de la|del|di|der|den|vom|dal|della|dell|dalla|da|d|(v\\.\\s?d\\.)|v\\.|von\\.|d\\.|du|de|le|la|v|d|mc|ter|ten|te|san)(\\b|\\s)(?=[a-zA-Z]){2,}"
+  val NoblePrefixClean = "[^a-zA-Z]"
+
+  val BirthName = "((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).*)"
+  val BirthNameClean = "((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).)"
+
+  val StripSemicolon = "^;*|;*$"
+  val NameSemicolonTransformation =
+    "(?<!\\b(d))(?<!\\b(da|de|di|du|d\\.|la|le|mc|te|v\\.))(?<!\\b(dal|del|der|den|ter|ten|van|vom|von|san))(?<!\\b(von\\.))(?<!\\b(della|dalla))(\\s;|;\\s|\\s+|\\,|\\,\\s|\\-|;+|\\\\)"
+  val SemicolonTransformation = "(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\)+"
+
+  val LetterSpacing = "\\b([A-Za-z])\\s+(?=[A-Za-z]\\b)"
+
+  val Qa = "[\\(\\)\\[\\]0-9\\?,:_\\/\\*\\\"#]|\\.\\.|^-|-$|[^a-zA-Z]-[^a-zA-Z]"
+  val QaPrisonerNo = "(.*[^0-9;\\s\\.\\/aAbBrRzZ]+.*)"
+  val QaNoEntry = "^-$"
+  val QaPrisonerNoNoEntry = "^-$|[aAbBrRzZ]"
+
+  val PrisonerNumberCharacterSeparator = "(?<=[aAbBrRzZ]{1})(\\s|-)(?=[0-9]{2,})"
+
+  val Digit4Year = "^[12][0-9]{3}$"
+  val DateSplit = "(\\.\\s*|\\/|,\\s*|\\s+|\\s|;|(?<=[0-9])(-)(?=[0-9]))+"
+  val NoDoubleZerosMd = "^0+(?=[0-9]{2})"
+  val NoDoubleZerosY = "^0+(?=[0-9]{4})"
+
+  /** Month-name → number chains, applied in order on the lowercased value. */
+  val MonthCorrections: Seq[(String, String)] = Seq(
+    "jan[a-z]*" -> "01", "feb[a-z]*" -> "02",
+    "(mär[a-z]*)|(mar[a-z]*)|(maer[a-z]*)" -> "03",
+    "a.ril" -> "04", "ma[a-z]*|peut" -> "05",
+    "(jun[a-z]*)|(juin)" -> "06", "jul[a-z]*|juil[a-z]*" -> "07",
+    "aug[a-z]*|ao[a-z]*|ag[a-z*]" -> "08", "sep[a-z]*" -> "09",
+    "o[c|k]t[a-z]*" -> "10", "nov[a-z]*" -> "11", "d.c[a-z]*" -> "12")
+}

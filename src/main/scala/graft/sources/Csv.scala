@@ -36,6 +36,26 @@ object Csv {
     } else df
   }
 
+  /** pandas' default NA sentinel set (`read_csv` without `keep_default_na
+    * =False` turns these strings into NaN). The reference's stage chain
+    * round-trips every stage through CSV, so literal "None"/"NA" strings
+    * written by one stage arrive as missing at the next — semantics that
+    * matter (e.g. unpack's python-str "None" cells).
+    */
+  val PandasNaValues: Seq[String] = Seq(
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
+
+  /** Convert pandas-default NA strings to real nulls on every string column. */
+  def pandasNaToNull(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+      .foldLeft(df)((d, c) =>
+        d.withColumn(c, when(col(c).isin(PandasNaValues: _*), lit(null)).otherwise(col(c))))
+  }
+
   /** Stage sink (`to_csv(sep="|")` shape). One directory of part files —
     * no `coalesce(1)`: serializing through one task is the anti-pattern
     * the engine avoids at scale.
