@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import graft.similarity.Similarity
+
+/** UDF registry for the pure-Scala kernels (fuzzy ratios, name
+  * preprocessing, similarity measures). Registering once per session makes
+  * them usable from both the Column API and `spark.sql`.
+  *
+  * These stay UDFs (not Catalyst expressions) deliberately: each is an
+  * allocation-light scalar function whose cost is dominated by the string
+  * algorithm itself, not the call boundary; none sits on a scan-heavy
+  * filter path where codegen fusion would matter.
+  */
+object Udfs {
+  val fuzzRatio: UserDefinedFunction = udf((a: String, b: String) => Fuzz.ratio(a, b))
+  val tokenSetRatio: UserDefinedFunction = udf((a: String, b: String) => Fuzz.tokenSetRatio(a, b))
+  val jaro: UserDefinedFunction = udf((a: String, b: String) => Fuzz.jaro(a, b))
+  val preprocessName: UserDefinedFunction =
+    udf((s: String) => if (s == null) null else NamePreprocess.preprocessName(s))
+  val preprocessLastName: UserDefinedFunction =
+    udf((s: String) => if (s == null) null else NamePreprocess.preprocessLastName(s))
+  val fixVisualDecoding: UserDefinedFunction =
+    udf((s: String) => NamePreprocess.fixVisualCharacterDecoding(s))
+  val fixNameUppercasing: UserDefinedFunction =
+    udf((s: String) => if (s == null) null else NamePreprocess.fixNameUppercasing(s))
+  val dateSimilarity: UserDefinedFunction =
+    udf((a: String, b: String) => Similarity.dateSimilarity(a, b))
+  val simpleDateMatcher: UserDefinedFunction =
+    udf((a: String, b: String) => Similarity.simpleDateMatcher(a, b))
+
+  /** Register everything under SQL-callable names. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("fuzz_ratio", fuzzRatio)
+    spark.udf.register("token_set_ratio", tokenSetRatio)
+    spark.udf.register("jaro", jaro)
+    spark.udf.register("preprocess_name", preprocessName)
+    spark.udf.register("preprocess_last_name", preprocessLastName)
+    spark.udf.register("fix_visual_decoding", fixVisualDecoding)
+    spark.udf.register("fix_name_uppercasing", fixNameUppercasing)
+    spark.udf.register("date_similarity", dateSimilarity)
+    spark.udf.register("simple_date_matcher", simpleDateMatcher)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Blocked fuzzy similarity join + top-k person matching (SURVEY
+  * J5/A7/E9/W1/J4; reference `src/aroa_etl/person_matching/matching.py`).
+  *
+  * The reference's driver-side inverted index becomes a pure dataflow:
+  * explode prefix buckets on BOTH name columns of BOTH sides, equi-join
+  * per bucket, intersect the first-name and last-name candidate pair
+  * sets, score once per surviving pair, keep the top-k per source row via
+  * a window. There is never a cartesian product: every join is an
+  * equi-join on `(prefix, length-band)` bucket keys, so the plan is
+  * shuffle-hash/sort-merge joinable and AQE can handle hot buckets
+  * (common surnames) with skew splitting at 100 TB.
+  *
+  * Tie-break note: the reference resolves equal scores by its sequential
+  * iteration order, which has no distributed meaning; this engine breaks
+  * ties by target id for determinism.
+  */
+object PersonMatching {
+
+  /** A7/E9 bucket keys for one name value: for each space-separated
+    * subname, `(first n chars, len / lenUnits)` (matching.py:10-26 strips
+    * non-`[a-z ]` before splitting).
+    */
+  def bucketKeys(name: Column, idxChars: Int, lenUnits: Int): Column = {
+    val cleaned = regexp_replace(name, "[^a-z\\s]", "")
+    val subs = filter(split(cleaned, " "), s => s =!= "")
+    transform(subs, s =>
+      concat_ws("|", substring(s, 1, idxChars), floor(length(s) / lenUnits).cast("string")))
+  }
+
+  /** Candidate (src, trg) id pairs sharing a bucket on the given column. */
+  private def bucketPairs(
+      src: DataFrame, trg: DataFrame, colName: String,
+      idxChars: Int, lenUnits: Int): DataFrame = {
+    val s = src.select(col("srcID"),
+      explode(bucketKeys(col(colName), idxChars, lenUnits)).as("bucket"))
+    val t = trg.select(col("trgID"),
+      explode(bucketKeys(col(colName), idxChars, lenUnits)).as("bucket"))
+    s.join(t, "bucket").select("srcID", "trgID").distinct()
+  }
+
+  /** Person-matching config (defaults = the reference's production run:
+    * `run-matching.py:48-53`, bucket shape `matching.py:34`).
+    */
+  final case class MatchConfig(
+      gnameCol: String = "strGName_processed",
+      lnameCol: String = "strLName_processed",
+      dobCol: String = "strDoB_processed",
+      prisonerCol: String = "prisoner_number",
+      pobCol: String = "strPoB_processed",
+      idxChars: Int = 2,
+      lenUnits: Int = 4,
+      topN: Int = 10,
+      minScore: Double = 80.0,
+      nameOnly: Boolean = false,
+      allowDuplicates: Boolean = true,
+      useSimpleDateMatcher: Boolean = false)
+
+  private def personStruct(cfg: MatchConfig, df: DataFrame): Column = {
+    def opt(c: String): Column =
+      if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
+    struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
+      opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
+      opt(cfg.prisonerCol).as("prisoner"))
+  }
+
+  /** J5 `person_matching` (matching.py:29-94): returns
+    * `(srcID, score, trgID)` — top-k matches ≥ minScore per source, or a
+    * single `(srcID, -1, null)` row for unmatched sources.
+    *
+    * @param src source rows with a unique `srcID` column
+    * @param trg target rows with a unique `trgID` column
+    */
+  def personMatching(src: DataFrame, trg: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
+    val useDate = src.columns.contains(cfg.dobCol) && trg.columns.contains(cfg.dobCol)
+    val usePrisoner = src.columns.contains(cfg.prisonerCol) && trg.columns.contains(cfg.prisonerCol)
+    val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
+    val nameOnly = cfg.nameOnly
+    val simpleDate = cfg.useSimpleDateMatcher
+    val scoreUdf = udf { (s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
+      def p(r: org.apache.spark.sql.Row) = Similarity.Person(
+        r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),
+        r.getAs[String]("pob"), r.getAs[String]("prisoner"))
+      Similarity.personSimilarity(p(s), p(t),
+        useDate = useDate, usePrisoner = usePrisoner, usePob = usePob,
+        nameOnly = nameOnly,
+        dateMatcher =
+          if (simpleDate) Similarity.simpleDateMatcher else Similarity.dateSimilarity)
+    }
+
+    // candidate pairs: first-name bucket hit AND last-name bucket hit
+    val fnamePairs = bucketPairs(src, trg, cfg.gnameCol, cfg.idxChars, cfg.lenUnits)
+    val lnamePairs = bucketPairs(src, trg, cfg.lnameCol, cfg.idxChars, cfg.lenUnits)
+    val candidates = fnamePairs.intersect(lnamePairs)
+
+    val srcP = src.select(col("srcID"), personStruct(cfg, src).as("__srcP"))
+    val trgP = trg.select(col("trgID"), personStruct(cfg, trg).as("__trgP"))
+    val scored = candidates
+      .join(srcP, "srcID").join(trgP, "trgID")
+      .withColumn("score", scoreUdf(col("__srcP"), col("__trgP")))
+      .filter(col("score") >= cfg.minScore)
+
+    val w = Window.partitionBy(col("srcID")).orderBy(col("score").desc, col("trgID"))
+    val topK = scored
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= cfg.topN)
+      .select(col("srcID"), col("score"), col("trgID"))
+
+    val matched = if (cfg.allowDuplicates) topK else dedupeTargets(topK)
+
+    // unmatched sources get the (-1, null) sentinel row (matching.py:80-81)
+    val unmatched = src.select(col("srcID"))
+      .join(matched.select("srcID").distinct(), Seq("srcID"), "left_anti")
+      .withColumn("score", lit(-1.0))
+      .withColumn("trgID", lit(null).cast(matched.schema("trgID").dataType))
+    matched.unionByName(unmatched)
+  }
+
+  /** J4 `allow_duplicates=False` path (matching.py:87-93): keep only the
+    * best-scoring source per target (ties → one row), re-sentinel sources
+    * that lost all their matches.
+    */
+  private def dedupeTargets(matches: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("trgID")).orderBy(col("score").desc, col("srcID"))
+    matches
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .drop("__r")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.similarity
+
+import graft.functions.Fuzz
+
+/** Person-similarity measures (SURVEY E1–E6; reference
+  * `src/aroa_etl/person_matching/similarity_measures.py`).
+  *
+  * Pure Scala kernels — they run inside the blocked similarity join's
+  * score UDF and inside clustering's per-component refinement. All scores
+  * are 0–100 with −1 = "not comparable" (absent/empty field).
+  */
+object Similarity {
+
+  /** E1 `number_diff`: exponential closeness penalty
+    * `max(0, 100 − (5^|a−b| − 1))`.
+    */
+  def numberDiff(a: Int, b: Int): Double = {
+    val d = math.abs(a - b)
+    if (d > 3) 0.0 // 5^4-1 = 624 > 100; avoids overflow for large gaps
+    else math.max(0.0, 100.0 - (math.pow(5, d) - 1))
+  }
+
+  /** D5 `parse_date`: `yyyymmdd(.0)` or `dd.mm.yyyy` → (y, m, d). */
+  def parseDate(date: String): Option[(Int, Int, Int)] = {
+    if (date == null) return None
+    val packed = "^(\\d{4})(\\d{2})(\\d{2})\\.?0?$".r
+    val dotted = "^(\\d{2})\\.(\\d{2})\\.(\\d{4})$".r
+    date match {
+      case packed(y, m, d) => Some((y.toInt, m.toInt, d.toInt))
+      case dotted(d, m, y) => Some((y.toInt, m.toInt, d.toInt))
+      case _               => None
+    }
+  }
+
+  private def partScore(a: Int, b: Int): Double =
+    if (a == 0 || b == 0) -1.0 else numberDiff(a, b)
+
+  /** E2 `date_similarity`: per-part scores with zero-parts excluded and a
+    * day↔month swap tried both ways (the better sum wins).
+    */
+  def dateSimilarity(date1: String, date2: String): Double = {
+    (parseDate(date1), parseDate(date2)) match {
+      case (Some((y1, m1, d1)), Some((y2, m2, d2))) =>
+        val yearScore = partScore(y1, y2)
+        var monthScore = partScore(m1, m2)
+        var dayScore = partScore(d1, d2)
+        // reversed: day1 vs month2, month1 vs day2
+        val monthRev = partScore(d1, m2)
+        val dayRev = partScore(m1, d2)
+        if (monthScore + dayScore <= monthRev + dayRev) {
+          monthScore = monthRev; dayScore = dayRev
+        }
+        var score = 100.0
+        for (s <- Seq(yearScore, monthScore, dayScore) if s >= 0)
+          score -= (100 - s)
+        math.max(0.0, score)
+      case _ => -1.0
+    }
+  }
+
+  /** `__not_empty` (similarity_measures.py:76-77). */
+  def notEmpty(field: String): Boolean =
+    field != null && field.nonEmpty && field != "00000000" && field != "-1.0" && field != "-1"
+
+  /** E3 `simple_date_matcher`: fraction (≤3) of numeric parts shared. */
+  def simpleDateMatcher(src: String, target: String): Double = {
+    if (!notEmpty(src) || !notEmpty(target)) return -1.0
+    val re = "[1-9]\\d*".r
+    val srcParts = re.findAllIn(src).toSeq
+    val trgParts = re.findAllIn(target).toSet
+    val shared = math.min(3, srcParts.count(trgParts.contains))
+    shared / 3.0 * 100.0
+  }
+
+  /** E4 `name_matcher` = `fuzz.ratio` with default_process. */
+  def nameMatcher(src: String, target: String): Double =
+    if (notEmpty(src) && notEmpty(target)) Fuzz.ratio(src, target) else -1.0
+
+  /** E5 `name_set_matcher` = `fuzz.token_set_ratio`. */
+  def nameSetMatcher(src: String, target: String): Double =
+    if (notEmpty(src) && notEmpty(target)) Fuzz.tokenSetRatio(src, target) else -1.0
+
+  /** A person record for matching/clustering; null field = absent. */
+  final case class Person(
+      gname: String,
+      lname: String,
+      dob: String = null,
+      pob: String = null,
+      prisonerNumber: String = null)
+
+  /** E6 `person_similarity` (similarity_measures.py:113-164): weighted
+    * combiner — primary = (lname + gname token-set)/2; secondary =
+    * mean(prisoner ratio, date sim) folded 2/3 : 1/3; other = birthplace
+    * ratio folded 3/4 : 1/4.
+    *
+    * @param useDate / usePrisoner / usePob mirror "column configured" in
+    *   the reference (a configured-but-empty date still contributes 0).
+    */
+  def personSimilarity(
+      src: Person, trg: Person,
+      useDate: Boolean = true,
+      usePrisoner: Boolean = true,
+      usePob: Boolean = true,
+      nameOnly: Boolean = false,
+      nonNamesOptional: Boolean = false,
+      dateMatcher: (String, String) => Double = dateSimilarity): Double = {
+
+    val primaryScores = Seq(
+      math.max(0, nameSetMatcher(src.lname, trg.lname)),
+      math.max(0, nameSetMatcher(src.gname, trg.gname)))
+    val primary = primaryScores.sum / 2
+    if (nameOnly) return primary
+
+    val secondaryScores =
+      (if (usePrisoner) Seq(nameMatcher(src.prisonerNumber, trg.prisonerNumber)) else Nil) ++
+        (if (useDate) Seq(math.max(0, dateMatcher(src.dob, trg.dob))) else Nil)
+    val kept = secondaryScores.filter(_ >= 0)
+    val secondary =
+      if (kept.nonEmpty) kept.sum / kept.size
+      else if (nonNamesOptional) -1.0
+      else 0.0
+
+    val otherScores = (if (usePob) Seq(nameMatcher(src.pob, trg.pob)) else Nil).filter(_ >= 0)
+    val other = if (otherScores.nonEmpty) otherScores.sum / otherScores.size else -1.0
+
+    var score = primary
+    if (secondary >= 0) score = 2.0 / 3 * score + 1.0 / 3 * secondary
+    if (other >= 0) score = 3.0 / 4 * score + 1.0 / 4 * other
+    score
+  }
+}

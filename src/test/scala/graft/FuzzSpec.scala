@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fuzz, NamePreprocess}
+import graft.similarity.Similarity
+
+/** Golden tests for the fuzzy-similarity and name-preprocessing kernels.
+  * Expected values are hand-derived from the published algorithm
+  * definitions (Indel ratio = 100·(1 − (|a|+|b|−2·LCS)/(|a|+|b|)); Jaro
+  * with true-division transposition halving), including documented
+  * rapidfuzz examples.
+  */
+class FuzzSpec extends AnyFunSuite {
+  private def approx(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-6
+
+  test("Indel ratio matches hand-derived values") {
+    // documented rapidfuzz example: 96.55 without processing, 100 with
+    assert(approx(Fuzz.ratioRaw("this is a test", "this is a test!"), 100.0 * (1 - 1.0 / 29)))
+    assert(Fuzz.ratio("this is a test", "this is a test!") === 100.0)
+    // kitten/sitting: LCS=4 -> indel 5 -> 100*(1-5/13)
+    assert(approx(Fuzz.ratio("kitten", "sitting"), 100.0 * (1 - 5.0 / 13)))
+    // Müller/Mueller: LCS=5 over 6+7 chars
+    assert(approx(Fuzz.ratio("Müller", "Mueller"), 100.0 * (1 - 3.0 / 13)))
+    assert(Fuzz.ratio("", "") === 100.0)
+    assert(Fuzz.ratio("abc", "") === 0.0)
+  }
+
+  test("token_set_ratio: set-equal strings are 100; empty semantics") {
+    assert(Fuzz.tokenSetRatio("fuzzy was a bear", "fuzzy fuzzy was a bear") === 100.0)
+    assert(Fuzz.tokenSetRatio("bear was fuzzy", "fuzzy was a bear") === 100.0)
+    // both sides empty after processing -> 100 (rapidfuzz semantics)
+    assert(Fuzz.tokenSetRatio("???", "!!!") === 100.0)
+    assert(Fuzz.tokenSetRatio("abc", "???") === 0.0)
+    // partial overlap, hand-derived: sect="three two"(9), diffs "one"/"four"
+    assert(approx(Fuzz.tokenSetRatio("one two three", "two three four"),
+      100.0 * (1 - 4.0 / 22)))
+  }
+
+  test("Jaro with jellyfish true-division transpositions") {
+    assert(approx(Fuzz.jaro("MARTHA", "MARHTA"), (1.0 + 1.0 + (6 - 1) / 6.0) / 3))
+    // odd transposition count: 3 mismatched alignments -> t = 1.5
+    assert(approx(Fuzz.jaro("abcdef", "bcadef"), (1.0 + 1.0 + (6 - 1.5) / 6.0) / 3))
+    assert(Fuzz.jaro("", "") === 1.0)
+    assert(Fuzz.jaro("a", "") === 0.0)
+    assert(Fuzz.jaro("same", "same") === 1.0)
+  }
+
+  test("preprocess_name chains (string_utils order, quirks preserved)") {
+    // müller: ü->u then double-l collapse
+    assert(NamePreprocess.preprocessName("Müller") === "muler")
+    // schwartz: w->v, tz->z
+    assert(NamePreprocess.preprocessName("Schwartz") === "schvarz")
+    // goethe: oe->a quirk, th->t
+    assert(NamePreprocess.preprocessName("Goethe") === "gate")
+    // last names: owa$ strip then w->v
+    assert(NamePreprocess.preprocessLastName("Nowakowa") === "novak")
+    assert(NamePreprocess.preprocessLastName("Petersohn") === "peterson")
+    assert(NamePreprocess.preprocessLastName("Schmidt geb. Meyer") === "schmidt")
+  }
+
+  test("E1-E3 similarity measures") {
+    assert(Similarity.numberDiff(5, 5) === 100.0)
+    assert(Similarity.numberDiff(5, 6) === 96.0)
+    assert(Similarity.numberDiff(5, 7) === 76.0)
+    assert(Similarity.numberDiff(5, 9) === 0.0)
+    assert(Similarity.dateSimilarity("19430312", "12.03.1943") === 100.0)
+    // day<->month swap rescues reversed dates
+    assert(Similarity.dateSimilarity("19430312", "19431203") === 100.0)
+    // zero parts are excluded, not penalized
+    assert(Similarity.dateSimilarity("19430000", "19430812") === 100.0)
+    assert(Similarity.dateSimilarity("bogus", "19430812") === -1.0)
+    assert(Similarity.simpleDateMatcher("12.03.1943", "12.03.1943") === 100.0)
+    assert(approx(Similarity.simpleDateMatcher("12.03.1943", "12.05.1943"), 2.0 / 3 * 100))
+  }
+
+  test("E6 person_similarity combiner weights") {
+    import Similarity.Person
+    val a = Person("hans", "muler", "19430312", "berlin", "111")
+    // identical person -> 100 on every axis
+    assert(approx(Similarity.personSimilarity(a, a), 100.0))
+    // names only equal, date differs by a year, no pob/prisoner on trg
+    val b = Person("hans", "muler", "19440312", null, null)
+    // primary=100; secondary=date 96; no other
+    val expected = 2.0 / 3 * 100 + 1.0 / 3 * 96
+    assert(approx(Similarity.personSimilarity(a, b), expected))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.linkage.PersonMatching
+import graft.linkage.PersonMatching.MatchConfig
+
+/** Blocked fuzzy similarity join (J5/A7/E9/W1): semantics + plan shape. */
+class PersonMatchingSpec extends SparkSpec {
+  private val session = SparkSpec.spark
+  import session.implicits._
+
+  private def persons = Seq(
+    // id, gname, lname, dob, pob, prisoner
+    (1L, "hans", "muler", "19430312", "berlin", "111"),
+    (2L, "hans", "muler", "19430312", "berlin", "112"),   // near-dup of 1
+    (3L, "hans peter", "schmidt", "19200101", "hamburg", "200"),
+    // NB same length band: "ana" (len 3, band 0) would be blocked away
+    // from "anna" (len 4, band 1) — faithful to the reference's buckets
+    (4L, "anna", "novak", "19350607", "prag", "300"),
+    (5L, "anne", "novak", "19350607", "prag", "301"),     // near-dup of 4
+    (6L, "karl", "vagner", "19101111", "vien", "400"))
+    .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+      "strPoB_processed", "prisoner_number")
+
+  test("self-match: every source's top hit is itself with score 100") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    val m = PersonMatching.personMatching(src, trg, MatchConfig(topN = 1, minScore = 80))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.get(2))).toMap
+    for (id <- 1L to 6L) {
+      val (score, hit) = m(id)
+      assert(hit === id, s"top-1 of $id should be itself")
+      assert(math.abs(score - 100.0) < 1e-9)
+    }
+  }
+
+  test("near-duplicates match above cutoff; distinct persons do not") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    val m = PersonMatching.personMatching(src, trg, MatchConfig(topN = 10, minScore = 80))
+      .filter(col("score") =!= -1 && col("srcID") =!= col("trgID"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("trgID"))).toSet
+    assert(m.contains((1L, 2L)) && m.contains((2L, 1L)), "hans muler near-dups")
+    assert(m.contains((4L, 5L)) && m.contains((5L, 4L)), "anna/ana novak near-dups")
+    assert(!m.exists { case (a, b) => Set(a, b) == Set(3L, 6L) }, "schmidt vs vagner")
+  }
+
+  test("unmatched sources carry the (-1, null) sentinel") {
+    val src = Seq((99L, "zz", "qq", "19000101", "x", "1"))
+      .toDF("srcID", "strGName_processed", "strLName_processed", "strDoB_processed",
+        "strPoB_processed", "prisoner_number")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    val rows = PersonMatching.personMatching(src, trg).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(1) === -1.0)
+    assert(rows.head.isNullAt(2))
+  }
+
+  test("plan is a blocked equi-join: no cartesian product, no NLJ") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    val plan = PersonMatching.personMatching(src, trg)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "must not plan a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must not plan a nested-loop join")
+  }
+
+  test("allowDuplicates=false keeps one source per target") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.filter(col("id") === 1).withColumnRenamed("id", "trgID")
+    val m = PersonMatching.personMatching(src, trg,
+      MatchConfig(topN = 1, minScore = 80, allowDuplicates = false))
+    val hits = m.filter(col("score") =!= -1).collect()
+    assert(hits.length === 1, "only the best source keeps target 1")
+  }
+}
