@@ -1,0 +1,275 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.similarity.Similarity
+import graft.similarity.Similarity.Person
+
+/** Person entity clustering (SURVEY E8–E15; reference
+  * `src/aroa_etl/person_matching/person_clustering.py` and
+  * `scripts/clustering-container/run_clustering.py`).
+  *
+  * Spark formulation (SURVEY §3.2): the reference's sequential greedy is
+  * re-expressed as (1) a blocked, scored edge set (equi-joins only — the
+  * same bucket dataflow as person matching), (2) connected components
+  * over `score ≥ cutoff` edges plus known-cluster seed edges, then
+  * (3) an exact per-component replay of the reference's greedy
+  * (fast + max-linkage production config) inside `mapGroups` — components
+  * after blocking are person-entity-sized, so the sequential part touches
+  * only a handful of rows per group while steps 1-2 carry the scale.
+  */
+object Clustering {
+
+  final case class ClusterConfig(
+      idxChars: Int = 4,
+      lenUnits: Int = 2,
+      cutoff: Double = 85.0,
+      linkage: String = "max", // "max" | "single" | "average"
+      allowKnownClusterMerge: Boolean = false)
+
+  /** `get_buckets_for_name` (person_clustering.py:157-158). */
+  def bucketsForName(name: String, idxChars: Int, lenUnits: Int): Seq[(String, Int)] =
+    if (name == null) Nil
+    else name.split(" ").filter(_.length >= idxChars)
+      .map(s => (s.toLowerCase.take(idxChars), s.length / lenUnits)).toSeq
+
+  /** Scored candidate edges `(a, b, score)` with `a < b`: pairs sharing a
+    * first-name bucket AND a last-name bucket, scored with
+    * `person_similarity`, kept at `score ≥ cutoff`. Pure equi-join
+    * dataflow — no cartesian, skew-splittable by AQE.
+    */
+  def scoredEdges(persons: DataFrame, cfg: ClusterConfig): DataFrame = {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    val m = PersonMatching.personMatching(src, trg,
+      PersonMatching.MatchConfig(
+        idxChars = cfg.idxChars, lenUnits = cfg.lenUnits,
+        topN = Int.MaxValue, minScore = cfg.cutoff))
+    m.filter(col("score") =!= -1 && col("srcID") < col("trgID"))
+      .select(col("srcID").as("a"), col("trgID").as("b"), col("score"))
+  }
+
+  /** E11: seed edges joining rows that share a non-empty known-cluster
+    * key (production: the prisoner number, `run_clustering.py:103-112`).
+    */
+  def knownClusterEdges(persons: DataFrame, keyCol: String): DataFrame = {
+    val keyed = persons
+      .filter(col(keyCol).isNotNull && !col(keyCol).isin(graft.core.Sentinels.NaValues: _*))
+      .select(col("id"), col(keyCol).as("k"))
+    val l = keyed.select(col("k"), col("id").as("a"))
+    val r = keyed.select(col("k"), col("id").as("b"))
+    l.join(r, "k").filter(col("a") < col("b")).select("a", "b")
+  }
+
+  /** Connected components by iterative min-label propagation. Converges
+    * in O(component diameter) rounds — blocked person graphs have tiny
+    * components, so the loop is short; `localCheckpoint` caps lineage.
+    * (A 100 TB general graph would swap in large-star/small-star; the
+    * interface stays the same.)
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  private val personFields = Seq("strGName_processed", "strLName_processed",
+    "strDoB_processed", "strPoB_processed", "prisoner_number")
+
+  private def rowPerson(r: Row): Person = Person(
+    gname = r.getAs[String]("strGName_processed"),
+    lname = r.getAs[String]("strLName_processed"),
+    dob = r.getAs[String]("strDoB_processed"),
+    pob = r.getAs[String]("strPoB_processed"),
+    prisonerNumber = r.getAs[String]("prisoner_number"))
+
+  private def linkScore(p: Person, cluster: Seq[Person], linkage: String): Double = {
+    if (cluster.isEmpty) return 100.0
+    val sims = cluster.map(c => Similarity.personSimilarity(p, c))
+    linkage match {
+      case "single"  => sims.max
+      case "average" => sims.sum / sims.size
+      case "max"     => sims.min
+      case other     => throw new IllegalArgumentException(s"linkage $other")
+    }
+  }
+
+  /** E10 exact greedy replay within one component (the reference's
+    * `agglomerative_clustering` with fast iteration): seeds enumerate
+    * known clusters first then id order; a candidate joins when its
+    * linkage score vs the growing cluster clears the cutoff; known
+    * clusters never merge with each other unless allowed.
+    * Returns (memberId, localClusterIdx) pairs.
+    */
+  private[linkage] def greedyCluster(
+      rows: Seq[Row], cfg: ClusterConfig, knownKeyCol: Option[String]): Seq[(Long, Int)] = {
+    val byId = rows.map(r => r.getAs[Long]("id") -> r).toMap
+    val ids = rows.map(_.getAs[Long]("id")).sorted
+
+    def knownKey(id: Long): Option[String] = knownKeyCol.flatMap { kc =>
+      Option(byId(id).getAs[String](kc))
+        .filterNot(graft.core.Sentinels.NaValues.contains)
+    }
+    val knownGroups: Map[String, Seq[Long]] =
+      ids.flatMap(id => knownKey(id).map(_ -> id)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val knownIds: Set[Long] = knownGroups.values.flatten.toSet
+    // enumeration: known-cluster members first (by key then id), then rest
+    val enumeration = knownGroups.toSeq.sortBy(_._1).flatMap(_._2) ++
+      ids.filterNot(knownIds.contains)
+
+    def buckets(id: Long, colName: String): Set[(String, Int)] =
+      bucketsForName(byId(id).getAs[String](colName), cfg.idxChars, cfg.lenUnits).toSet
+
+    var notClustered = enumeration.toVector
+    val out = Vector.newBuilder[(Long, Int)]
+    var clusterIdx = 0
+    while (notClustered.nonEmpty) {
+      val seed = notClustered.head
+      val stillFree = notClustered.toSet
+      val preCluster: Seq[Long] =
+        knownKey(seed).map(knownGroups).getOrElse(Seq(seed))
+          .filter(id => byId.contains(id) && stillFree.contains(id))
+      // candidate bucket: rows sharing an fname AND an lname bucket with
+      // any pre-cluster member (run_clustering.py get_bucket_fn)
+      val fB = preCluster.flatMap(buckets(_, "strGName_processed")).toSet
+      val lB = preCluster.flatMap(buckets(_, "strLName_processed")).toSet
+      var bucket = notClustered.filter { id =>
+        buckets(id, "strGName_processed").exists(fB) && buckets(id, "strLName_processed").exists(lB)
+      }
+      if (!cfg.allowKnownClusterMerge)
+        bucket = bucket.filterNot(id => knownIds.contains(id) && !preCluster.contains(id))
+
+      val cluster = collection.mutable.ArrayBuffer[Long](preCluster: _*)
+      for (other <- bucket.sorted if !cluster.contains(other)) {
+        val score = linkScore(rowPerson(byId(other)), cluster.map(id => rowPerson(byId(id))).toSeq, cfg.linkage)
+        if (score >= cfg.cutoff) cluster += other
+      }
+      cluster.foreach(id => out += (id -> clusterIdx))
+      val inCluster = cluster.toSet
+      notClustered = notClustered.filterNot(inCluster)
+      clusterIdx += 1
+    }
+    out.result()
+  }
+
+  /** E10/E12 full clustering: blocked scored edges + seed edges →
+    * components → exact greedy replay per component → `cluster_id`
+    * column appended to the input.
+    *
+    * @param persons frame with `id: long` + the person columns
+    * @param knownKeyCol optional known-cluster key column (E11)
+    */
+  def cluster(
+      persons: DataFrame,
+      cfg: ClusterConfig = ClusterConfig(),
+      knownKeyCol: Option[String] = None): DataFrame = {
+    val edges = scoredEdges(persons, cfg).select("a", "b")
+    val allEdges = knownKeyCol match {
+      case Some(k) => edges.union(knownClusterEdges(persons, k)).distinct()
+      case None    => edges
+    }
+    val comps = connectedComponents(persons.select("id"), allEdges)
+    val withComp = persons.join(comps, "id")
+
+    val cfgB = cfg
+    val keyB = knownKeyCol
+    val assignSchema = StructType(Seq(
+      StructField("id", LongType), StructField("cluster_id", StringType)))
+    val assignments = withComp
+      .groupByKey(r => r.getAs[Long]("component"))(Encoders.scalaLong)
+      .flatMapGroups { (comp, it) =>
+        val rows = it.toSeq
+        greedyCluster(rows, cfgB, keyB).iterator.map { case (id, local) =>
+          Row(id, s"${comp}_$local")
+        }
+      }(Encoders.row(assignSchema))
+    persons.join(assignments, Seq("id"), "left")
+  }
+
+  /** E14 `merge_clusterings`: union-find over co-membership — two
+    * assignments merge wherever they share a row.
+    */
+  def mergeClusterings(l1: DataFrame, l2: DataFrame): DataFrame = {
+    // label-graph components: cluster labels become vertices, rows edges
+    val ids = l1.select(col("id")).union(l2.select(col("id"))).distinct()
+    val e1 = l1.select(col("id").as("a"), concat(lit("c1:"), col("cluster_id")).as("lbl"))
+    val e2 = l2.select(col("id").as("a"), concat(lit("c2:"), col("cluster_id")).as("lbl"))
+    val rowIds = ids.withColumn("v", col("id").cast("string"))
+    val edges = e1.union(e2)
+      .select(col("a").cast("string").as("a"), col("lbl").as("b"))
+    val vertices = rowIds.select(col("v").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    val comps = connectedComponentsStr(vertices, edges)
+    rowIds.join(comps.withColumnRenamed("id", "v"), "v")
+      .select(col("id"), col("component").as("cluster_id"))
+  }
+
+  /** String-vertex variant of [[connectedComponents]]. */
+  private def connectedComponentsStr(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct().localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id")).agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** E15 cluster quality: per-cluster average/single/max link statistics
+    * (`cluster_integrety`, person_clustering.py:69-81).
+    */
+  def clusterQuality(clustered: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("cluster_id", StringType), StructField("size", IntegerType),
+      StructField("average", DoubleType), StructField("average_link", DoubleType),
+      StructField("single_link", DoubleType), StructField("max_link", DoubleType)))
+    clustered
+      .groupByKey(r => r.getAs[String]("cluster_id"))(Encoders.STRING)
+      .mapGroups { (cid, it) =>
+        val members = it.toSeq.map(rowPerson)
+        def linkScores(kind: String): Seq[Double] =
+          members.indices.map { i =>
+            val rest = members.patch(i, Nil, 1)
+            linkScore(members(i), rest, kind)
+          }
+        val avg = linkScores("average")
+        val single = linkScores("single")
+        val maxL = linkScores("max")
+        Row(cid, members.size,
+          if (avg.isEmpty) 100.0 else avg.sum / avg.size,
+          if (avg.isEmpty) 100.0 else avg.min,
+          if (single.isEmpty) 100.0 else single.min,
+          if (maxL.isEmpty) 100.0 else maxL.min)
+      }(Encoders.row(schema))
+  }
+}

@@ -47,6 +47,29 @@ object Linkage {
       |  AND length(split_part(p_name, ' ', 2)) >= 2
       |ORDER BY srcID""".stripMargin
 
+  /** E10–E12: agglomerative clustering over a duplicated person corpus.
+    * Every part-person appears twice (a transcription pair), so the
+    * expected shape is "clusters of ≥2"; the histogram of cluster sizes
+    * is emitted (rows-only check — cluster ids are opaque, but the
+    * histogram is deterministic).
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val base = persons(spark, dir)
+      .dropDuplicates("strGName_processed", "strLName_processed", "strDoB_processed")
+    val doubled = base.select((col("pid") * 2).as("id"), col("strGName_processed"),
+        col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
+        col("prisoner_number"))
+      .unionByName(base.select((col("pid") * 2 + 1).as("id"), col("strGName_processed"),
+        col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
+        col("prisoner_number")))
+    graft.linkage.Clustering.cluster(doubled,
+        graft.linkage.Clustering.ClusterConfig(cutoff = 85.0))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   val defs: Seq[Q] = Seq(
-    Q("q22_person_match_self", q22, Some(q22Sql)))
+    Q("q22_person_match_self", q22, Some(q22Sql)),
+    Q("q23_person_clustering", q23, None))
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.linkage.Clustering
+import graft.linkage.Clustering.ClusterConfig
+
+/** Person clustering (E8/E10–E15): components + greedy replay semantics. */
+class ClusteringSpec extends SparkSpec {
+  private val session = SparkSpec.spark
+  import session.implicits._
+
+  // three latent entities: two "hans muler" docs, two "annamaria novak"
+  // docs (spelling variant beyond the 4-char bucket prefix — idx_chars=4
+  // blocking means variants inside the prefix are never compared, exactly
+  // like the reference), one unrelated person
+  private def persons = Seq(
+    (1L, "hans", "muler", "19430312", "berlin", null.asInstanceOf[String]),
+    (2L, "hans", "muler", "19430312", "berlin", null.asInstanceOf[String]),
+    (3L, "annamaria", "novak", "19350607", "prag", null.asInstanceOf[String]),
+    (4L, "annamarie", "novak", "19350607", "prag", null.asInstanceOf[String]),
+    (5L, "karl", "vagner", "19101111", "vien", null.asInstanceOf[String]))
+    .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+      "strPoB_processed", "prisoner_number")
+
+  test("entity clusters form; unrelated rows stay singletons") {
+    val out = Clustering.cluster(persons, ClusterConfig(cutoff = 85.0)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(out(1L) === out(2L), "hans muler docs cluster together")
+    assert(out(3L) === out(4L), "anna/anne novak docs cluster together")
+    assert((out(5L) !== out(1L)) && (out(5L) !== out(3L)))
+    assert(out(1L) !== out(3L))
+  }
+
+  test("known-cluster seeding joins rows the similarity score would not") {
+    val withKey = Seq(
+      (1L, "hans", "muler", "19430312", "berlin", "777"),
+      (2L, "iosef", "cernik", "19101111", "brno", "777"), // same prisoner number
+      (3L, "karl", "vagner", "19200101", "vien", null.asInstanceOf[String]))
+      .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+        "strPoB_processed", "prisoner_number")
+    val out = Clustering.cluster(withKey, ClusterConfig(cutoff = 85.0),
+      knownKeyCol = Some("prisoner_number")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(out(1L) === out(2L), "prisoner-number seed overrides low name similarity")
+    assert(out(3L) !== out(1L))
+  }
+
+  test("max linkage blocks chain absorption; single linkage follows the chain") {
+    // identical names, birthdays 1/2/3 days apart: A~B 99.0, B~C 94.0,
+    // A~C 75.0. At cutoff 90 the component is a chain A-B-C; max linkage
+    // (min similarity to ALL members) keeps C out, single linkage pulls
+    // C in — the greedy replay must distinguish them inside one component.
+    val rows = Seq(
+      (10L, "maria", "kovac", "19210505", "brno", null.asInstanceOf[String]),
+      (11L, "maria", "kovac", "19210506", "brno", null.asInstanceOf[String]),
+      (12L, "maria", "kovac", "19210508", "brno", null.asInstanceOf[String]))
+      .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+        "strPoB_processed", "prisoner_number")
+    val maxLink = Clustering.cluster(rows, ClusterConfig(cutoff = 90.0, linkage = "max"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(maxLink(10L) === maxLink(11L))
+    assert(maxLink(12L) !== maxLink(10L), "max linkage: C fails vs A (75 < 90)")
+    val singleLink = Clustering.cluster(rows, ClusterConfig(cutoff = 90.0, linkage = "single"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(singleLink(10L) === singleLink(11L))
+    assert(singleLink(12L) === singleLink(10L), "single linkage: C joins via B (94 >= 90)")
+  }
+
+  test("merge_clusterings unions overlapping clusters") {
+    val l1 = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cluster_id")
+    val l2 = Seq((2L, "p"), (3L, "p"), (4L, "q")).toDF("id", "cluster_id")
+    val merged = Clustering.mergeClusterings(l1, l2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(merged(1L) === merged(2L) && merged(2L) === merged(3L))
+    assert(merged(4L) !== merged(1L))
+  }
+
+  test("cluster quality metrics report 100 for identical members") {
+    val clustered = Seq(
+      (1L, "hans", "muler", "19430312", "berlin", "1", "c0"),
+      (2L, "hans", "muler", "19430312", "berlin", "1", "c0"),
+      (3L, "karl", "vagner", "19101111", "vien", "2", "c1"))
+      .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+        "strPoB_processed", "prisoner_number", "cluster_id")
+    val q = Clustering.clusterQuality(clustered).collect()
+      .map(r => r.getAs[String]("cluster_id") -> r).toMap
+    assert(math.abs(q("c0").getAs[Double]("average") - 100.0) < 1e-9)
+    assert(q("c1").getAs[Int]("size") === 1)
+    assert(q("c1").getAs[Double]("single_link") === 100.0) // lone member
+  }
+}
