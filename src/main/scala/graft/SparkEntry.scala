@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
   private def modules: Seq[Q] =
-    Relational.defs ++ Pipeline.defs ++ Normalization.defs ++ Linkage.defs
+    Relational.defs ++ Pipeline.defs ++ Normalization.defs ++ Linkage.defs ++ LlmData.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.{Ann, Dedup, TextStats}
+
+/** LLM-training-data operators over the `documents` / `embeddings`
+  * corpus: dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity
+  * search, and text analysis.
+  */
+object LlmData {
+
+  /** Documents with injected duplicates: every doc_id divisible by 5 gets
+    * a verbatim copy (id + 100000), every doc_id divisible by 7 gets a
+    * near-copy with a token appended (id + 200000). Deterministic, and
+    * reproducible in SQL for the oracle.
+    */
+  private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" appended tail token")).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** Exact dedup over the duplicated corpus — md5 content groups. The
+    * oracle recomputes the same construction + grouping in SQL (DuckDB
+    * and Spark agree on md5 hex).
+    */
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(corpusWithDups(spark, dir), "doc_id", "text")
+      .filter(col("group_size") > 1)
+      .select(col("content_hash"), col("group_size"), col("canonical_id"))
+      .orderBy(col("canonical_id"))
+  private val q24Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(text) AS content_hash, COUNT(*) AS group_size,
+      |  MIN(doc_id) AS canonical_id
+      |FROM corpus
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  /** MinHash+LSH near-dup detection: must find the near-copies (high
+    * shingle overlap) as well as the exact copies. Jaccard itself is the
+    * verdict, so the result is deterministic; rows-only check (the
+    * banding cannot be expressed in SQL), value assertions in DedupSpec.
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDuplicates(corpusWithDups(spark, dir), "doc_id", "text",
+      Dedup.MinHashConfig(shingleSize = 3, numPerm = 64, bands = 16, jaccardThreshold = 0.5))
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("a"), col("b"))
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures). */
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDuplicates(corpusWithDups(spark, dir), "doc_id", "text", maxDistance = 3)
+      .orderBy(col("a"), col("b"))
+
+  /** N-gram Jaccard dedup via the inverted-index join. The oracle
+    * recomputes 3-token-shingle Jaccard in SQL from first principles —
+    * an independent (and differently-shaped) derivation of the same
+    * math, cross-checking the shingle construction and the join.
+    */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDuplicates(corpusWithDups(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("a"), col("b"))
+  private val q27Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+      |pairs AS (
+      |  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS shared
+      |  FROM grams g1 JOIN grams g2 USING (g)
+      |  WHERE g1.doc_id < g2.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = a
+      |JOIN sizes sb ON sb.doc_id = b
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  /** Text statistics with a DuckDB oracle: char count, whitespace token
+    * count, digit ratio — independently derivable in SQL.
+    */
+  private def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        round(TextStats.digitRatio(col("text")), 6).as("digit_ratio"))
+      .orderBy(col("doc_id"))
+  private val q28Sql =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic + quality scoring + BPE-ish token counts over
+    * the corpus (rows-only: heuristic outputs have no SQL oracle; the
+    * kernels are value-tested in TextStatsSpec).
+    */
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextStats.detectLanguageUdf(col("text")).as("predicted_lang"),
+        round(TextStats.qualityScore(col("text")), 6).as("quality"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextStats.fingerprintUdf(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Exact cosine top-k: 10 probe vectors against the whole corpus.
+    * Scores are floats through different summation orders in the two
+    * engines, so the oracle compares the RANKING (query, rank, hit), not
+    * the score.
+    */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.cosineTopK(queries, e, k = 5)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q30Sql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |    list_cosine_similarity(q.embedding, c.embedding) AS score
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, id FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed cosine top-k (the scale path). Rows-only; AnnSpec
+    * asserts recall ≥ 0.9 against the exact ranking.
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.lshCosineTopK(queries, e, k = 5)
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("q24_exact_dedup", q24, Some(q24Sql)),
+    Q("q25_minhash_dedup", q25, None),
+    Q("q26_simhash_dedup", q26, None),
+    Q("q27_ngram_jaccard_dedup", q27, Some(q27Sql)),
+    Q("q28_text_stats", q28, Some(q28Sql)),
+    Q("q29_text_analysis", q29, None),
+    Q("q30_cosine_topk", q30, Some(q30Sql)),
+    Q("q31_ann_lsh_topk", q31, None))
+}

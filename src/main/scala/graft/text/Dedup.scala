@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Document deduplication at training-data scale: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Every variant is a bucketed dataflow — shingle/band/bucket keys are
+  * exploded and candidates meet in EQUI-joins; there is no all-pairs
+  * scoring anywhere. At 100 TB the shuffle keys are band hashes whose
+  * fan-in is bounded by collision width, and AQE's skew handling covers
+  * hot buckets (boilerplate documents).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash (md5 over the raw text). Returns one row
+    * per distinct content with the member ids and group size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"),
+        sort_array(collect_list(col(idCol))).as("member_ids"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** Word k-shingles of the lowercased text (codegen'd column expr). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Character k-shingles on the normalized text. */
+  def charShingles(text: String, k: Int): Seq[String] = {
+    val norm = if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length <= k) Seq(norm) else (0 to norm.length - k).map(i => norm.substring(i, i + k))
+  }
+
+  // --- MinHash ------------------------------------------------------------
+
+  /** Deterministic MinHash signature over a shingle set: permutation i is
+    * `murmur3(shingle, seed=i)`; the signature entry is the minimum.
+    */
+  def minHashSignature(shingles: Seq[String], numPerm: Int): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    for (s <- shingles) {
+      var i = 0
+      while (i < numPerm) {
+        val h = (MurmurHash3.stringHash(s, i).toLong << 32) |
+          (MurmurHash3.stringHash(s, i + 0x9e3779b9) & 0xffffffffL)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact Jaccard between two shingle sets (used for candidate rescore). */
+  def jaccard(a: Seq[String], b: Seq[String]): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  final case class MinHashConfig(
+      shingleSize: Int = 3, // word shingles
+      numPerm: Int = 64,
+      bands: Int = 16, // rows per band = numPerm / bands
+      jaccardThreshold: Double = 0.7)
+
+  /** MinHash+LSH near-duplicate pairs: shingle → signature → band hashes
+    * (exploded) → bucket equi-join → exact-Jaccard rescore. Returns
+    * `(a, b, jaccard)` with `a < b` and jaccard ≥ threshold.
+    */
+  def minHashDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    require(cfg.numPerm % cfg.bands == 0, "bands must divide numPerm")
+    val rows = cfg.numPerm / cfg.bands
+    val sigUdf = udf { (toks: Seq[String]) => minHashSignature(toks, cfg.numPerm) }
+    val bandsUdf = udf { (sig: Seq[Long]) =>
+      sig.grouped(rows).zipWithIndex.map { case (band, i) =>
+        s"$i:${MurmurHash3.orderedHash(band)}"
+      }.toSeq
+    }
+    val shingled = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
+    val banded = shingled
+      .withColumn("band", explode(bandsUdf(sigUdf(col("shingles")))))
+    val l = banded.select(col("band"), col("id").as("a"), col("shingles").as("sa"))
+    val r = banded.select(col("band"), col("id").as("b"), col("shingles").as("sb"))
+    val jacUdf = udf { (a: Seq[String], b: Seq[String]) => jaccard(a, b) }
+    l.join(r, "band")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("jaccard", jacUdf(col("sa"), col("sb")))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(text: String): Long = {
+    if (text == null) return 0L
+    val weights = new Array[Int](64)
+    for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
+      val h = (MurmurHash3.stringHash(tok, 0x5bd1e995).toLong << 32) |
+        (MurmurHash3.stringHash(tok, 0x27d4eb2f) & 0xffffffffL)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) weights(bit) += 1 else weights(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (weights(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  val simHashUdf = udf(simHash _)
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDistance.
+    * Pigeonhole banding: 4 16-bit bands — any pair within distance 3
+    * agrees on at least one band, so candidates meet in a band equi-join.
+    */
+  def simHashDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "4-band pigeonhole covers Hamming distance <= 3")
+    val hashed = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sim"))
+    val bandUdf = udf { (h: Long) =>
+      (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xffffL}")
+    }
+    val banded = hashed.withColumn("band", explode(bandUdf(col("sim"))))
+    val l = banded.select(col("band"), col("id").as("a"), col("sim").as("ha"))
+    val r = banded.select(col("band"), col("id").as("b"), col("sim").as("hb"))
+    val hamUdf = udf { (x: Long, y: Long) => hammingDistance(x, y) }
+    l.join(r, "band")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", hamUdf(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxDistance)
+      .select("a", "b", "hamming")
+  }
+
+  // --- n-gram Jaccard via inverted-index join -----------------------------
+
+  /** N-gram Jaccard near-duplicate pairs without carrying shingle arrays
+    * through the join: explode shingles → inverted-index self-join →
+    * count shared shingles per pair → Jaccard from the per-doc distinct
+    * counts. One shuffle per side + one pair aggregation.
+    */
+  def ngramJaccardDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), k)).as("sh"))
+    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
+    val inv = shingled.select(col("id"), explode(col("sh")).as("g"))
+    val pairs = inv.select(col("g"), col("id").as("a"))
+      .join(inv.select(col("g"), col("id").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

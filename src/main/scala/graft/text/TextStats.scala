@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * Everything except language-ID and the rolling hash is built from
+  * codegen'd column expressions (`regexp_extract_all`, `split`, higher-
+  * order array functions) so the hot path stays inside whole-stage
+  * codegen at 100 TB. The two scalar kernels are allocation-light UDFs.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
+    * suffixes, letter runs, digit runs, punctuation runs, whitespace
+    * runs each become one pre-token).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"), lit(0)))
+
+  /** Ratio helpers (0.0–1.0 of characters). */
+  def charRatio(text: Column, charClassRegex: String): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, s"[^$charClassRegex]", "")).cast("double") / length(text))
+
+  def punctRatio(text: Column): Column = charRatio(text, "\\p{Punct}")
+  def digitRatio(text: Column): Column = charRatio(text, "0-9")
+  def alphaRatio(text: Column): Column = charRatio(text, "\\p{L}")
+  def upperRatio(text: Column): Column = charRatio(text, "\\p{Lu}")
+
+  private val EnStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "be", "that", "it", "for", "on", "with", "as")
+
+  /** Fraction of whitespace tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
+  }
+
+  /** Distinct-token fraction — low values signal boilerplate repetition. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score 0–1 (heuristic: enough length, mostly
+    * letters, some stopwords, not too repetitive, sane punctuation).
+    * Weights are engine defaults, overridable by recomposition.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthOk = least(length(text).cast("double") / 200.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val distinct = distinctTokenRatio(text)
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    (lengthOk * 0.2 + alpha * 0.3 + stop * 0.2 + distinct * 0.15 + punctPenalty * 0.15)
+  }
+
+  // --- language identification (scalar heuristic) -------------------------
+
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "are"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für", "von", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que", "des", "du"),
+    "es" -> Set("el", "los", "las", "es", "no", "por", "para", "una", "con", "del", "se", "como"),
+    "it" -> Set("il", "di", "che", "non", "per", "una", "sono", "con", "del", "gli", "questo"))
+
+  /** N-gram/stopword language heuristic: CJK scripts by codepoint range,
+    * Latin languages by stopword-profile hits (most hits wins, "und"
+    * beats "unknown" only with ≥2 evidence tokens).
+    */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "unknown"
+    var cjk = 0; var cyrillic = 0; var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          block == Character.UnicodeBlock.HIRAGANA ||
+          block == Character.UnicodeBlock.KATAKANA) cjk += 1
+        else if (block == Character.UnicodeBlock.CYRILLIC) cyrillic += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return "unknown"
+    if (cjk.toDouble / letters > 0.3) return "zh"
+    if (cyrillic.toDouble / letters > 0.3) return "ru"
+    val tokens = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return "unknown"
+    val hits = profiles.view.mapValues(p => tokens.count(p.contains)).toMap
+    val (best, n) = hits.maxBy { case (lang, c) => (c, lang) }
+    if (n >= 2) best else "unknown"
+  }
+
+  val detectLanguageUdf = udf(detectLanguage _)
+
+  // --- document fingerprinting --------------------------------------------
+
+  /** Rolling polynomial (Rabin–Karp) fingerprint of the normalized text:
+    * case-folded, whitespace-collapsed. Stable across runs and partitions
+    * (pure arithmetic, no JVM hash seeding).
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < norm.length) {
+      h = 31 * h + norm.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf(fingerprint _)
+
+  /** Winnowing-style robust fingerprint set: minimum rolling hash per
+    * window of k-gram hashes — stable under small edits. Returns the
+    * selected hashes (document sketch).
+    */
+  def winnowingSketch(text: String, k: Int = 5, window: Int = 4): Seq[Long] = {
+    if (text == null) return Nil
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+    if (norm.length < k) return Seq(fingerprint(norm))
+    val grams = (0 to norm.length - k).map { i =>
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + k) { h = 31 * h + norm.charAt(j); j += 1 }
+      h
+    }
+    grams.sliding(window).map(_.min).toSeq.distinct
+  }
+
+  val winnowingSketchUdf = udf((t: String) => winnowingSketch(t))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Ann, Dedup, Multimodal, TextStats}
+
+/** LLM-data operators: dedup kernels, ANN, text analysis, multimodal
+  * plumbing — value semantics on controlled inputs.
+  */
+class TextOpsSpec extends SparkSpec {
+  private val session = SparkSpec.spark
+  import session.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("group_size") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Seq[Long]]("member_ids") === Seq(1L, 2L))
+    assert(g.head.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashDuplicates(docs, "doc_id", "text",
+      Dedup.MinHashConfig(shingleSize = 2, numPerm = 64, bands = 16, jaccardThreshold = 0.4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc")
+  }
+
+  test("simhash: identical texts collide, near dups within hamming 3") {
+    assert(Dedup.simHash("a b c") === Dedup.simHash("a b c"))
+    val pairs = Dedup.simHashDuplicates(docs, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 === 0), "exact dup at hamming 0")
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L), "unrelated doc")
+  }
+
+  test("ngram jaccard join computes exact jaccard on candidates") {
+    val pairs = Dedup.ngramJaccardDuplicates(docs, "doc_id", "text", k = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((1L, 2L))) === 1.0)
+    // 8 bigrams each, 7 shared ("lazy dog" vs "lazy cat") -> 7/9
+    assert(math.abs(pairs(((1L, 3L))) - 7.0 / 9) < 1e-9)
+  }
+
+  test("token counts, ratios, quality") {
+    val r = docs.filter(col("doc_id") === 1)
+      .select(TextStats.tokenCount(col("text")), TextStats.bpeTokenCount(col("text")),
+        TextStats.stopwordRatio(col("text")), TextStats.distinctTokenRatio(col("text")))
+      .head()
+    assert(r.getInt(0) === 9)
+    assert(r.getInt(1) === 9) // nine word pre-tokens
+    assert(math.abs(r.getDouble(2) - 2.0 / 9) < 1e-9) // "the" twice
+    assert(math.abs(r.getDouble(3) - 8.0 / 9) < 1e-9)
+  }
+
+  test("language detection heuristic on real sentences") {
+    assert(TextStats.detectLanguage("the cat sat on the mat and it was happy") === "en")
+    assert(TextStats.detectLanguage("der Hund und die Katze sind nicht im Haus") === "de")
+    assert(TextStats.detectLanguage("le chat est dans la maison et il dort pas") === "fr")
+    assert(TextStats.detectLanguage("el perro no es como los gatos del parque") === "es")
+    assert(TextStats.detectLanguage("这是一个中文句子没有拉丁字母") === "zh")
+    assert(TextStats.detectLanguage("xyzzy plugh") === "unknown")
+    assert(TextStats.detectLanguage("") === "unknown")
+  }
+
+  test("fingerprints: stable, whitespace-insensitive, edit-sensitive") {
+    assert(TextStats.fingerprint("a  b\tc") === TextStats.fingerprint("a b c"))
+    assert(TextStats.fingerprint("abc") !== TextStats.fingerprint("abd"))
+    // winnowing sketches overlap heavily for near dups
+    val s1 = TextStats.winnowingSketch("the quick brown fox jumps over the lazy dog").toSet
+    val s3 = TextStats.winnowingSketch("the quick brown fox jumps over the lazy cat").toSet
+    val overlap = s1.intersect(s3).size.toDouble / s1.union(s3).size
+    assert(overlap > 0.5, s"winnowing overlap $overlap")
+  }
+
+  test("exact cosine top-k: self is rank 1; scores ordered") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Ann.cosineTopK(vecs.filter(col("vec_id") === 0), vecs, 3).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq === Seq(0L, 1L, 2L))
+    assert(top.head.getAs[Double]("score") > 0.999999)
+  }
+
+  test("LSH cosine top-k achieves >=0.9 recall vs exact on the sf corpus") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Ann.cosineTopK(q, e, 5).select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshCosineTopK(q, e, 5).select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("multimodal stubs: header metadata, features, frame sampling") {
+    val payload = Array.tabulate(256)(_.toByte)
+    val img = Multimodal.StubCodec.encodeHeader("image", "fakepng", 640, 480, 0L) ++ payload
+    val vid = Multimodal.StubCodec.encodeHeader("video", "fakemp4", 1920, 1080, 12000L) ++ payload
+    val df = Seq((1L, img), (2L, vid)).toDF("media_id", "content")
+    val meta = Multimodal.withMetadata(df, "content").select("media_id", "media_meta.*").collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(meta(1L).getAs[String]("media_type") === "image")
+    assert(meta(1L).getAs[Int]("width") === 640)
+    assert(meta(2L).getAs[Long]("duration_ms") === 12000L)
+    // frame sampling: 256 bytes / 64 per frame = 4 chunks, stride 4 -> 1 frame
+    val frames = Multimodal.sampleFrames(df, "content", stride = 4, frameSize = 64)
+      .groupBy("media_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames(1L) === 1L)
+    // features are a normalized histogram over payload bytes
+    val feats = df.filter(col("media_id") === 1)
+      .select(Multimodal.extractFeaturesUdf(col("content"))).head().getSeq[Float](0)
+    assert(feats.length === 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5)
+  }
+}
