@@ -206,6 +206,17 @@ object Clustering {
     persons.join(assignments, Seq("id"), "left")
   }
 
+  /** E13 `clean_td_cases` (person_clustering.py:292-304): re-segment a
+    * clustering so rows sharing a known TD number form atomic clusters —
+    * TD-keyed rows leave their computed cluster and regroup by the key.
+    */
+  def cleanTdCases(clustered: DataFrame, tdCol: String = "TD_number"): DataFrame = {
+    val hasTd = col(tdCol).isNotNull &&
+      !col(tdCol).isin(graft.core.Sentinels.NaValues: _*)
+    clustered.withColumn("cluster_id",
+      when(hasTd, concat(lit("td:"), col(tdCol))).otherwise(col("cluster_id")))
+  }
+
   /** E14 `merge_clusterings`: union-find over co-membership — two
     * assignments merge wherever they share a row.
     */

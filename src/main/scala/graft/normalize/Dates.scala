@@ -189,6 +189,29 @@ object Dates {
       .withColumn(s"${outName}_data_source", lit(dataSource))
   }
 
+  /** D3 `date_correction` (column_processing.py:1076-1164): normalize a
+    * correction column, dismiss corrections identical to the original
+    * date (their corrected cells blank out), keep the correction QA.
+    * Expects the original cleaned columns `{origName}_year/month/day_cleaned`
+    * to exist on the frame.
+    */
+  def dateCorrection(
+      input: DataFrame,
+      corrCol: String,
+      origName: String,
+      outName: String,
+      dataSource: String = "crowd_sourcing",
+      timespan: (Int, Int) = (1850, 1950)): DataFrame = {
+    val normalized = normaliseDate(input, corrCol, outName, dataSource, timespan)
+    def joined(prefix: String) = concat_ws(".",
+      col(s"${prefix}_year_cleaned"), col(s"${prefix}_month_cleaned"), col(s"${prefix}_day_cleaned"))
+    val same = joined(origName) === joined(outName)
+    Seq("year", "month", "day").foldLeft(normalized) { (d, part) =>
+      val c = s"${outName}_${part}_cleaned"
+      d.withColumn(c, when(same, lit("")).otherwise(col(c)))
+    }
+  }
+
   /** D4 `date_timing_check` (aux_functions.py:337-408): lexicographic
     * (year, month, day) comparison of two date triples → `timing` label +
     * `timing_qa`. Non-numeric/empty parts resolve to "consistent" (the

@@ -1,0 +1,87 @@
+package graft.normalize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Nationality standardization (SURVEY F21; reference
+  * `column_processing.py:1217-1331`, helpers `aux_functions.py:525-604`).
+  *
+  * The reference loads its raw→standard dictionary from Excel sheets;
+  * here the dictionaries are plain Maps supplied by the caller (broadcast
+  * into the scalar kernel). Semantics ported: word-boundary substring
+  * matching of raw keys (longest kept when one key contains another),
+  * in-place replacement, `;`-separation into ≤5 `nationality_i` columns,
+  * per-value classification {standardized, unclear `?`, raw} with QA and
+  * a quality level.
+  */
+object Nationality {
+
+  /** `standardizer` + `result_checker`: all dict keys matching the value
+    * on word boundaries, dropping keys that are substrings of another
+    * match; sorted by key length (reference order).
+    */
+  def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] = {
+    val hits = natDict.keys.toSeq
+      .filter(k => k.nonEmpty &&
+        java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(k) + "\\b").matcher(raw).find())
+      .sortBy(_.length)
+    hits.filterNot(k => hits.exists(o => o != k && o.contains(k)))
+      .map(k => k -> natDict(k))
+  }
+
+  /** `replace_raw_values`: substitute each matched key (trimmed) by its
+    * standardized value.
+    */
+  def replaceRawValues(raw: String, matches: Seq[(String, String)]): String =
+    matches.foldLeft(raw) { case (acc, (k, v)) => acc.replace(k.trim, v) }
+
+  final case class NatResult(parts: Seq[String], standardized: Seq[String], qa: Boolean)
+
+  def standardizeValue(
+      natDict: Map[String, String], unclearDict: Map[String, String],
+      raw0: String): NatResult = {
+    val raw = if (raw0 == null) "" else raw0.replaceAll("\\.", "")
+    val replaced = replaceRawValues(raw, findMatches(natDict, raw))
+      .trim.replaceAll("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+", ";")
+    val parts = replaced.split(";", 5).toSeq
+    val values = natDict.values.toSet
+    val unclearKeys = unclearDict.keySet
+    val unclearValues = unclearDict.values.toSet
+    var qa = false
+    val standardized = parts.map { p =>
+      if (natDict.contains(p)) natDict(p)
+      else if (values.contains(p)) p
+      else if (unclearKeys.contains(p) || unclearValues.contains(p)) { qa = true; "?" }
+      else { qa = true; p }
+    }
+    NatResult(parts, standardized, qa)
+  }
+
+  /** Standardize a nationality column: appends `nationality_1..k`,
+    * `nationality_i_standardized`, `nationality_standardized_qa`,
+    * `nationality_quality_level`.
+    */
+  def standardize(
+      df: DataFrame, natCol: String,
+      natDict: Map[String, String],
+      unclearDict: Map[String, String]): DataFrame = {
+    val d = natDict; val u = unclearDict
+    val stdUdf = udf { (raw: String) =>
+      val r = standardizeValue(d, u, raw)
+      (r.parts, r.standardized, r.qa)
+    }
+    val with0 = df.withColumn("__nat", stdUdf(coalesce(col(natCol).cast("string"), lit(""))))
+    val k = math.max(1, with0.agg(max(size(col("__nat._1")))).head().getInt(0))
+    var out = with0
+    for (i <- 0 until k) {
+      out = out
+        .withColumn(s"nationality_${i + 1}", get(col("__nat._1"), lit(i)))
+        .withColumn(s"nationality_${i + 1}_standardized", get(col("__nat._2"), lit(i)))
+    }
+    out
+      .withColumn("nationality_standardized_qa", col("__nat._3"))
+      .withColumn("nationality_quality_level",
+        when(col("__nat._3"), lit("Rohdaten")).otherwise(lit("technisch standardisiert")))
+      .drop("__nat")
+  }
+}

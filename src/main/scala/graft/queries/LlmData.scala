@@ -169,7 +169,25 @@ object LlmData {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.12 batch shape of the streaming window operator: the same
+    * `window()` expression `Streams.windowedEventCounts` uses, run in
+    * batch mode with a DuckDB time_bucket oracle.
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+  private val q32Sql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("q32_event_time_window", q32, Some(q32Sql)),
     Q("q24_exact_dedup", q24, Some(q24Sql)),
     Q("q25_minhash_dedup", q25, None),
     Q("q26_simhash_dedup", q26, None),

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming semantics over the events shape (§2.12). */
+class StreamingSpec extends SparkSpec {
+  private val session = SparkSpec.spark
+  import session.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window aggregates by event time") {
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedEventCounts(events, "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      input.addData((ts(40), "late", 0.0))
+      q.processAllAvailable()
+      val rows = session.table("win_agg")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:10:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("availableNow batch loop drains the backlog in bounded batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val batch = graft.core.Tables.events(spark, sf).limit(100)
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = Streams.eventsFileStream(spark, dir, batch)
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.batchLoop(stream, ckpt) { (df, _) => seen += df.count() }.start()
+    q.awaitTermination(60000)
+    assert(seen.sum === 100L, s"batches: $seen")
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_id")
+    val deduped = Streams.dedupStream(events, Seq("event_id"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      assert(session.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+}
