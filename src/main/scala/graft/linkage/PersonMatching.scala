@@ -34,15 +34,26 @@ object PersonMatching {
       concat_ws("|", substring(s, 1, idxChars), floor(length(s) / lenUnits).cast("string")))
   }
 
-  /** Candidate (src, trg) id pairs sharing a bucket on the given column. */
-  private def bucketPairs(
-      src: DataFrame, trg: DataFrame, colName: String,
+  /** Candidate (src, trg) id pairs sharing a first-name bucket AND a
+    * last-name bucket. One equi-join on the composite (fname-bucket,
+    * lname-bucket) key: each side explodes the cross product of its own
+    * bucket keys (a handful per row), so "shares some fname bucket and
+    * some lname bucket" becomes a single composite-key match — no
+    * materialized per-column pair sets, no intersection of near-
+    * quadratic intermediates.
+    */
+  private def candidatePairs(
+      src: DataFrame, trg: DataFrame, gnameCol: String, lnameCol: String,
       idxChars: Int, lenUnits: Int): DataFrame = {
-    val s = src.select(col("srcID"),
-      explode(bucketKeys(col(colName), idxChars, lenUnits)).as("bucket"))
-    val t = trg.select(col("trgID"),
-      explode(bucketKeys(col(colName), idxChars, lenUnits)).as("bucket"))
-    s.join(t, "bucket").select("srcID", "trgID").distinct()
+    def exploded(df: DataFrame, id: String) = df
+      .select(col(id),
+        explode(bucketKeys(col(gnameCol), idxChars, lenUnits)).as("fb"),
+        col(lnameCol))
+      .select(col(id), col("fb"),
+        explode(bucketKeys(col(lnameCol), idxChars, lenUnits)).as("lb"))
+    val s = exploded(src, "srcID")
+    val t = exploded(trg, "trgID")
+    s.join(t, Seq("fb", "lb")).select("srcID", "trgID").distinct()
   }
 
   /** Person-matching config (defaults = the reference's production run:
@@ -95,9 +106,8 @@ object PersonMatching {
     }
 
     // candidate pairs: first-name bucket hit AND last-name bucket hit
-    val fnamePairs = bucketPairs(src, trg, cfg.gnameCol, cfg.idxChars, cfg.lenUnits)
-    val lnamePairs = bucketPairs(src, trg, cfg.lnameCol, cfg.idxChars, cfg.lenUnits)
-    val candidates = fnamePairs.intersect(lnamePairs)
+    val candidates = candidatePairs(src, trg, cfg.gnameCol, cfg.lnameCol,
+      cfg.idxChars, cfg.lenUnits)
 
     val srcP = src.select(col("srcID"), personStruct(cfg, src).as("__srcP"))
     val trgP = trg.select(col("trgID"), personStruct(cfg, trg).as("__trgP"))

@@ -52,34 +52,53 @@ object Dates {
       dataSource: String = "crowd_sourcing",
       timespan: (Int, Int) = (1850, 1950)): DataFrame = {
 
-    var c = cleanCopy(col(dateCol))
-    val qaBase = createQaCol(c, "\\?", "^-$|nan")
+    // Every stage is materialized as a real column: building the whole
+    // parse as one nested expression duplicates the regex chain
+    // multiplicatively across day/month/year/QA consumers (deep enough
+    // that codegen falls over and the regexes run interpreted, per-copy).
+    // Staged columns are referenced more than once, so CollapseProject
+    // keeps them and each stage evaluates exactly once per row.
+    val P = s"__nd_${outName}_"
+    var d = input
+      .withColumn(s"${P}c0", cleanCopy(col(dateCol)))
+      .withColumn(s"${P}qa0", createQaCol(col(s"${P}c0"), "\\?", "^-$|nan"))
+      // bare yyyy -> 0.0.yyyy
+      .withColumn(s"${P}c1",
+        when(col(s"${P}c0").rlike(Regexes.Digit4Year), concat(lit("0.0."), col(s"${P}c0")))
+          .otherwise(col(s"${P}c0")))
+      .withColumn(s"${P}digits", regexp_replace(col(s"${P}c1"), "[^0-9]", ""))
+      // 6/8-digit runs: re-separate as dd;mm;yyyy
+      .withColumn(s"${P}c2",
+        when(length(col(s"${P}digits")).isin(6, 8),
+          concat(substring(col(s"${P}digits"), 1, 2), lit(";"),
+            substring(col(s"${P}digits"), 3, 2), lit(";"),
+            substring(col(s"${P}digits"), 5, 8)))
+          .otherwise(col(s"${P}c1")))
+      .withColumn(s"${P}c3",
+        regexp_replace(regexp_replace(pyStrip(col(s"${P}c2")),
+          Regexes.NameSemicolonTransformation, ";"), ";{2,}", ";"))
+      // age strings ("23 yrs") carry no date
+      .withColumn(s"${P}c4",
+        when(col(s"${P}c3").rlike("(y|j|J).*|age"), lit("")).otherwise(col(s"${P}c3")))
+      .withColumn(s"${P}parts",
+        split(regexp_replace(pyStrip(col(s"${P}c4")), Regexes.DateSplit, "."), "\\.", 3))
 
-    // bare yyyy -> 0.0.yyyy
-    c = when(c.rlike(Regexes.Digit4Year), concat(lit("0.0."), c)).otherwise(c)
-    // 6/8-digit runs: re-separate as dd;mm;yyyy
-    val digits = regexp_replace(c, "[^0-9]", "")
-    c = when(length(digits).isin(6, 8),
-      concat(substring(digits, 1, 2), lit(";"), substring(digits, 3, 2), lit(";"),
-        substring(digits, 5, 8))).otherwise(c)
-    c = regexp_replace(pyStrip(c), Regexes.NameSemicolonTransformation, ";")
-    c = regexp_replace(pyStrip(c), ";{2,}", ";")
-    // age strings ("23 yrs") carry no date
-    c = when(c.rlike("(y|j|J).*|age"), lit("")).otherwise(c)
-    c = regexp_replace(pyStrip(c), Regexes.DateSplit, ".")
-
-    val parts = split(c, "\\.", 3)
-    def part(i: Int): Column = {
-      val p = pyStrip(coalesce(get(parts, lit(i)), lit("")))
+    def scrubPart(i: Int): Column = {
+      val p = pyStrip(coalesce(get(col(s"${P}parts"), lit(i)), lit("")))
       // drop all-dash and all-questionmark placeholders, then non-digits
       regexp_replace(
         regexp_replace(regexp_replace(p, "^-+$", ""), "[^0-9]", ""),
         "^\\?+$", "")
     }
-    val day0 = regexp_replace(zeroPad(part(0)), Regexes.NoDoubleZerosMd, "")
-    val month0 = regexp_replace(zeroPad(part(1)), Regexes.NoDoubleZerosMd, "")
-    val year = regexp_replace(centuryFix(part(2)), Regexes.NoDoubleZerosY, "")
+    d = d
+      .withColumn(s"${P}day0",
+        regexp_replace(zeroPad(scrubPart(0)), Regexes.NoDoubleZerosMd, ""))
+      .withColumn(s"${P}month0",
+        regexp_replace(zeroPad(scrubPart(1)), Regexes.NoDoubleZerosMd, ""))
+      .withColumn(s"${P}year",
+        regexp_replace(centuryFix(scrubPart(2)), Regexes.NoDoubleZerosY, ""))
 
+    val day0 = col(s"${P}day0"); val month0 = col(s"${P}month0")
     // day <-> month swap detection. The casts must be intrinsically safe
     // (not merely guarded by the surrounding `when`): subexpression
     // elimination can hoist them out of the conditional branch, and an
@@ -91,9 +110,11 @@ object Dates {
     val month = monthNamesToNumbers(
       when(guard && monthN > 12 && dayN <= 12, day0).otherwise(month0))
 
-    appendDateCols(input, outName, dataSource, timespan,
-      year = year, month = month, day = day, qaBase = qaBase,
+    appendDateCols(d, outName, dataSource, timespan,
+      year = col(s"${P}year"), month = month, day = day, qaBase = col(s"${P}qa0"),
       completenessCheck = true, int64Guard = true)
+      .drop(Seq("c0", "qa0", "c1", "digits", "c2", "c3", "c4", "parts", "day0", "month0", "year")
+        .map(P + _): _*)
   }
 
   /** D2 `clean_date` (column_processing.py:808-1031): date already split
@@ -155,7 +176,14 @@ object Dates {
       int64Guard: Boolean,
       blankUnlessFullYear: Boolean = false): DataFrame = {
 
-    var (y, m, d) = (year, month, day)
+    // stage the incoming expressions once — they are consumed by the
+    // output columns AND the validity/completeness QA below
+    val P = s"__adc_${outName}_"
+    val staged = input
+      .withColumn(s"${P}y", year)
+      .withColumn(s"${P}m", month)
+      .withColumn(s"${P}d", day)
+    var (y, m, d) = (col(s"${P}y"), col(s"${P}m"), col(s"${P}d"))
 
     // validity QA runs on the PRE-blanked values (reference order:
     // clean_date flags an out-of-range year even though it then blanks it)
@@ -181,12 +209,13 @@ object Dates {
     def guard(c: Column): Column =
       if (int64Guard) regexp_replace(c, "[0-9]{10,}", "") else regexp_replace(c, "^-$", "")
 
-    input
+    staged
       .withColumn(s"${outName}_year_cleaned", guard(y))
       .withColumn(s"${outName}_month_cleaned", guard(m))
       .withColumn(s"${outName}_day_cleaned", guard(d))
       .withColumn(s"${outName}_qa", qa)
       .withColumn(s"${outName}_data_source", lit(dataSource))
+      .drop(s"${P}y", s"${P}m", s"${P}d")
   }
 
   /** D3 `date_correction` (column_processing.py:1076-1164): normalize a

@@ -17,7 +17,11 @@ object LlmData {
     * reproducible in SQL for the oracle.
     */
   private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
+    // demo corpus capped at 2500 docs: covers every row at the sf0.01
+    // correctness scale (500 docs); bounds the bench-scale quadratic
+    // worst case of this deliberately tiny-vocabulary synthetic corpus
     val d = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 2500)
     val exact = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val near = d.filter(col("doc_id") % 7 === 0)
@@ -37,11 +41,11 @@ object LlmData {
       .orderBy(col("canonical_id"))
   private val q24Sql =
     """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 2500
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0)
+      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500)
       |SELECT md5(text) AS content_hash, COUNT(*) AS group_size,
       |  MIN(doc_id) AS canonical_id
       |FROM corpus
@@ -77,11 +81,11 @@ object LlmData {
       .orderBy(col("a"), col("b"))
   private val q27Sql =
     """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 2500
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0),
+      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
       |toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus),
       |grams AS (

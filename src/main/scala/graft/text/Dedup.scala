@@ -40,21 +40,42 @@ object Dedup {
 
   // --- MinHash ------------------------------------------------------------
 
-  /** Deterministic MinHash signature over a shingle set: permutation i is
-    * `murmur3(shingle, seed=i)`; the signature entry is the minimum.
+  /** Deterministic MinHash signature over a shingle set. One murmur3 base
+    * hash per shingle; permutation i is the affine map `a_i·h + b_i`
+    * (odd multipliers from a seeded splitmix), so the per-shingle cost is
+    * `numPerm` multiplications instead of `numPerm` string hashes.
     */
   def minHashSignature(shingles: Seq[String], numPerm: Int): Array[Long] = {
     val sig = Array.fill(numPerm)(Long.MaxValue)
+    val coef = permCoefficients(numPerm)
     for (s <- shingles) {
+      val base = (MurmurHash3.stringHash(s, 0x12345678).toLong << 32) |
+        (MurmurHash3.stringHash(s, 0x9e3779b9) & 0xffffffffL)
       var i = 0
       while (i < numPerm) {
-        val h = (MurmurHash3.stringHash(s, i).toLong << 32) |
-          (MurmurHash3.stringHash(s, i + 0x9e3779b9) & 0xffffffffL)
+        val h = coef(2 * i) * base + coef(2 * i + 1)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
     }
     sig
+  }
+
+  /** Deterministic (a_i, b_i) pairs via splitmix64; a_i forced odd. */
+  private def permCoefficients(numPerm: Int): Array[Long] = {
+    val out = new Array[Long](numPerm * 2)
+    var x = 0x243f6a8885a308d3L
+    var i = 0
+    while (i < out.length) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      out(i) = if (i % 2 == 0) z | 1L else z
+      i += 1
+    }
+    out
   }
 
   /** Exact Jaccard between two shingle sets (used for candidate rescore). */
@@ -155,23 +176,47 @@ object Dedup {
 
   // --- n-gram Jaccard via inverted-index join -----------------------------
 
-  /** N-gram Jaccard near-duplicate pairs without carrying shingle arrays
-    * through the join: explode shingles → inverted-index self-join →
-    * count shared shingles per pair → Jaccard from the per-doc distinct
-    * counts. One shuffle per side + one pair aggregation.
+  /** N-gram Jaccard near-duplicate pairs with EXACT prefix filtering:
+    * grams are globally ordered by document frequency (rarest first) and
+    * only each document's first `n − ⌈t·n⌉ + 1` grams enter the inverted
+    * join — any pair with Jaccard ≥ t must share a gram inside both
+    * prefixes, so no qualifying pair is lost. Candidates (tiny after the
+    * filter) are rescored exactly from the full distinct-gram counts via
+    * a second shared-gram aggregation. Hot grams (boilerplate) land at
+    * the END of the ordering and mostly fall outside prefixes, which is
+    * what keeps the join sub-quadratic on skewed corpora.
     */
   def ngramJaccardDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.7): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), k)).as("sh"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
     val inv = shingled.select(col("id"), explode(col("sh")).as("g"))
-    val pairs = inv.select(col("g"), col("id").as("a"))
-      .join(inv.select(col("g"), col("id").as("b")), "g")
+    // global rarest-first gram order
+    val gramDf = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(gramDf, "g")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("g"))
+    val positioned = ranked
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    // prefix: first n - ceil(t*n) + 1 grams
+    val prefix = positioned
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("g", "id")
+    val candidates = prefix.select(col("g"), col("id").as("a"))
+      .join(prefix.select(col("g"), col("id").as("b")), "g")
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact rescore: shared distinct grams per candidate pair — expand
+    // each candidate by a's grams, then equi-join on (b, gram)
+    val shared = candidates
+      .join(inv.select(col("id").as("a"), col("g")), "a")
+      .join(inv.select(col("id").as("b"), col("g")), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    pairs
+    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
+    shared
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",
