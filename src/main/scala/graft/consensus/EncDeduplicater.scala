@@ -73,6 +73,44 @@ object EncDeduplicater {
     }.toMap
   }
 
+  /** A9 matching statistics (reference `Enc_Matcher.stats`,
+    * `enc/matching.py:604-643`): per matched column, how many documents
+    * had entries / no entries / matched / stayed ambiguous / had too few
+    * entries to vote. One aggregation over the raw rows joined with the
+    * consensus verdicts.
+    */
+  def matchStats(input: DataFrame, spec: DedupSpec, result: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val raw = input.select(col(spec.idCol).cast("string").as(spec.idCol) +:
+      spec.matchedCols.map(c => col(c).cast("string").as(c)): _*)
+    val entryCounts = raw.groupBy(col(spec.idCol)).agg(
+      spec.matchedCols.map(c =>
+        sum(when(Sentinels.isNotEmptyValue(col(c)), 1).otherwise(0)).as(s"__n_$c")).head,
+      spec.matchedCols.map(c =>
+        sum(when(Sentinels.isNotEmptyValue(col(c)), 1).otherwise(0)).as(s"__n_$c")).tail: _*)
+    val consensus = result.filter(col("deleted") === false)
+      .select(col(spec.idCol) +: spec.matchedCols.map(col): _*)
+    val joined = consensus.join(entryCounts, spec.idCol)
+
+    val statRows = spec.matchedCols.map { c =>
+      val n = col(s"__n_$c")
+      val matchedCond = Sentinels.hasValue(col(c)) && col(c) =!= "?" && n > 0
+      val isFuzzy = spec.fuzzyCols.contains(c)
+      val tooFewExpr = sum(when(!matchedCond && n === 1, 1).otherwise(0))
+      joined.agg(
+        sum(when(n > 0, 1).otherwise(0)).as("with_entries"),
+        sum(when(n === 0, 1).otherwise(0)).as("without_entries"),
+        sum(when(matchedCond, 1).otherwise(0)).as("matched"),
+        (sum(when(!matchedCond && n > 0, 1).otherwise(0)) -
+          (if (isFuzzy) lit(0) else tooFewExpr)).as("ambiguous"),
+        (if (isFuzzy) lit(0).cast("long") else tooFewExpr).as("too_few_entries"))
+        .withColumn("column", lit(c))
+    }
+    statRows.reduce(_ unionByName _)
+      .select("column", "with_entries", "without_entries", "matched", "ambiguous", "too_few_entries")
+  }
+
   def run(input: DataFrame, spec: DedupSpec): DataFrame = {
     val qaMap = resolveQaMap(input.columns.toSeq, spec)
     val qaColsOrdered: Seq[String] = spec.matchedCols.map(qaMap).distinct

@@ -69,6 +69,24 @@ class EncDeduplicaterSpec extends SparkSpec {
     assert(consensus.map(_("workflow_id")).toSeq === Seq("wo_001", "wo_001"))
   }
 
+  test("A9 match statistics per column") {
+    val df = Csv.readStrings(spark, Fixtures.path("normalised_enc_data.csv"), indexCol = true)
+    val spec = DedupSpec(
+      idCol = "document_id",
+      personCols = Seq("first_name_cleaned_0", "last_name_cleaned_0"),
+      otherCols = Seq("imprisonment_camp_cleaned"))
+    val res = EncDeduplicater.run(df, spec)
+    val stats = EncDeduplicater.matchStats(df, spec, res).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val camp = stats("imprisonment_camp_cleaned")
+    // doc 1: only Unklar entries -> ambiguous; doc 2: 'Bu' matched
+    assert(camp.getAs[Long]("with_entries") === 2)
+    assert(camp.getAs[Long]("matched") === 1)
+    assert(camp.getAs[Long]("ambiguous") === 1)
+    val ln = stats("last_name_cleaned_0")
+    assert(ln.getAs[Long]("matched") === 2)
+  }
+
   test("matched values that were QA-flagged in a supporting raw row keep the flag") {
     // imprisonment_camp 'Unklar' rows are flagged, but doc 2's consensus is
     // 'Bu' (unflagged rows) -> no propagation; doc 1's camp is ambiguous '?'.
