@@ -42,11 +42,11 @@ object Clustering {
   def scoredEdges(persons: DataFrame, cfg: ClusterConfig): DataFrame = {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.withColumnRenamed("id", "trgID")
-    val m = PersonMatching.personMatching(src, trg,
-      PersonMatching.MatchConfig(
-        idxChars = cfg.idxChars, lenUnits = cfg.lenUnits,
-        topN = Int.MaxValue, minScore = cfg.cutoff))
-    m.filter(col("score") =!= -1 && col("srcID") < col("trgID"))
+    PersonMatching.scoredPairs(src, trg,
+        PersonMatching.MatchConfig(
+          idxChars = cfg.idxChars, lenUnits = cfg.lenUnits,
+          topN = Int.MaxValue, minScore = cfg.cutoff),
+        pairPredicate = col("srcID") < col("trgID"))
       .select(col("srcID").as("a"), col("trgID").as("b"), col("score"))
   }
 

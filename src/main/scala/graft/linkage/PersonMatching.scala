@@ -88,7 +88,14 @@ object PersonMatching {
     * @param src source rows with a unique `srcID` column
     * @param trg target rows with a unique `trgID` column
     */
-  def personMatching(src: DataFrame, trg: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
+  /** Scored candidate pairs only (no top-k, no sentinels): the building
+    * block clustering uses for edge generation. `pairPredicate` prunes
+    * candidate pairs BEFORE the score UDF runs (e.g. `a < b` halves a
+    * self-join's scoring work).
+    */
+  private[linkage] def scoredPairs(
+      src: DataFrame, trg: DataFrame, cfg: MatchConfig,
+      pairPredicate: Column): DataFrame = {
     val useDate = src.columns.contains(cfg.dobCol) && trg.columns.contains(cfg.dobCol)
     val usePrisoner = src.columns.contains(cfg.prisonerCol) && trg.columns.contains(cfg.prisonerCol)
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
@@ -104,23 +111,32 @@ object PersonMatching {
         dateMatcher =
           if (simpleDate) Similarity.simpleDateMatcher else Similarity.dateSimilarity)
     }
-
-    // candidate pairs: first-name bucket hit AND last-name bucket hit
     val candidates = candidatePairs(src, trg, cfg.gnameCol, cfg.lnameCol,
-      cfg.idxChars, cfg.lenUnits)
-
+      cfg.idxChars, cfg.lenUnits).filter(pairPredicate)
     val srcP = src.select(col("srcID"), personStruct(cfg, src).as("__srcP"))
     val trgP = trg.select(col("trgID"), personStruct(cfg, trg).as("__trgP"))
-    val scored = candidates
+    candidates
       .join(srcP, "srcID").join(trgP, "trgID")
       .withColumn("score", scoreUdf(col("__srcP"), col("__trgP")))
       .filter(col("score") >= cfg.minScore)
-
-    val w = Window.partitionBy(col("srcID")).orderBy(col("score").desc, col("trgID"))
-    val topK = scored
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= cfg.topN)
       .select(col("srcID"), col("score"), col("trgID"))
+  }
+
+  def personMatching(src: DataFrame, trg: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
+    val scored = scoredPairs(src, trg, cfg, lit(true))
+
+    // top-k per source — skipped entirely when every match is kept
+    // (edge-generation callers): the per-source sort is the only
+    // non-linear step and buys nothing at topN = unbounded
+    val topK =
+      if (cfg.topN == Int.MaxValue) scored
+      else {
+        val w = Window.partitionBy(col("srcID")).orderBy(col("score").desc, col("trgID"))
+        scored
+          .withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= cfg.topN)
+          .select(col("srcID"), col("score"), col("trgID"))
+      }
 
     val matched = if (cfg.allowDuplicates) topK else dedupeTargets(topK)
 

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.functions.{Fuzz, NamePreprocess}
+import graft.text.Dedup
+
+/** Remaining kernel goldens (F18/F19/F23/D4/D6) + seeded property checks
+  * for the pure kernels (bounds, symmetry, determinism, idempotence).
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  test("F18 OCR confusable repair maps and rejects") {
+    // Cyrillic М folds to Latin M; umlauts survive
+    assert(NamePreprocess.fixVisualCharacterDecoding("Мüller") === "Müller")
+    // >30% confusable characters -> whole value rejected
+    assert(NamePreprocess.fixVisualCharacterDecoding("Мü11er") === "")
+    assert(NamePreprocess.fixVisualCharacterDecoding("") === "")
+  }
+
+  test("F19 name uppercasing fixes per-word casing incl. umlaut words") {
+    assert(NamePreprocess.fixNameUppercasing("hans-PETER müller") === "Hans-Peter Müller")
+    assert(NamePreprocess.fixNameUppercasing("O'BRIEN") === "O'Brien")
+  }
+
+  test("F23 known abbreviation completion inside the consensus pipeline") {
+    val m = new graft.consensus.ColMatcher().withKnownAbbreviationsCompleted()
+    assert(m(Vector("Frankfurter Str.", "Frankfurter Straße")) === Some("Frankfurter Straße"))
+    assert(m(Vector("Bln. Mitte", "Berlin Mitte")) === Some("Berlin Mitte"))
+  }
+
+  test("D6 packed date reformat") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val out = Seq("19430312").toDF("d")
+      .select(graft.normalize.Dates.reformatDate(org.apache.spark.sql.functions.col("d")))
+      .head().getString(0)
+    assert(out === "12.03.1943")
+  }
+
+  test("D4 date timing check") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(
+      ("1940", "01", "01", "1943", "05", "05"),
+      ("1944", "01", "01", "1943", "05", "05"),
+      ("1943", "06", "01", "1943", "05", "05"),
+      ("", "01", "01", "1943", "05", "05"))
+      .toDF("y1", "m1", "d1", "y2", "m2", "d2")
+    import org.apache.spark.sql.functions.col
+    val (timing, qa) = graft.normalize.Dates.dateTimingCheck(
+      col("y1"), col("m1"), col("d1"), col("y2"), col("m2"), col("d2"))
+    val rows = df.select(timing.as("t"), qa.as("q")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(rows(0) === ("consistent", false))
+    assert(rows(1) === ("year_t1 > year_t2", true))
+    assert(rows(2) === ("month_t1 > month_t2", true))
+    assert(rows(3) === ("consistent", false)) // unparseable -> consistent
+  }
+
+  // ---- seeded property checks -------------------------------------------
+
+  private val rnd = new Random(42)
+  private def randomString(): String = {
+    val alphabet = "abcdefghij ßüöä .-?123"
+    (0 until rnd.nextInt(16)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("ratio/jaro/token_set: bounds, symmetry, identity (500 random pairs)") {
+    for (_ <- 1 to 500) {
+      val a = randomString(); val b = randomString()
+      val r = Fuzz.ratio(a, b)
+      assert(r >= 0.0 && r <= 100.0)
+      assert(math.abs(r - Fuzz.ratio(b, a)) < 1e-9, s"ratio asymmetric for '$a' '$b'")
+      assert(Fuzz.ratio(a, a) === 100.0)
+      val j = Fuzz.jaro(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - Fuzz.jaro(b, a)) < 1e-9, s"jaro asymmetric for '$a' '$b'")
+      val t = Fuzz.tokenSetRatio(a, b)
+      assert(t >= 0.0 && t <= 100.0)
+      assert(math.abs(t - Fuzz.tokenSetRatio(b, a)) < 1e-9)
+    }
+  }
+
+  test("minhash signatures are deterministic and set-order-independent") {
+    for (_ <- 1 to 100) {
+      val shingles = (0 until rnd.nextInt(20) + 1).map(_ => randomString())
+      val sig1 = Dedup.minHashSignature(shingles, 32).toSeq
+      val sig2 = Dedup.minHashSignature(rnd.shuffle(shingles), 32).toSeq
+      assert(sig1 === sig2)
+    }
+  }
+
+  test("minhash signature agreement approximates jaccard on near-equal sets") {
+    val base = (0 until 200).map(i => s"shingle_$i")
+    val variant = base.drop(20) ++ (0 until 20).map(i => s"other_$i") // jaccard 180/220
+    val s1 = Dedup.minHashSignature(base, 256)
+    val s2 = Dedup.minHashSignature(variant, 256)
+    val agree = s1.zip(s2).count { case (x, y) => x == y } / 256.0
+    val trueJaccard = 180.0 / 220.0
+    assert(math.abs(agree - trueJaccard) < 0.1, s"agreement $agree vs $trueJaccard")
+  }
+
+  test("sort_list_in_column is idempotent; fingerprint is strip-stable") {
+    for (_ <- 1 to 200) {
+      val s = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(1000).toString).mkString(";")
+      val once = graft.normalize.PyText.sortListInColumn(s)
+      assert(graft.normalize.PyText.sortListInColumn(once) === once)
+    }
+    for (_ <- 1 to 200) {
+      val s = randomString()
+      assert(graft.text.TextStats.fingerprint(s) ===
+        graft.text.TextStats.fingerprint(s.replaceAll("\\s+", " ").trim))
+    }
+  }
+
+  test("preprocess_name double-letter collapse is single-pass (reference semantics)") {
+    // re.sub's non-overlapping matching leaves "aaa" as "aa" — the chain
+    // is deliberately NOT idempotent, matching the reference exactly
+    assert(NamePreprocess.removeDoubleCharacters("aaa") === "aa")
+    assert(NamePreprocess.preprocessName("äääüßj") === "aausi")
+    // deterministic on repeated invocation
+    for (_ <- 1 to 200) {
+      val s = randomString()
+      assert(NamePreprocess.preprocessName(s) === NamePreprocess.preprocessName(s))
+    }
+  }
+}
