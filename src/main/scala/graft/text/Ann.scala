@@ -54,6 +54,68 @@ object Ann {
       .select("query_id", "rank", "id", "score")
   }
 
+  final case class IvfConfig(
+      nList: Int = 16, // number of inverted lists (centroids)
+      nProbe: Int = 4, // centroid lists each query probes
+      seed: Long = 42L)
+
+  /** IVF (inverted-file) cosine top-k: a coarse quantizer assigns every
+    * corpus vector to its nearest centroid (one scan, one shuffle on the
+    * centroid id); each query probes only its `nProbe` nearest centroid
+    * lists and rescores those exactly. Centroids are a deterministic
+    * hash-spread sample of the corpus — at 100 TB the assignment is the
+    * only full pass, and probe cost scales with `nProbe/nList` of the
+    * data. Recall misses only when a neighbor's cell is not probed.
+    */
+  def ivfCosineTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, cfg: IvfConfig = IvfConfig(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic spread sample as centroids
+    val centroids: Array[(Int, Seq[Double])] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .withColumn("__h", abs(hash(col(idCol), lit(cfg.seed))))
+      .orderBy(col("__h"))
+      .limit(cfg.nList)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    val cB = centroids
+    def cos(v: Seq[Double], c: Seq[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i); i += 1 }
+      dot / math.sqrt(nv * nc + 1e-12)
+    }
+    val assignUdf = udf { (v: Seq[Double]) => cB.maxBy(c => cos(v, c._2))._1 }
+    val nProbe = cfg.nProbe
+    val probeUdf = udf { (v: Seq[Double]) =>
+      cB.sortBy(c => -cos(v, c._2)).take(nProbe).map(_._1)
+    }
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    probes.join(assigned, "cell")
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "score")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (`a < b`, cosine ≥ threshold)
+    * over LSH buckets — the dedup family's vector sibling.
+    */
+  def cosineNearDuplicates(
+      df: DataFrame, threshold: Double, cfg: LshConfig = LshConfig(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val matches = lshCosineTopK(df, df, k = Int.MaxValue, cfg, idCol, vecCol)
+    matches.filter(col("query_id") < col("id") && col("score") >= threshold)
+      .select(col("query_id").as("a"), col("id").as("b"), col("score"))
+  }
+
   /** Deterministic random hyperplanes: `planes(i)(d)` ~ N(0,1), seeded. */
   private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)
@@ -102,12 +164,17 @@ object Ann {
       .withColumn("bucket", explode(sigUdf(col(s"__v_$id"))))
     val qb = withBuckets(queries, "query_id")
     val cb = withBuckets(corpus, "id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
-    qb.join(cb, "bucket")
+    val scored = qb.join(cb, "bucket")
       .select(col("query_id"), col("id"), col("__v_query_id"), col("__v_id")).distinct()
       .withColumn("score", cosine(col("__v_query_id"), col("__v_id")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "id", "score")
+    if (k == Int.MaxValue)
+      scored.withColumn("rank", lit(0)).select("query_id", "rank", "id", "score")
+    else {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    }
   }
 }

@@ -104,6 +104,34 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF cosine top-k: self always found, candidate set pruned") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = Ann.ivfCosineTopK(q, e, 5, Ann.IvfConfig(nList = 8, nProbe = 4))
+      .collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    // a query's own cell is always its top probe -> self is rank 1
+    for ((qid, rows) <- byQuery)
+      assert(rows.minBy(_.getInt(1)).getAs[Long]("id") === qid, s"self missing for $qid")
+    // recall vs exact with half the cells probed
+    val exact = Ann.cosineTopK(q, e, 5).select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivf.map(r => (r.getLong(0), r.getAs[Long]("id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("cosine near-duplicate detection finds injected duplicate vectors") {
+    val e = graft.core.Tables.embeddings(spark, sf).limit(100)
+    val dupes = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(dupes)
+    val pairs = Ann.cosineNearDuplicates(corpus, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 5L)
+      assert(pairs.contains((i, i + 1000)), s"dup pair $i missing")
+  }
+
   test("multimodal stubs: header metadata, features, frame sampling") {
     val payload = Array.tabulate(256)(_.toByte)
     val img = Multimodal.StubCodec.encodeHeader("image", "fakepng", 640, 480, 0L) ++ payload
