@@ -19,6 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
+    // whichever query happens to run first
+    graft.core.Tables.names.foreach { t =>
+      try graft.core.Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -45,7 +45,45 @@ object Pipeline {
       .orderBy(col("deleted"), col("document_id"), col("row_id"))
   }
 
+  /** C1–C11 at table scale WITH an exact oracle: three synthetic
+    * transcriptions per document (two verbatim, one with a stray token
+    * appended) — the containment-majority vote provably returns the
+    * verbatim text for every document, so the oracle is the input
+    * projection itself. Exercises the consensus aggregation over
+    * thousands of groups inside one shuffle.
+    */
+  private def q18c(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val base = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 2500)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).as("field"))
+    val transcripts = base.select(col("doc_id"), col("field"), lit(0L).as("row_id"))
+      .unionByName(base.select(col("doc_id"),
+        concat(col("field"), lit(" xtok")).as("field"), lit(1L).as("row_id")))
+      .unionByName(base.select(col("doc_id"), col("field"), lit(2L).as("row_id")))
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("consensus", StringType)))
+    val voted = transcripts
+      .select(col("doc_id").cast("string").as("doc_id"), col("field"), col("row_id"))
+      .groupByKey(r => r.getString(0))(Encoders.STRING)
+      .mapGroups { (id, it) =>
+        val values = it.toArray.sortBy(_.getLong(2)).map(_.getString(1)).toVector
+        Row(id, graft.consensus.Matchers.default()(values).orNull)
+      }(Encoders.row(schema))
+    voted.select(col("doc_id").cast("long").as("doc_id"), col("consensus"))
+      .orderBy(col("doc_id"))
+  }
+  private val q18cSql =
+    """SELECT doc_id,
+      |  array_to_string(string_split_regex(trim(text), '\s+')[1:3], ' ') AS consensus
+      |FROM documents
+      |WHERE doc_id < 2500
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, None),
-    Q("q17_consensus_dedup", q17, None))
+    Q("q17_consensus_dedup", q17, None),
+    Q("q33_consensus_vote_scale", q18c, Some(q18cSql)))
 }

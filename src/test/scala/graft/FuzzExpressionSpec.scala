@@ -46,6 +46,29 @@ class FuzzExpressionSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("indelratio"), "native expression missing from plan")
   }
 
+  test("Udfs.register exposes every kernel to spark.sql") {
+    graft.functions.Udfs.register(spark)
+    val r = spark.sql(
+      """SELECT fuzz_ratio('kitten','sitting') AS a,
+        |  token_set_ratio('one two','two one') AS b,
+        |  jaro('MARTHA','MARHTA') AS c,
+        |  preprocess_name('Schwartz') AS d,
+        |  preprocess_last_name('Nowakowa') AS e,
+        |  fix_visual_decoding('Мüller') AS f,
+        |  fix_name_uppercasing('hans müller') AS g,
+        |  date_similarity('19430312','12.03.1943') AS h,
+        |  simple_date_matcher('12.03.1943','12.03.1943') AS i""".stripMargin).head()
+    assert(r.getDouble(0) === Fuzz.ratio("kitten", "sitting"))
+    assert(r.getDouble(1) === 100.0)
+    assert(math.abs(r.getDouble(2) - Fuzz.jaro("MARTHA", "MARHTA")) < 1e-9)
+    assert(r.getString(3) === "schvarz")
+    assert(r.getString(4) === "novak")
+    assert(r.getString(5) === "Müller")
+    assert(r.getString(6) === "Hans Müller")
+    assert(r.getDouble(7) === 100.0)
+    assert(r.getDouble(8) === 100.0)
+  }
+
   test("extension-injected SQL functions resolve in a fresh session") {
     // register via the same builders the SparkSessionExtensions injector
     // uses (a second session with different extensions cannot be created
