@@ -74,6 +74,9 @@ object Clustering {
       .distinct()
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -84,10 +87,13 @@ object Clustering {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      // min-propagation strictly decreases a label or leaves it alone, so
+      // an unchanged label sum IS convergence — one aggregate per round
+      // instead of a join + count
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels
