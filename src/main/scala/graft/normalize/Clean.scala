@@ -31,6 +31,21 @@ object Clean {
     replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
 
+  /** `clean_copy_2` (aux_functions.py:40-65): identical chain except the
+    * final step also maps fully-empty values to the `-` sentinel.
+    */
+  def cleanCopy2(c: Column): Column = {
+    val replaced = Seq(
+      Regexes.DashWords -> "-",
+      Regexes.DeletedWords -> "",
+      Regexes.QuestionMarkWords -> "?",
+      Regexes.SemicolonWords -> ";",
+      ";+" -> ";",
+      "^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
+      "-+|^$" -> "-")
+    replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+  }
+
   /** F2 `create_qa_col` (aux_functions.py:70-91): flag when the QA regex
     * hits unless the no-entry regex does.
     */

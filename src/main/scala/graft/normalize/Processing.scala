@@ -83,6 +83,33 @@ object Processing {
     ColumnRoles(lastName, firstName, prisoner, date, rawDate, location, nationality, other)
   }
 
+  /** A1 `entry_number_from_list` (aux_functions.py:415-420): running
+    * number within each group in row order.
+    */
+  def entryNumber(df: DataFrame, groupCols: Seq[String], orderCol: String = "row_id"): DataFrame =
+    df.withColumn("entry_number",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))))
+
+  /** P1/P2 `general_cleaning_and_filtering` (aux_functions.py:424-441):
+    * drop crowd-sourcing metadata columns and failover rows.
+    */
+  val MetadataDropList: Seq[String] = Seq(
+    "user_name", "user_id", "user_ip", "workflow_id", "workflow_name",
+    "metadata_started_at", "metadata_finished_at", "metadata_user_language",
+    "metadata_already_seen", "metadata_finished_workflow", "metadata_retired",
+    "metadata_selected_at", "metadata_selection_state",
+    "metadata_user_has_finished_workflow", "created_at", "gold_standard", "expert")
+
+  def generalCleaningAndFiltering(df: DataFrame): DataFrame = {
+    val filtered =
+      if (df.columns.contains("metadata_selection_state"))
+        df.filter(coalesce(col("metadata_selection_state"), lit("")) =!= "failover_fallback")
+      else df
+    filtered.drop(MetadataDropList: _*)
+  }
+
   /** `default_processor` (column_processing.py:19-46): copy + unclear-QA. */
   def defaultProcessor(df: DataFrame, column: String,
       dataSource: String = "crowd_sourcing"): DataFrame = {

@@ -97,6 +97,24 @@ class AuxOperatorsSpec extends SparkSpec {
     assert(Zooniverse.parseAnnotations("not json") === Map.empty)
   }
 
+  test("clean_copy_2, entry numbering and metadata filtering helpers") {
+    import graft.normalize.{Clean, Processing}
+    val c2 = Seq(("  none  "), (""), ("ok value")).toDF("v")
+      .select(Clean.cleanCopy2(col("v"))).collect().map(_.getString(0))
+    assert(c2.toSeq === Seq("-", "-", "ok value")) // empty -> '-' (the _2 variant)
+
+    val numbered = Processing.entryNumber(
+      Seq(("f1", 0L), ("f1", 1L), ("f2", 2L)).toDF("fname", "row_id"), Seq("fname"))
+      .orderBy("row_id").collect().map(_.getAs[Int]("entry_number"))
+    assert(numbered.toSeq === Seq(1, 2, 1))
+
+    val cleaned = Processing.generalCleaningAndFiltering(
+      Seq(("a", "normal", "x"), ("b", "failover_fallback", "y"))
+        .toDF("data", "metadata_selection_state", "user_id"))
+    assert(cleaned.columns.toSeq === Seq("data"))
+    assert(cleaned.count() === 1)
+  }
+
   test("S7 SQL-defined scans run the reference query shapes over views") {
     Seq((1L, 1L, "Muller", 1, "Hans", 1, "19430312", 111L, "123", 5L))
       .toDF("lObjId", "lCountId", "strLName", "lLNameType", "strGName",
