@@ -128,6 +128,11 @@ object EncDeduplicater {
       qaColsOrdered.map(c => col(c).isNotNull && col(c) =!= "").reduce(_ || _))
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toIndexedSeq
     df = df.na.fill("-", strCols)
+    // empty strings count as missing too: the reference's stage boundary
+    // is a CSV file where empty cells arrive as NaN, so its fillna('-')
+    // covers them — an in-memory chain hands us "" instead
+    for (c <- strCols if c != spec.idCol)
+      df = df.withColumn(c, when(col(c) === "", lit("-")).otherwise(col(c)))
     val yearRe = java.util.regex.Pattern.compile("[yY][eE][aA][rR]")
     for (c <- spec.dateCols) {
       val repl = if (yearRe.matcher(c).find()) "0000" else "00"

@@ -28,6 +28,61 @@ object Clustering {
       linkage: String = "max", // "max" | "single" | "average"
       allowKnownClusterMerge: Boolean = false)
 
+  /** E8 collision-augmented name shingles (reference
+    * `add_collision_hashes` / `add_windowed_collision_hashes`,
+    * `person_clustering.py:90-122`): per subname, the vowel-stripped
+    * form, its leave-one-out deletions (misspelling tolerance) and its
+    * half-length windows (substring tolerance). These feed
+    * [[minHashCandidates]] the same way the reference feeds its MinHash.
+    */
+  def nameCollisionShingles(name: String, leaveOneOut: Boolean = true): Seq[String] = {
+    if (name == null) return Nil
+    val out = collection.mutable.LinkedHashSet.empty[String]
+    for (sub <- name.split(" ") if sub.nonEmpty) {
+      out += sub
+      val novowel = sub.replaceAll("[aeiou]", "")
+      out += novowel
+      if (leaveOneOut)
+        for (i <- 0 until novowel.length)
+          out += novowel.substring(0, i) + novowel.substring(i + 1)
+      val window = math.ceil(novowel.length / 2.0).toInt
+      if (window > 0)
+        for (c <- 0 to novowel.length - window)
+          out += novowel.substring(c, c + window)
+    }
+    out.toSeq
+  }
+
+  /** E8 MinHash-LSH candidate pairs over the augmented name shingles —
+    * the pre-clustering alternative to prefix buckets (reference
+    * `local_semantic_hashing`, person_clustering.py:124-155): union of
+    * first/last-name shingles per person → MinHash signature → banded
+    * bucket equi-join.
+    */
+  def minHashCandidates(
+      persons: DataFrame, numPerm: Int = 8, bands: Int = 4,
+      leaveOneOut: Boolean = false): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val loo = leaveOneOut
+    val shingleUdf = udf { (g: String, l: String) =>
+      nameCollisionShingles(if (l == null) g else if (g == null) l else s"$g $l", loo)
+    }
+    val bandsUdf = udf { (sh: Seq[String]) =>
+      val sig = graft.text.Dedup.minHashSignature(sh, numPerm)
+      sig.grouped(rows).zipWithIndex.map { case (band, i) =>
+        s"$i:${scala.util.hashing.MurmurHash3.orderedHash(band.toSeq)}"
+      }.toSeq
+    }
+    val banded = persons.select(col("id"),
+      explode(bandsUdf(shingleUdf(col("strGName_processed"), col("strLName_processed"))))
+        .as("band"))
+    banded.select(col("band"), col("id").as("a"))
+      .join(banded.select(col("band"), col("id").as("b")), "band")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** `get_buckets_for_name` (person_clustering.py:157-158). */
   def bucketsForName(name: String, idxChars: Int, lenUnits: Int): Seq[(String, Int)] =
     if (name == null) Nil

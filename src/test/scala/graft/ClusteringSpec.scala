@@ -66,6 +66,25 @@ class ClusteringSpec extends SparkSpec {
     assert(singleLink(12L) === singleLink(10L), "single linkage: C joins via B (94 >= 90)")
   }
 
+  test("E8 minhash candidates: misspellings collide, unrelated names do not") {
+    val persons = Seq(
+      (1L, "margarete", "kovacs"),
+      (2L, "margarete", "kovacs"),   // identical
+      (3L, "margarete", "kovacz"),   // one-letter variant
+      (4L, "iosif", "petrescu"))     // unrelated
+      .toDF("id", "strGName_processed", "strLName_processed")
+    val pairs = Clustering.minHashCandidates(persons, numPerm = 16, bands = 8,
+      leaveOneOut = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical names must collide")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "misspelling should collide")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated name collided")
+    // augmentation produces deletions and windows
+    val sh = Clustering.nameCollisionShingles("anna", leaveOneOut = true)
+    assert(sh.contains("anna") && sh.contains("nn")) // vowel-stripped
+    assert(sh.contains("n")) // deletion of one char from "nn"
+  }
+
   test("merge_clusterings unions overlapping clusters") {
     val l1 = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cluster_id")
     val l2 = Seq((2L, "p"), (3L, "p"), (4L, "q")).toDF("id", "cluster_id")
