@@ -73,6 +73,21 @@ object EncDeduplicater {
     }.toMap
   }
 
+  /** C12 `combine_columns` (reference `Enc_Matcher.combine_columns`,
+    * `enc/matching.py:476-481`): join several columns into one field
+    * before matching, keeping only values passing the filter (default:
+    * present; optionally a regex the value must contain).
+    */
+  def combineColumns(
+      df: DataFrame, columns: Seq[String], newColName: String,
+      sep: String = ", ", keepRegex: Option[String] = None): DataFrame = {
+    val kept = filter(array(columns.map(col): _*), v => keepRegex match {
+      case Some(re) => v.isNotNull && v.rlike(re)
+      case None     => v.isNotNull
+    })
+    df.withColumn(newColName, array_join(kept, sep))
+  }
+
   /** A9 matching statistics (reference `Enc_Matcher.stats`,
     * `enc/matching.py:604-643`): per matched column, how many documents
     * had entries / no entries / matched / stayed ambiguous / had too few

@@ -69,6 +69,17 @@ class EncDeduplicaterSpec extends SparkSpec {
     assert(consensus.map(_("workflow_id")).toSeq === Seq("wo_001", "wo_001"))
   }
 
+  test("C12 combine_columns joins fields with a keep filter") {
+    val session = SparkSpec.spark
+    import session.implicits._
+    val df = Seq(("Frankfurt", "Main", "3"), ("Berlin", null, "x"))
+      .toDF("city0", "city1", "extra")
+    val out = EncDeduplicater.combineColumns(df,
+      Seq("city0", "city1", "extra"), "full_city", ", ", keepRegex = Some("[a-zA-Z]"))
+      .select("full_city").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("Frankfurt, Main", "Berlin, x"))
+  }
+
   test("A9 match statistics per column") {
     val df = Csv.readStrings(spark, Fixtures.path("normalised_enc_data.csv"), indexCol = true)
     val spec = DedupSpec(
