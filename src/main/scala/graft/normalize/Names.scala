@@ -32,7 +32,22 @@ object Names {
       dataSource: String = "crowd_sourcing",
       outName: String = "last_name",
       birthNameInput: Boolean = false,
+      alias: Boolean = false,
+      alternativeSpelling: Boolean = false,
       flagNoblePrefix: Boolean = true): DataFrame = {
+    // reference naming modes (column_processing.py:180-222): birth-name
+    // input renames the family, alias suffixes it, alternative-spelling
+    // prefixes cleaned/qa (1-based) but NOT data_source (quirk kept)
+    val colName =
+      if (birthNameInput) "birth_name"
+      else if (alias) s"${outName}_alias"
+      else outName
+    def cleanedName(i: Int): String =
+      if (alternativeSpelling) s"alternative_spellings_of_${colName}_cleaned_${i + 1}"
+      else s"${colName}_cleaned_$i"
+    val qaName =
+      if (alternativeSpelling) s"alternative_spellings_of_${colName}_qa" else s"${colName}_qa"
+    val emitBirth = !birthNameInput && !alternativeSpelling
 
     var c = cleanCopy(col(lastName))
     c = lower(c)
@@ -75,22 +90,22 @@ object Names {
       .foldLeft(col("__qa0"))(_ || _)
 
     var out = df1
-    val cleanedNames = (0 until k).map(i => s"${outName}_cleaned_$i")
+    val cleanedNames = (0 until k).map(cleanedName)
     for ((name, i) <- cleanedNames.zipWithIndex)
       out = out.withColumn(name,
         pyStrip(regexp_replace(get(col("__parts"), lit(i)), "[0-9]", "")))
-    if (!birthNameInput)
-      out = out.withColumn(s"${outName}_birth_name_extracted", pyStrip(col("__birth")))
+    if (emitBirth)
+      out = out.withColumn(s"${colName}_birth_name_extracted", pyStrip(col("__birth")))
     out = out
-      .withColumn(s"${outName}_qa", lenQa)
-      .withColumn(s"${outName}_data_source", lit(dataSource))
+      .withColumn(qaName, lenQa)
+      .withColumn(s"${colName}_data_source", lit(dataSource))
       .drop("__parts", "__birth", "__qa0")
 
     // F14: female last-name endings — positional cascade over the columns
     // at positions 1..4 of the derived frame (split cols then the
     // extracted birth name, exactly the reference's iloc[:, 1:5] window)
     val window = (cleanedNames ++
-      (if (!birthNameInput) Seq(s"${outName}_birth_name_extracted") else Nil))
+      (if (emitBirth) Seq(s"${colName}_birth_name_extracted") else Nil))
     val positional = window.drop(1).take(4)
     var prev: Column = col(window.head)
     for (name <- positional) {
@@ -109,7 +124,15 @@ object Names {
       input: DataFrame,
       firstName: String,
       dataSource: String = "crowd_sourcing",
-      outName: String = "first_name"): DataFrame = {
+      outName: String = "first_name",
+      alias: Boolean = false,
+      alternativeSpelling: Boolean = false): DataFrame = {
+    val colName = if (alias) s"${outName}_alias" else outName
+    def cleanedName(i: Int): String =
+      if (alternativeSpelling) s"alternative_spellings_of_${colName}_cleaned_${i + 1}"
+      else s"${colName}_cleaned_$i"
+    val qaName =
+      if (alternativeSpelling) s"alternative_spellings_of_${colName}_qa" else s"${colName}_qa"
 
     var c = cleanCopy(col(firstName))
     c = pyTitleUdf(c)
@@ -135,12 +158,12 @@ object Names {
     for (i <- 0 until k) {
       val trimmed = pyStrip(get(col("__parts"), lit(i)))
       // single-character first name gets a dot: "A" -> "A." (F12)
-      out = out.withColumn(s"${outName}_cleaned_$i",
+      out = out.withColumn(cleanedName(i),
         when(length(trimmed) === 1, concat(trimmed, lit("."))).otherwise(trimmed))
     }
     out
-      .withColumn(s"${outName}_qa", lenQa)
-      .withColumn(s"${outName}_data_source", lit(dataSource))
+      .withColumn(qaName, lenQa)
+      .withColumn(s"${colName}_data_source", lit(dataSource))
       .drop("__parts", "__qa0")
   }
 }

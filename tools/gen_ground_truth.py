@@ -82,6 +82,36 @@ dd = pd.DataFrame({"raw_date": [str(x) for x in RAW_DATES]})
 dump(pd.concat([dd, normalise_date(dd, "raw_date", "date", "src", [1850, 1950])], axis=1),
      "dates_ground_truth.csv")
 
+# naming-mode variants of the last/first-name processors
+VARIANT_NAMES = ["Muller geb. Schmidt", "van Berg; Meyer", "Dr. Weiss", "None", "Ova"]
+vn = pd.DataFrame({"last_name": VARIANT_NAMES})
+dump(pd.concat([vn, normalize_last_name(vn, "last_name", "src",
+                                        alternative_spelling=True)], axis=1),
+     "last_names_alt_ground_truth.csv")
+dump(pd.concat([vn, normalize_last_name(vn, "last_name", "src", alias=True)], axis=1),
+     "last_names_alias_ground_truth.csv")
+dump(pd.concat([vn, normalize_last_name(vn, "last_name", "src",
+                                        birth_name_input=True)], axis=1),
+     "last_names_birth_ground_truth.csv")
+vf = pd.DataFrame({"first_name": VARIANT_NAMES})
+dump(pd.concat([vf, normalize_first_name(vf, "first_name", "src", alias=True)], axis=1),
+     "first_names_alias_ground_truth.csv")
+
+# clean_date (D2) three-column triples, both dropdown modes
+from aroa_etl.attribute_processing.column_processing import clean_date
+TRIPLES = [
+    ("3", "Jan", "43"), ("-", "5", "1943"), ("31", "13", ""),
+    ("09", "04", "1900"), ("00", "00", "0000"), ("1", "unclear", "1920"),
+    ("20", "8", "1944"), ("5", "Mai", "49"), ("", "", ""), ("12", "3.0", "1935.0"),
+]
+td = pd.DataFrame({"d": [t[0] for t in TRIPLES], "m": [t[1] for t in TRIPLES],
+                   "y": [t[2] for t in TRIPLES]})
+for dropdown in (False, True):
+    out = clean_date(td.copy(), ["d", "m", "y"], "tdate", "src",
+                     timespan=[1850, 1950], dropdown=dropdown)
+    tag = "dd" if dropdown else "raw"
+    dump(pd.concat([td, out], axis=1), f"clean_date_{tag}_ground_truth.csv")
+
 # full-pipeline ground truth over the reference fixture
 unpacked = pd.read_csv("/root/reference/testing_data/unpacked_enc_data.csv",
                        index_col=0, dtype=str)
