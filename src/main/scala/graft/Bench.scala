@@ -25,8 +25,13 @@ object Bench {
       try graft.core.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
