@@ -25,13 +25,24 @@ object Bench {
       try graft.core.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those
+    // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those.
+    // Tokens match a query when they equal its name or its qNN prefix
+    // (the part before the first '_') — "q2" does NOT select q20–q29.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+      }
+    if (only.isDefined && selected.isEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} matched no query " +
+          s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")})")
+      spark.stop()
+      sys.exit(1)
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -44,7 +55,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // no-silent-caps: bounds that make a bench number stop tracking the
+    // scale factor are declared in the result itself
+    val caps = """{"documents_corpus":"doc_id < 2500 (q18c/q24-q27 demo corpus cap)"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"caps":$caps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

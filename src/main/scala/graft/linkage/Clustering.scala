@@ -26,7 +26,14 @@ object Clustering {
       lenUnits: Int = 2,
       cutoff: Double = 85.0,
       linkage: String = "max", // "max" | "single" | "average"
-      allowKnownClusterMerge: Boolean = false)
+      allowKnownClusterMerge: Boolean = false,
+      // Components larger than this skip the exact greedy replay (which
+      // buffers the component on one executor) and fall back to
+      // single-linkage assignment — component = cluster — streamed with
+      // O(1) memory. A component this size means blocking collapsed
+      // (degenerate name distribution); the fallback is counted in the
+      // `graft.cluster.oversized_components` accumulator, never silent.
+      maxComponentSize: Int = 10000)
 
   /** E8 collision-augmented name shingles (reference
     * `add_collision_hashes` / `add_windowed_collision_hashes`,
@@ -254,14 +261,32 @@ object Clustering {
 
     val cfgB = cfg
     val keyB = knownKeyCol
+    val oversized = persons.sparkSession.sparkContext
+      .longAccumulator("graft.cluster.oversized_components")
     val assignSchema = StructType(Seq(
       StructField("id", LongType), StructField("cluster_id", StringType)))
     val assignments = withComp
       .groupByKey(r => r.getAs[Long]("component"))(Encoders.scalaLong)
       .flatMapGroups { (comp, it) =>
-        val rows = it.toSeq
-        greedyCluster(rows, cfgB, keyB).iterator.map { case (id, local) =>
-          Row(id, s"${comp}_$local")
+        // buffer up to the guard bound; a component past it is degenerate
+        // (blocking collapsed) — fall back to single-linkage semantics
+        // (component = one cluster, every edge already ≥ cutoff) and
+        // stream the assignment instead of materializing the group
+        val buf = collection.mutable.ArrayBuffer.empty[Row]
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()
+          if (buf.length > cfgB.maxComponentSize) over = true
+        }
+        if (!over)
+          greedyCluster(buf.toSeq, cfgB, keyB).iterator.map { case (id, local) =>
+            Row(id, s"${comp}_$local")
+          }
+        else {
+          oversized.add(1)
+          System.err.println(s"[graft.cluster] component $comp exceeds " +
+            s"maxComponentSize=${cfgB.maxComponentSize}; single-linkage fallback")
+          (buf.iterator ++ it).map(r => Row(r.getAs[Long]("id"), s"${comp}_0"))
         }
       }(Encoders.row(assignSchema))
     persons.join(assignments, Seq("id"), "left")

@@ -42,17 +42,48 @@ object PersonMatching {
     * quadratic intermediates.
     */
   private def candidatePairs(
-      src: DataFrame, trg: DataFrame, gnameCol: String, lnameCol: String,
-      idxChars: Int, lenUnits: Int): DataFrame = {
-    def exploded(df: DataFrame, id: String) = df
-      .select(col(id),
-        explode(bucketKeys(col(gnameCol), idxChars, lenUnits)).as("fb"),
-        col(lnameCol))
-      .select(col(id), col("fb"),
-        explode(bucketKeys(col(lnameCol), idxChars, lenUnits)).as("lb"))
+      src: DataFrame, trg: DataFrame, cfg: MatchConfig): DataFrame = {
+    def exploded(df: DataFrame, id: String) = {
+      val e = df
+        .select(col(id),
+          explode(bucketKeys(col(cfg.gnameCol), cfg.idxChars, cfg.lenUnits)).as("fb"),
+          col(cfg.lnameCol))
+        .select(col(id), col("fb"),
+          explode(bucketKeys(col(cfg.lnameCol), cfg.idxChars, cfg.lenUnits)).as("lb"))
+      capBuckets(e, id, cfg.maxBucketSize)
+    }
     val s = exploded(src, "srcID")
     val t = exploded(trg, "trgID")
     s.join(t, Seq("fb", "lb")).select("srcID", "trgID").distinct()
+  }
+
+  /** Hard per-bucket membership cap — the 100 TB safety valve. Candidate
+    * pairs per composite bucket grow with |src|·|trg| of the bucket; on a
+    * degenerate corpus (mass-shared names) that is quadratic and neither
+    * AQE (splits partitions, not pair counts) nor key refinement (the
+    * colliding names are IDENTICAL, longer prefixes change nothing) can
+    * bound it. Buckets past `maxBucketSize` keep a deterministic
+    * hash-ordered subset per side — both sides keep the SAME survivors,
+    * so surviving rows retain their exact-match pairs — and every dropped
+    * membership is counted in the `graft.match.dropped_bucket_rows`
+    * accumulator, never silent. Default 10000 (10^8 pairs/bucket ceiling)
+    * is far above any non-degenerate bucket.
+    */
+  private def capBuckets(exploded: DataFrame, id: String, maxBucketSize: Int): DataFrame = {
+    if (maxBucketSize <= 0) return exploded
+    val acc = exploded.sparkSession.sparkContext
+      .longAccumulator("graft.match.dropped_bucket_rows")
+    val keepUdf = udf { (rank: Int) =>
+      val keep = rank <= maxBucketSize
+      if (!keep) acc.add(1)
+      keep
+    }
+    val w = Window.partitionBy(col("fb"), col("lb"))
+      .orderBy(hash(col(id)), col(id))
+    exploded
+      .withColumn("__rank", row_number().over(w))
+      .filter(keepUdf(col("__rank")))
+      .drop("__rank")
   }
 
   /** Person-matching config (defaults = the reference's production run:
@@ -70,7 +101,9 @@ object PersonMatching {
       minScore: Double = 80.0,
       nameOnly: Boolean = false,
       allowDuplicates: Boolean = true,
-      useSimpleDateMatcher: Boolean = false)
+      useSimpleDateMatcher: Boolean = false,
+      // per-bucket membership ceiling; ≤0 disables (see capBuckets)
+      maxBucketSize: Int = 10000)
 
   /** E6 `person_similarity` as a pure column expression over the native
     * codegen'd kernels — identical arithmetic (and FP association) to
@@ -149,6 +182,17 @@ object PersonMatching {
   def scoredPairs(
       src: DataFrame, trg: DataFrame, cfg: MatchConfig,
       pairPredicate: Column): DataFrame = {
+    val candidates = candidatePairs(src, trg, cfg).filter(pairPredicate)
+    scorePairs(candidates, src, trg, cfg)
+  }
+
+  /** Score a caller-supplied `(srcID, trgID)` candidate set — the same
+    * scoring the blocked join applies, reusable over any blocking scheme
+    * (E8 MinHash candidates, seeded pairs, …).
+    */
+  def scorePairs(
+      candidates: DataFrame, src: DataFrame, trg: DataFrame,
+      cfg: MatchConfig): DataFrame = {
     val useDate = src.columns.contains(cfg.dobCol) && trg.columns.contains(cfg.dobCol)
     val usePrisoner = src.columns.contains(cfg.prisonerCol) && trg.columns.contains(cfg.prisonerCol)
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
@@ -178,8 +222,6 @@ object PersonMatching {
         opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
         opt(cfg.prisonerCol).as("prisoner"))
     }
-    val candidates = candidatePairs(src, trg, cfg.gnameCol, cfg.lnameCol,
-      cfg.idxChars, cfg.lenUnits).filter(pairPredicate)
     val srcP = src.select(col("srcID"), personStruct(src).as("__srcP"))
     val trgP = trg.select(col("trgID"), personStruct(trg).as("__trgP"))
     candidates

@@ -47,29 +47,82 @@ object Linkage {
       |  AND length(split_part(p_name, ' ', 2)) >= 2
       |ORDER BY srcID""".stripMargin
 
-  /** E10–E12: agglomerative clustering over a duplicated person corpus.
-    * Every part-person appears twice (a transcription pair), so the
-    * expected shape is "clusters of ≥2"; the histogram of cluster sizes
-    * is emitted (rows-only check — cluster ids are opaque, but the
-    * histogram is deterministic).
+  /** The doubled-transcription corpus for clustering: distinct persons
+    * (both name words ≥ 4 chars, deduped on name+DoB), each emitted twice
+    * with fresh ids — a transcription pair per entity.
+    *
+    * The construction makes the expected clustering PROVABLE at cutoff
+    * 99: an exact twin scores ≈100 (all fields equal), while any cross
+    * pair is bounded below 99 — same (g,l) pairs differ in DoB (year diff
+    * ≥ 1 ⇒ date ≤ 96) and prisoner id (distinct integers ⇒ indel ratio
+    * ≤ 1 − 1/(len_a+len_b) ≤ 93.3 at these id widths), so score ≤
+    * 3/4·(2/3·100 + 1/3·(93.3+96)/2) + 1/4·100 ≈ 98.4; different (g,l)
+    * pairs have primary ≤ 70 over this vocabulary. The ≥4-char filter
+    * keeps every word bucketable at the clustering `idxChars = 4` (a
+    * 3-char word produces no replay bucket and would orphan its twin).
     */
-  private def q23(spark: SparkSession, dir: String): DataFrame = {
+  private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = persons(spark, dir)
+      .filter(length(col("strGName_processed")) >= 4 && length(col("strLName_processed")) >= 4)
       .dropDuplicates("strGName_processed", "strLName_processed", "strDoB_processed")
-    val doubled = base.select((col("pid") * 2).as("id"), col("strGName_processed"),
+    base.select((col("pid") * 2).as("id"), col("strGName_processed"),
         col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
         col("prisoner_number"))
       .unionByName(base.select((col("pid") * 2 + 1).as("id"), col("strGName_processed"),
         col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
         col("prisoner_number")))
-    graft.linkage.Clustering.cluster(doubled,
-        graft.linkage.Clustering.ClusterConfig(cutoff = 85.0))
+  }
+
+  /** Construction oracle shared by q23/q34: every cluster has exactly the
+    * 2 transcriptions of one entity, so the size histogram is one row —
+    * (2, number of distinct base persons) — which DuckDB derives straight
+    * from `part`.
+    */
+  private val clusterHistogramSql =
+    """SELECT CAST(2 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+      |FROM (
+      |  SELECT DISTINCT split_part(p_name, ' ', 1) AS g,
+      |         split_part(p_name, ' ', 2) AS l, p_size
+      |  FROM part
+      |  WHERE length(split_part(p_name, ' ', 1)) >= 4
+      |    AND length(split_part(p_name, ' ', 2)) >= 4)""".stripMargin
+
+  /** E10–E12: agglomerative clustering over the doubled corpus — blocked
+    * scored edges → connected components → exact greedy replay — emitted
+    * as the cluster-size histogram the construction pins to one row.
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame =
+    graft.linkage.Clustering.cluster(doubledCorpus(spark, dir),
+        graft.linkage.Clustering.ClusterConfig(cutoff = 99.0))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** E8 exercised end to end: the same corpus pre-clustered via
+    * MinHash-LSH candidates (collision shingles → banded signature
+    * buckets) instead of prefix buckets, scored with the same
+    * person-similarity cutoff, components emitted as the same histogram.
+    * Exact twins have identical shingle sets ⇒ identical signatures ⇒
+    * guaranteed candidates, so the construction oracle carries over.
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = doubledCorpus(spark, dir)
+    val cands = graft.linkage.Clustering.minHashCandidates(doubled)
+    val scored = PersonMatching.scorePairs(
+      cands.select(col("a").as("srcID"), col("b").as("trgID")),
+      doubled.withColumnRenamed("id", "srcID"),
+      doubled.withColumnRenamed("id", "trgID"),
+      MatchConfig(minScore = 99.0))
+    graft.linkage.Clustering
+      .connectedComponents(doubled.select("id"),
+        scored.select(col("srcID").as("a"), col("trgID").as("b")))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
   }
 
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
-    Q("q23_person_clustering", q23, None))
+    Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
+    Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)))
 }

@@ -54,9 +54,13 @@ object LlmData {
       |ORDER BY canonical_id""".stripMargin
 
   /** MinHash+LSH near-dup detection: must find the near-copies (high
-    * shingle overlap) as well as the exact copies. Jaccard itself is the
-    * verdict, so the result is deterministic; rows-only check (the
-    * banding cannot be expressed in SQL), value assertions in DedupSpec.
+    * shingle overlap) as well as the exact copies. The pipeline rescores
+    * every banded candidate with EXACT shingle Jaccard, so its output is
+    * the subset of the true ≥-threshold pair set that LSH surfaces — and
+    * on this corpus (64 perms × 16 bands at the pairs' Jaccard levels)
+    * that is the COMPLETE set, deterministically (fixed hash seeds). The
+    * oracle is therefore the same first-principles SQL Jaccard derivation
+    * q27 uses: any LSH recall miss or banding bug breaks the hash match.
     */
   private def q25(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashDuplicates(corpusWithDups(spark, dir), "doc_id", "text",
@@ -64,10 +68,42 @@ object LlmData {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("a"), col("b"))
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures). */
+  /** SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures). The
+    * token hash is md5-based ([[graft.text.Dedup.tokenHash64]]) precisely
+    * so DuckDB can rebuild the signatures bit by bit from `md5(token)`
+    * hex and verify the whole pipeline — tokenization, weighted bit
+    * votes, and the pigeonhole band join (exact for Hamming ≤ 3, so the
+    * SQL's all-pairs Hamming filter is the same set).
+    */
   private def q26(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashDuplicates(corpusWithDups(spark, dir), "doc_id", "text", maxDistance = 3)
       .orderBy(col("a"), col("b"))
+  private val q26Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 2500
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM corpus),
+      |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - (i // 4), 1)) - 1)
+      |               >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END AS w
+      |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS i)),
+      |sig AS (
+      |  SELECT doc_id, i, CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM bits GROUP BY 1, 2),
+      |ham AS (
+      |  SELECT sa.doc_id AS a, sb.doc_id AS b,
+      |    SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.doc_id < sb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, CAST(hamming AS INTEGER) AS hamming FROM ham
+      |WHERE hamming <= 3
+      |ORDER BY a, b""".stripMargin
 
   /** N-gram Jaccard dedup via the inverted-index join. The oracle
     * recomputes 3-token-shingle Jaccard in SQL from first principles —
@@ -193,8 +229,8 @@ object LlmData {
   val defs: Seq[Q] = Seq(
     Q("q32_event_time_window", q32, Some(q32Sql)),
     Q("q24_exact_dedup", q24, Some(q24Sql)),
-    Q("q25_minhash_dedup", q25, None),
-    Q("q26_simhash_dedup", q26, None),
+    Q("q25_minhash_dedup", q25, Some(q27Sql)),
+    Q("q26_simhash_dedup", q26, Some(q26Sql)),
     Q("q27_ngram_jaccard_dedup", q27, Some(q27Sql)),
     Q("q28_text_stats", q28, Some(q28Sql)),
     Q("q29_text_analysis", q29, None),

@@ -74,6 +74,15 @@ object Fixtures {
     val tmp = java.nio.file.Files.createTempFile("graft_fixture_", s"_$name")
     try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
+    // pandas `to_csv(index=True)` leaves the index header blank; Spark's
+    // header-vs-schema check then logs a spurious `Expected: _c0` error on
+    // every scan. Name it here — `readStrings(indexCol = true)` renames
+    // the first column to row_id regardless.
+    if (name.endsWith(".csv")) {
+      val text = java.nio.file.Files.readString(tmp)
+      if (text.startsWith(","))
+        java.nio.file.Files.writeString(tmp, "row_id" + text)
+    }
     tmp.toFile.deleteOnExit()
     tmp.toString
   }

@@ -122,6 +122,18 @@ object Ann {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Per-JVM memo so the signature UDF can size the planes from the row's
+    * own vector length — no driver-side `head()` job to learn the
+    * dimension, and every executor derives the identical array from the
+    * seed.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+  private[text] def cachedPlanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim, seed), { k: (Int, Int, Long) =>
+      hyperplanes(k._1, k._2, k._3)
+    })
+
   /** Default tuned for moderate neighbors (θ ≈ 60°): collision per table
     * (1-θ/π)^bits ≈ 0.20, so 12 tables give ≈ 93% recall. Tighter
     * neighbor structure (real embedding corpora) permits more bits per
@@ -140,11 +152,11 @@ object Ann {
   def lshCosineTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(cfg.bits * cfg.tables, dim, cfg.seed)
     val bits = cfg.bits
     val tables = cfg.tables
+    val seed = cfg.seed
     val sigUdf = udf { (v: Seq[Double]) =>
+      val planes = Ann.cachedPlanes(bits * tables, v.length, seed)
       (0 until tables).map { t =>
         var key = 0L
         var b = 0

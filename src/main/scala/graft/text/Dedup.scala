@@ -108,15 +108,20 @@ object Dedup {
     }
     val shingled = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
+    // band join carries IDS ONLY: shuffling each document's shingle set
+    // once per band (×bands) is the classic LSH scale mistake — the
+    // payload rejoins exactly once per surviving candidate below, the
+    // same shape as ngramJaccardDuplicates' rescore
     val banded = shingled
-      .withColumn("band", explode(bandsUdf(sigUdf(col("shingles")))))
-    val l = banded.select(col("band"), col("id").as("a"), col("shingles").as("sa"))
-    val r = banded.select(col("band"), col("id").as("b"), col("shingles").as("sb"))
-    val jacUdf = udf { (a: Seq[String], b: Seq[String]) => jaccard(a, b) }
-    l.join(r, "band")
+      .select(col("id"), explode(bandsUdf(sigUdf(col("shingles")))).as("band"))
+    val candidates = banded.select(col("band"), col("id").as("a"))
+      .join(banded.select(col("band"), col("id").as("b")), "band")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb"))
-      .distinct()
+      .select("a", "b").distinct()
+    val jacUdf = udf { (a: Seq[String], b: Seq[String]) => jaccard(a, b) }
+    candidates
+      .join(shingled.select(col("id").as("a"), col("shingles").as("sa")), "a")
+      .join(shingled.select(col("id").as("b"), col("shingles").as("sb")), "b")
       .withColumn("jaccard", jacUdf(col("sa"), col("sb")))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("a", "b", "jaccard")
@@ -124,13 +129,33 @@ object Dedup {
 
   // --- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens. */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 64-bit token hash: the first 8 bytes of md5(token),
+    * big-endian. md5 is the one hash both this engine and the DuckDB
+    * oracle compute identically (`('0x' || substr(md5(t),1,16))`), which
+    * makes the SimHash pipeline value-verifiable end to end — signature
+    * construction included — instead of rows-only.
+    */
+  def tokenHash64(tok: String): Long = {
+    val d = md5Digest.get().digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (md5-based token hash — see
+    * [[tokenHash64]]).
+    */
   def simHash(text: String): Long = {
     if (text == null) return 0L
     val weights = new Array[Int](64)
     for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
-      val h = (MurmurHash3.stringHash(tok, 0x5bd1e995).toLong << 32) |
-        (MurmurHash3.stringHash(tok, 0x27d4eb2f) & 0xffffffffL)
+      val h = tokenHash64(tok)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) weights(bit) += 1 else weights(bit) -= 1
