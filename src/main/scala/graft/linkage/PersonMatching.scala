@@ -69,10 +69,14 @@ object PersonMatching {
     * accumulator, never silent. Default 10000 (10^8 pairs/bucket ceiling)
     * is far above any non-degenerate bucket.
     */
+  /** Most recent drop counter (test observability; one per capped side). */
+  @volatile private[graft] var lastDropAccumulator: org.apache.spark.util.LongAccumulator = _
+
   private def capBuckets(exploded: DataFrame, id: String, maxBucketSize: Int): DataFrame = {
     if (maxBucketSize <= 0) return exploded
     val acc = exploded.sparkSession.sparkContext
       .longAccumulator("graft.match.dropped_bucket_rows")
+    lastDropAccumulator = acc
     val keepUdf = udf { (rank: Int) =>
       val keep = rank <= maxBucketSize
       if (!keep) acc.add(1)
@@ -103,7 +107,10 @@ object PersonMatching {
       allowDuplicates: Boolean = true,
       useSimpleDateMatcher: Boolean = false,
       // per-bucket membership ceiling; ≤0 disables (see capBuckets)
-      maxBucketSize: Int = 10000)
+      maxBucketSize: Int = 10000,
+      // score via the codegen'd column expression instead of the UDF —
+      // see the measurement note in scorePairs
+      useExpressionScorer: Boolean = false)
 
   /** E6 `person_similarity` as a pure column expression over the native
     * codegen'd kernels — identical arithmetic (and FP association) to
@@ -198,12 +205,25 @@ object PersonMatching {
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
     val nameOnly = cfg.nameOnly
     val simpleDate = cfg.useSimpleDateMatcher
-    // The scorer stays a UDF deliberately: the score feeds both the
+    if (cfg.useExpressionScorer) {
+      val (sCols, sP) = personCols(cfg, src, "s_")
+      val (tCols, tP) = personCols(cfg, trg, "t_")
+      val srcF = src.select((col("srcID") +: sCols): _*)
+      val trgF = trg.select((col("trgID") +: tCols): _*)
+      return candidates.join(srcF, "srcID").join(trgF, "trgID")
+        .withColumn("score", personSimilarityColumn(sP, tP,
+          useDate, usePrisoner, usePob, nameOnly, simpleDate))
+        .filter(col("score") >= cfg.minScore)
+        .select(col("srcID"), col("score"), col("trgID"))
+    }
+    // The scorer stays a UDF by default: the score feeds both the
     // cutoff Filter and the output Project, and a composite column
-    // expression is re-evaluated in each (measured 1.5× slower end to
-    // end than the single-dispatch UDF, whose cost is dominated by the
-    // string kernels either way). `personSimilarityColumn` remains the
-    // expression-level surface for filter-pushdown use cases.
+    // expression is re-evaluated in each. Re-measured after hot-bucket
+    // capping landed (q22 sf0.1, 6.3M candidates, two runs each):
+    // UDF 17.5/19.7 s vs expression 28.6/24.2 s — the single-dispatch
+    // UDF still wins ~1.4×; cost is dominated by the string kernels
+    // either way. `useExpressionScorer` keeps the codegen path
+    // selectable for filter-pushdown use cases.
     val scoreUdf = udf { (s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
       def p(r: org.apache.spark.sql.Row) = graft.similarity.Similarity.Person(
         r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),

@@ -85,6 +85,28 @@ class ClusteringSpec extends SparkSpec {
     assert(sh.contains("n")) // deletion of one char from "nn"
   }
 
+  test("oversized component falls back to streamed single-linkage, never buffers") {
+    // adversarial: 400 rows of the SAME person — blocking collapses to
+    // one component of 400 (every pair scores 100). With the guard at
+    // 100 the greedy replay must NOT buffer the component; the fallback
+    // assigns the whole component to one cluster.
+    val degenerate = spark.range(1, 401)
+      .select(col("id"),
+        lit("maria").as("strGName_processed"), lit("kovac").as("strLName_processed"),
+        lit("19210505").as("strDoB_processed"), lit("brno").as("strPoB_processed"),
+        lit(null).cast("string").as("prisoner_number"))
+    val out = Clustering.cluster(degenerate,
+      ClusterConfig(cutoff = 90.0, maxComponentSize = 100))
+    val byCluster = out.groupBy(col("cluster_id")).count().collect()
+    assert(byCluster.length === 1, "fallback must yield one single-linkage cluster")
+    assert(byCluster.head.getAs[Long]("count") === 400L, "every row assigned")
+    // same corpus under the default guard: replay runs and agrees here
+    // (identical members — greedy also builds one cluster)
+    val replayed = Clustering.cluster(degenerate, ClusterConfig(cutoff = 90.0))
+      .select(countDistinct(col("cluster_id"))).head().getLong(0)
+    assert(replayed === 1L)
+  }
+
   test("merge_clusterings unions overlapping clusters") {
     val l1 = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cluster_id")
     val l2 = Seq((2L, "p"), (3L, "p"), (4L, "q")).toDF("id", "cluster_id")

@@ -92,6 +92,46 @@ class PersonMatchingSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap bounds candidates; survivors keep exact pairs; drops counted") {
+    // degenerate corpus: 40 persons, ALL the same name — one composite
+    // bucket with 40 members/side, 1600 candidate pairs uncapped
+    val degenerate = (1L to 40L).map(i =>
+      (i, "anna", "nowak", "19300101", "brno", i.toString))
+      .toDF("id", "strGName_processed", "strLName_processed", "strDoB_processed",
+        "strPoB_processed", "prisoner_number")
+    val src = degenerate.withColumnRenamed("id", "srcID")
+    val trg = degenerate.withColumnRenamed("id", "trgID")
+    val capped = PersonMatching.scoredPairs(src, trg,
+      MatchConfig(minScore = 0.0, maxBucketSize = 5), lit(true)).collect()
+    // both sides keep the SAME deterministic 5 survivors → exactly 25
+    // pairs, and every survivor keeps its exact self-pair
+    assert(capped.length === 25, s"cap must bound pairs to 5x5, got ${capped.length}")
+    val survivors = capped.map(_.getAs[Long]("srcID")).toSet
+    assert(survivors.size === 5)
+    val pairs = capped.map(r => (r.getAs[Long]("srcID"), r.getAs[Long]("trgID"))).toSet
+    survivors.foreach(s => assert(pairs.contains((s, s)), s"self-pair of $s dropped"))
+    assert(PersonMatching.lastDropAccumulator.value === 35L,
+      "each dropped bucket membership must be counted")
+    // uncapped default on the same corpus: the full quadratic pair set
+    val uncapped = PersonMatching.scoredPairs(src, trg,
+      MatchConfig(minScore = 0.0), lit(true)).count()
+    assert(uncapped === 1600L)
+  }
+
+  test("expression scorer path agrees with the UDF path end to end") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    def run(expr: Boolean) = PersonMatching.scoredPairs(src, trg,
+      MatchConfig(minScore = 80.0, useExpressionScorer = expr), lit(true))
+      .collect()
+      .map(r => (r.getAs[Long]("srcID"), r.getAs[Long]("trgID")) -> r.getAs[Double]("score"))
+      .toMap
+    val udf = run(expr = false)
+    val col = run(expr = true)
+    assert(udf.keySet === col.keySet)
+    udf.foreach { case (k, v) => assert(math.abs(col(k) - v) < 1e-9, s"pair $k") }
+  }
+
   test("allowDuplicates=false keeps one source per target") {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.filter(col("id") === 1).withColumnRenamed("id", "trgID")

@@ -34,6 +34,39 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc")
   }
 
+  test("minhash band join shuffles ids only — shingle payload stays off the wire") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // 200 fat docs (400 tokens each, token ranges disjoint across docs)
+    // ≈ 2 MB of shingle payload per side, plus 5 injected exact dups.
+    // The pre-slim plan shuffled every document's shingle array once per
+    // band (×16 ≈ 60+ MB); the slim plan shuffles (band, id) keys and
+    // rejoins the payload only for surviving candidates.
+    val base = spark.range(0, 200).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(399)),
+        j => concat(lit("t"), col("id") * 1000 + j)), " ").as("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") < 5).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Dedup.minHashDuplicates(corpus, "doc_id", "text",
+        Dedup.MinHashConfig(shingleSize = 3, numPerm = 64, bands = 16,
+          jaccardThreshold = 0.5)).collect()
+      assert(pairs.length === 5, "exactly the injected dup pairs")
+      var last = -1L
+      var tries = 0
+      while (bytes.get() != last && tries < 50) { // drain the listener bus
+        last = bytes.get(); Thread.sleep(100); tries += 1
+      }
+      assert(bytes.get() < 16L * 1024 * 1024,
+        s"shuffled ${bytes.get()} bytes — is the shingle payload on the wire?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("simhash: identical texts collide, near dups within hamming 3") {
     assert(Dedup.simHash("a b c") === Dedup.simHash("a b c"))
     val pairs = Dedup.simHashDuplicates(docs, "doc_id", "text", maxDistance = 3)
