@@ -198,8 +198,12 @@ object LlmData {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed cosine top-k (the scale path). Rows-only; AnnSpec
-    * asserts recall ≥ 0.9 against the exact ranking.
+  /** LSH-bucketed cosine top-k (the scale path), with a FULL value
+    * oracle: the hyperplanes are md5-derived ±1 vectors
+    * ([[graft.text.Ann]]), so DuckDB rebuilds the same projections,
+    * 4-bit band keys (12 tables), candidate buckets, exact cosine
+    * rescore and ranking. Any banding or recall regression breaks the
+    * hash match; TextOpsSpec separately asserts recall ≥ 0.9 vs exact.
     */
   private def q31(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -208,6 +212,46 @@ object LlmData {
       .select(col("query_id"), col("rank"), col("id"))
       .orderBy(col("query_id"), col("rank"))
   }
+  // mirrors LshConfig defaults: bits=4, tables=16 (64 planes), seed=42;
+  // plane entry (p,i) = ±1 from the low bit of md5("42:p:i"), table
+  // t = p//4, bit position b = p%4, bucket bit set when dot >= 0
+  private val q31Sql =
+    """WITH planes AS (
+      |  SELECT p, i,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |                substr(md5('42:' || p || ':' || i), 16, 1)) - 1) & 1 = 1
+      |      THEN 1.0 ELSE -1.0 END AS s
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS p),
+      |       (SELECT unnest(generate_series(0, 63)) AS i)),
+      |vecs AS (
+      |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+      |dots AS (
+      |  SELECT v.vec_id, pl.p, SUM(v.x * pl.s) AS d
+      |  FROM vecs v JOIN planes pl ON v.i = pl.i
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT vec_id, p // 4 AS t,
+      |    SUM(CASE WHEN d >= 0 THEN CAST(pow(2, p % 4) AS BIGINT) ELSE 0 END) AS key
+      |  FROM dots GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+      |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.key = c.key
+      |  WHERE q.vec_id < 10),
+      |scored AS (
+      |  SELECT ca.query_id, ca.id,
+      |    list_cosine_similarity(qe.embedding, ce.embedding) AS score
+      |  FROM cands ca
+      |  JOIN embeddings qe ON qe.vec_id = ca.query_id
+      |  JOIN embeddings ce ON ce.vec_id = ca.id),
+      |ranked AS (
+      |  SELECT query_id, id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, id FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** §2.12 batch shape of the streaming window operator: the same
     * `window()` expression `Streams.windowedEventCounts` uses, run in
@@ -235,5 +279,5 @@ object LlmData {
     Q("q28_text_stats", q28, Some(q28Sql)),
     Q("q29_text_analysis", q29, None),
     Q("q30_cosine_topk", q30, Some(q30Sql)),
-    Q("q31_ann_lsh_topk", q31, None))
+    Q("q31_ann_lsh_topk", q31, Some(q31Sql)))
 }

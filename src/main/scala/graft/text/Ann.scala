@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -116,11 +115,16 @@ object Ann {
       .select(col("query_id").as("a"), col("id").as("b"), col("score"))
   }
 
-  /** Deterministic random hyperplanes: `planes(i)(d)` ~ N(0,1), seeded. */
-  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new Random(seed)
-    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic Rademacher (±1) hyperplanes, entry `p,i` drawn from
+    * the low bit of `md5("seed:p:i")`. Sign-random-projection theory
+    * holds for any symmetric ±1 ensemble, and md5 is the one generator
+    * both this engine and the DuckDB oracle evaluate identically — so
+    * the whole ANN pipeline (projection, banding, candidate join, exact
+    * rescore, ranking) is value-verifiable in SQL rather than rows-only.
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i =>
+      if ((Dedup.tokenHash64(s"$seed:$p:$i") & 1L) == 1L) 1.0 else -1.0))
 
   /** Per-JVM memo so the signature UDF can size the planes from the row's
     * own vector length — no driver-side `head()` job to learn the
@@ -135,13 +139,14 @@ object Ann {
     })
 
   /** Default tuned for moderate neighbors (θ ≈ 60°): collision per table
-    * (1-θ/π)^bits ≈ 0.20, so 12 tables give ≈ 93% recall. Tighter
+    * (1-θ/π)^bits ≈ 0.20, so 16 tables give ≈ 97% expected recall
+    * (measured ≥ 0.9 on the synthetic corpus in TextOpsSpec). Tighter
     * neighbor structure (real embedding corpora) permits more bits per
     * table and fewer rescores.
     */
   final case class LshConfig(
       bits: Int = 4,
-      tables: Int = 12,
+      tables: Int = 16,
       seed: Long = 42L)
 
   /** LSH bucketed cosine top-k: per table, the sign pattern of `bits`
