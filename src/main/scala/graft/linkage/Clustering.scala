@@ -81,9 +81,12 @@ object Clustering {
         s"$i:${scala.util.hashing.MurmurHash3.orderedHash(band.toSeq)}"
       }.toSeq
     }
+    // both join sides reuse one materialized pass of the shingle+MinHash
+    // UDF chain instead of recomputing it per side
     val banded = persons.select(col("id"),
       explode(bandsUdf(shingleUdf(col("strGName_processed"), col("strLName_processed"))))
         .as("band"))
+      .localCheckpoint()
     banded.select(col("band"), col("id").as("a"))
       .join(banded.select(col("band"), col("id").as("b")), "band")
       .filter(col("a") < col("b"))

@@ -106,8 +106,12 @@ object Dedup {
         s"$i:${MurmurHash3.orderedHash(band)}"
       }.toSeq
     }
+    // materialize the shingled base ONCE: it feeds the banding and both
+    // rescore joins — without this the corpus scan + shingle kernel
+    // re-run per consumer (at scale: three full passes instead of one)
     val shingled = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
+      .localCheckpoint()
     // band join carries IDS ONLY: shuffling each document's shingle set
     // once per band (×bands) is the classic LSH scale mistake — the
     // payload rejoins exactly once per surviving candidate below, the
@@ -183,7 +187,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= 3, "4-band pigeonhole covers Hamming distance <= 3")
+    // one materialized pass for the signature UDF; both join sides reuse it
     val hashed = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sim"))
+      .localCheckpoint()
     val bandUdf = udf { (h: Long) =>
       (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xffffL}")
     }
@@ -214,8 +220,14 @@ object Dedup {
   def ngramJaccardDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // materialize the shingled base ONCE — the inverted index, the
+    // document-frequency aggregate, the prefix windows and both rescore
+    // joins all hang off it; without this each consumer re-runs the
+    // corpus scan + shingle kernel (measured: more than half of q27's
+    // wall time at sf0.1 was that recomputation)
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), k)).as("sh"))
+      .localCheckpoint()
     val inv = shingled.select(col("id"), explode(col("sh")).as("g"))
     // global rarest-first gram order
     val gramDf = inv.groupBy("g").agg(count(lit(1)).as("df"))
@@ -234,18 +246,19 @@ object Dedup {
       .join(prefix.select(col("g"), col("id").as("b")), "g")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact rescore: shared distinct grams per candidate pair — expand
-    // each candidate by a's grams, then equi-join on (b, gram)
-    val shared = candidates
-      .join(inv.select(col("id").as("a"), col("g")), "a")
-      .join(inv.select(col("id").as("b"), col("g")), Seq("b", "g"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("n"))
-    shared
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+    // exact rescore: rejoin each side's distinct-gram ARRAY once per
+    // candidate and intersect in a codegen'd expression. Joining the
+    // arrays moves |candidates| bounded-size rows; the alternative —
+    // exploding candidates by a's grams and equi-joining on (b, gram) —
+    // shuffles |candidates|·|grams per doc| rows through two extra
+    // aggregation stages (measured 9–13 s → ~5 s on the sf0.1 bench).
+    candidates
+      .join(shingled.select(col("id").as("a"), col("sh").as("sa")), "a")
+      .join(shingled.select(col("id").as("b"), col("sh").as("sb")), "b")
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        col("shared").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
