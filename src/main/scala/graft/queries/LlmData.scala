@@ -253,6 +253,35 @@ object LlmData {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-cosine near-duplicate detection (the dedup family's
+    * vector sibling): 50 exact duplicate vectors injected at
+    * vec_id + 10000, pairs at cosine ≥ 0.99 via the LSH-bucketed join.
+    * Exact duplicates share every bucket, so LSH finds them all, and it
+    * never false-accepts — the oracle is therefore the first-principles
+    * all-pairs cosine filter (native cross-vector cosine tops out ≈ 0.6
+    * on this corpus, so the threshold isolates the construction).
+    * Scores are dropped from the output: the two engines sum FP in
+    * different orders (the q30 rank-compare precedent).
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select("vec_id", "embedding").unionByName(
+      e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    Ann.cosineNearDuplicates(corpus, threshold = 0.99)
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
+  }
+  private val q35Sql =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50)
+      |SELECT a.vec_id AS a, b.vec_id AS b
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+      |ORDER BY a, b""".stripMargin
+
   /** §2.12 batch shape of the streaming window operator: the same
     * `window()` expression `Streams.windowedEventCounts` uses, run in
     * batch mode with a DuckDB time_bucket oracle.
@@ -270,8 +299,41 @@ object LlmData {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** §2.12 session windows in batch: per-user sessions split on 30
+    * minutes of event-time silence via the built-in `session_window`
+    * (the declarative twin of `Streams.userSessions`). The oracle
+    * re-derives sessionization from first principles: a lag-over-user
+    * break flag, a running sum as session id, then min/count per
+    * session. `session_window.end` (last event + gap, a Spark
+    * convention) is intentionally not emitted.
+    */
+  private def q36(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  private val q36Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '30 minutes'
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q32_event_time_window", q32, Some(q32Sql)),
+    Q("q36_session_window", q36, Some(q36Sql)),
     Q("q24_exact_dedup", q24, Some(q24Sql)),
     Q("q25_minhash_dedup", q25, Some(q27Sql)),
     Q("q26_simhash_dedup", q26, Some(q26Sql)),
@@ -279,5 +341,6 @@ object LlmData {
     Q("q28_text_stats", q28, Some(q28Sql)),
     Q("q29_text_analysis", q29, None),
     Q("q30_cosine_topk", q30, Some(q30Sql)),
-    Q("q31_ann_lsh_topk", q31, Some(q31Sql)))
+    Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
+    Q("q35_cosine_near_dup", q35, Some(q35Sql)))
 }

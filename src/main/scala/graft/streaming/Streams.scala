@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY §2.12).
   *
@@ -44,6 +44,60 @@ object Streams {
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ "ts")
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  final case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` (§2.12):
+    * per-user sessions split on `gapMs` of event-time silence. Open
+    * sessions live in bounded group state keyed by user and are flushed
+    * by event-time TIMEOUT when the watermark passes `last event + gap` —
+    * state never grows with history, only with concurrently-open
+    * sessions, which is what survives an unbounded feed. Batch
+    * `session_window(ts, gap)` (q36) is the declarative twin; this is
+    * the escape hatch for state logic the built-in can't express.
+    */
+  def userSessions(
+      events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[SessionEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def emit(s: SessionState) = Session(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+          if (state.hasTimedOut) { // watermark passed end+gap: session is final
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (t <- times) cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              case Some(s) => // in-batch gap: previous session is closed
+                closed ::= emit(s)
+                cur = Some(SessionState(t, t, 1))
+              case None => cur = Some(SessionState(t, t, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 
   /** The reference's batch loop as a stream: process whatever is
     * available, one bounded run (`Trigger.AvailableNow`), each micro-

@@ -176,13 +176,20 @@ object Ann {
         s"$t:$key"
       }
     }
-    def withBuckets(df: DataFrame, id: String) = df
+    // bucket join carries IDS ONLY (same shape as the MinHash band join):
+    // the candidate distinct runs over narrow pairs, and each side's
+    // vector rejoins exactly once per surviving candidate instead of
+    // riding through the explode ×tables
+    def vecs(df: DataFrame, id: String) = df
       .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
-      .withColumn("bucket", explode(sigUdf(col(s"__v_$id"))))
-    val qb = withBuckets(queries, "query_id")
-    val cb = withBuckets(corpus, "id")
-    val scored = qb.join(cb, "bucket")
-      .select(col("query_id"), col("id"), col("__v_query_id"), col("__v_id")).distinct()
+    def withBuckets(df: DataFrame, id: String) = vecs(df, id)
+      .select(col(id), explode(sigUdf(col(s"__v_$id"))).as("bucket"))
+    val candidates = withBuckets(queries, "query_id")
+      .join(withBuckets(corpus, "id"), "bucket")
+      .select(col("query_id"), col("id")).distinct()
+    val scored = candidates
+      .join(vecs(queries, "query_id"), "query_id")
+      .join(vecs(corpus, "id"), "id")
       .withColumn("score", cosine(col("__v_query_id"), col("__v_id")))
     if (k == Int.MaxValue)
       scored.withColumn("rank", lit(0)).select("query_id", "rank", "id", "score")

@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
     assert(seen.sum === 100L, s"batches: $seen")
   }
 
+  test("flatMapGroupsWithState sessionization: gaps split, timeout flushes, matches session_window") {
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val sessions = Streams.userSessions(events, gapMs = 10L * 60 * 1000,
+      watermark = "5 minutes")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions split by an 18-minute in-batch gap;
+      // user 2: one session
+      input.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(23)), (2L, ts(7)))
+      q.processAllAvailable()
+      // watermark advance (59 - 5min wm > 33min timeout) flushes the rest
+      input.addData((9L, ts(59)))
+      q.processAllAvailable()
+      val got = session.table("sessions_out")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L)), s"first session of user 1: $got")
+      assert(got.contains((1L, "2024-01-01 10:23:00.0", 1L)), "second session of user 1")
+      assert(got.contains((2L, "2024-01-01 10:07:00.0", 1L)), "user 2 session")
+      // the declarative twin agrees on the same data, batch mode
+      val batch = Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(23)), (2L, ts(7)))
+        .toDF("user_id", "ts")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("s"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(batch === got.filter(_._1 != 9L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = session.sqlContext
     val input = MemoryStream[(Timestamp, String)]
