@@ -259,6 +259,17 @@ object PersonMatching {
     // non-linear step and buys nothing at topN = unbounded
     val topK =
       if (cfg.topN == Int.MaxValue) scored
+      else if (cfg.topN == 1)
+        // best-match special case as an aggregation, NOT a window: the
+        // same (score desc, trgID asc) order, but max_by combines
+        // map-side, so the shuffle moves one row per (source, task)
+        // instead of sorting every scored candidate per source
+        scored
+          .groupBy(col("srcID"))
+          .agg(max_by(struct(col("score"), col("trgID")),
+            struct(col("score"), negate(col("trgID")))).as("__best"))
+          .select(col("srcID"), col("__best.score").as("score"),
+            col("__best.trgID").as("trgID"))
       else {
         val w = Window.partitionBy(col("srcID")).orderBy(col("score").desc, col("trgID"))
         scored

@@ -282,6 +282,47 @@ object LlmData {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
       |ORDER BY a, b""".stripMargin
 
+  /** Multimodal plumbing, driver-visible with a construction oracle:
+    * binary media columns are synthesized from the documents corpus
+    * (stub header with dimensions derived from doc_id, text bytes as
+    * payload), then decoded back through [[graft.text.Multimodal]] —
+    * metadata extraction and frame sampling. The oracle re-derives
+    * every output from the construction (the texts are pure ASCII, so
+    * `length(text)` IS the payload byte count), which pins the whole
+    * encode → decode → sample round trip value-level. The codec itself
+    * stays an honestly-stubbed boundary (no media libs here).
+    */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long, text: String) =>
+      Multimodal.StubCodec.encodeHeader("image", "fakepng",
+        (id % 640 + 1).toInt, (id % 480 + 1).toInt, 0L) ++
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encodeUdf(col("doc_id"), col("text")).as("content"))
+    val meta = Multimodal.withMetadata(media, "content")
+      .select(col("doc_id"),
+        col("media_meta.media_type").as("media_type"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        (col("media_meta.size_bytes") - Multimodal.StubCodec.HeaderBytes)
+          .as("payload_bytes"))
+    val frames = Multimodal.sampleFrames(media, "content")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    meta.join(frames, "doc_id").orderBy("doc_id")
+  }
+  private val q37Sql =
+    """SELECT doc_id,
+      |  'image' AS media_type, 'fakepng' AS format,
+      |  CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+      |  CAST(length(text) AS BIGINT) AS payload_bytes,
+      |  CAST(CEIL(CEIL(length(text) / 64.0) / 4.0) AS BIGINT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** §2.12 batch shape of the streaming window operator: the same
     * `window()` expression `Streams.windowedEventCounts` uses, run in
     * batch mode with a DuckDB time_bucket oracle.
@@ -342,5 +383,6 @@ object LlmData {
     Q("q29_text_analysis", q29, None),
     Q("q30_cosine_topk", q30, Some(q30Sql)),
     Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
-    Q("q35_cosine_near_dup", q35, Some(q35Sql)))
+    Q("q35_cosine_near_dup", q35, Some(q35Sql)),
+    Q("q37_multimodal_roundtrip", q37, Some(q37Sql)))
 }
