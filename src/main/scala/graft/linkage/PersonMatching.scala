@@ -57,6 +57,9 @@ object PersonMatching {
     s.join(t, Seq("fb", "lb")).select("srcID", "trgID").distinct()
   }
 
+  /** Most recent drop counter (test observability; one per capped side). */
+  @volatile private[graft] var lastDropAccumulator: org.apache.spark.util.LongAccumulator = _
+
   /** Hard per-bucket membership cap — the 100 TB safety valve. Candidate
     * pairs per composite bucket grow with |src|·|trg| of the bucket; on a
     * degenerate corpus (mass-shared names) that is quadratic and neither
@@ -69,9 +72,6 @@ object PersonMatching {
     * accumulator, never silent. Default 10000 (10^8 pairs/bucket ceiling)
     * is far above any non-degenerate bucket.
     */
-  /** Most recent drop counter (test observability; one per capped side). */
-  @volatile private[graft] var lastDropAccumulator: org.apache.spark.util.LongAccumulator = _
-
   private def capBuckets(exploded: DataFrame, id: String, maxBucketSize: Int): DataFrame = {
     if (maxBucketSize <= 0) return exploded
     val acc = exploded.sparkSession.sparkContext

@@ -268,7 +268,12 @@ object LlmData {
     val corpus = e.select("vec_id", "embedding").unionByName(
       e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-    Ann.cosineNearDuplicates(corpus, threshold = 0.99)
+    // near-dup detection tolerates much tighter buckets than generic
+    // top-k: at cos ≥ 0.99 (θ ≈ 8°) per-bit collision is ~0.955, so 8
+    // bits × 8 tables keeps expected recall ≈ 99.99% while cutting the
+    // rescored candidate set ~30× vs the 4-bit top-k default
+    Ann.cosineNearDuplicates(corpus, threshold = 0.99,
+        Ann.LshConfig(bits = 8, tables = 8))
       .select(col("a"), col("b"))
       .orderBy(col("a"), col("b"))
   }
