@@ -145,14 +145,24 @@ object EncDeduplicater {
     df = df.na.fill("-", strCols)
     // empty strings count as missing too: the reference's stage boundary
     // is a CSV file where empty cells arrive as NaN, so its fillna('-')
-    // covers them — an in-memory chain hands us "" instead
-    for (c <- strCols if c != spec.idCol)
-      df = df.withColumn(c, when(col(c) === "", lit("-")).otherwise(col(c)))
+    // covers them — an in-memory chain hands us "" instead.
+    // One select for the whole per-column rewrite, NOT a withColumn per
+    // column: every withColumn is a full analyzer pass over the plan, so
+    // a loop is O(cols²) driver time (it was the bulk of q17's wall).
+    val strSet = strCols.toSet
     val yearRe = java.util.regex.Pattern.compile("[yY][eE][aA][rR]")
-    for (c <- spec.dateCols) {
-      val repl = if (yearRe.matcher(c).find()) "0000" else "00"
-      df = df.withColumn(c, when(col(c) === "-", lit(repl)).otherwise(col(c)))
-    }
+    val dateRepl: Map[String, String] = spec.dateCols
+      .map(c => c -> (if (yearRe.matcher(c).find()) "0000" else "00")).toMap
+    df = df.select(df.columns.map { c =>
+      val base =
+        if (strSet.contains(c) && c != spec.idCol)
+          when(col(c) === "", lit("-")).otherwise(col(c))
+        else col(c)
+      dateRepl.get(c) match {
+        case Some(repl) => when(base === "-", lit(repl)).otherwise(base).as(c)
+        case None       => base.as(c)
+      }
+    }.toIndexedSeq: _*)
     val hadRowId = df.columns.contains("row_id")
     if (!hadRowId) df = df.withColumn("row_id", monotonically_increasing_id())
 
@@ -237,22 +247,28 @@ object EncDeduplicater {
     val verdicts = consensus
       .select(col(spec.idCol).as("__vid"), col("is_ambiguous"),
         col("ambiguous_columns"), col("object_id"))
+    val qaSet = qaArr.map(_._1).toSet
     var raw = df
       .withColumn("deleted", lit(true))
       .join(verdicts, col(spec.idCol) === col("__vid"), "left")
       .drop("__vid")
-    for ((qc, _) <- qaArr)
-      raw = raw.withColumn(qc, lower(col(qc)) === "true")
+    raw = raw.select(raw.columns.map { c => // one analyzer pass, not per-col
+      if (qaSet.contains(c)) (lower(col(c)) === "true").as(c) else col(c)
+    }.toIndexedSeq: _*)
     if (!hadRowId) raw = raw.drop("row_id")
 
     val unioned = raw.unionByName(consensus.withColumn("deleted", lit(false)),
       allowMissingColumns = true)
 
     // Final cleanup (deduplication.py:295): fill empty + strip the float
-    // artifact suffix ".0" on every string column.
-    val outStr = unioned.schema.fields.filter(_.dataType == StringType).map(_.name)
-    outStr.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, regexp_replace(coalesce(col(c), lit("")), "\\.0$", ""))
-    }
+    // artifact suffix ".0" on every string column (single select — a
+    // withColumn fold is quadratic analyzer work).
+    val outStrSet = unioned.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSet
+    unioned.select(unioned.columns.map { c =>
+      if (outStrSet.contains(c))
+        regexp_replace(coalesce(col(c), lit("")), "\\.0$", "").as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
   }
 }
