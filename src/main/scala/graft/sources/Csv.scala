@@ -47,13 +47,18 @@ object Csv {
     "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
     "n/a", "nan", "null")
 
-  /** Convert pandas-default NA strings to real nulls on every string column. */
+  /** Convert pandas-default NA strings to real nulls on every string
+    * column — one select (a withColumn fold is quadratic analyzer work).
+    */
   def pandasNaToNull(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name)
-      .foldLeft(df)((d, c) =>
-        d.withColumn(c, when(col(c).isin(PandasNaValues: _*), lit(null)).otherwise(col(c))))
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSet
+    df.select(df.columns.map { c =>
+      if (strCols.contains(c))
+        when(col(c).isin(PandasNaValues: _*), lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
   }
 
   /** Stage sink (`to_csv(sep="|")` shape). One directory of part files —
