@@ -81,9 +81,13 @@ object Fuzz {
     * two sect-vs-sect+diff ratios, where the intersection contributes an
     * exactly-matching prefix of known length.
     */
+  // hoisted: String.split(regex) compiles a Pattern per call, and this
+  // runs twice per scored pair in the blocked join's hot path
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   def tokenSetRatio(a: String, b: String): Double = {
-    val ta = defaultProcess(a).split("\\s+").filter(_.nonEmpty).toSet
-    val tb = defaultProcess(b).split("\\s+").filter(_.nonEmpty).toSet
+    val ta = Whitespace.split(defaultProcess(a)).filter(_.nonEmpty).toSet
+    val tb = Whitespace.split(defaultProcess(b)).filter(_.nonEmpty).toSet
     // rapidfuzz: two strings that BOTH process to nothing are a full match;
     // only an asymmetric empty side scores 0.
     if (ta.isEmpty && tb.isEmpty) return 100.0

@@ -20,15 +20,19 @@ object Similarity {
     else math.max(0.0, 100.0 - (math.pow(5, d) - 1))
   }
 
+  // hoisted: these run once per SCORED PAIR inside the blocked join's
+  // UDF — compiling them per call was millions of Pattern.compile
+  private val PackedDate = "^(\\d{4})(\\d{2})(\\d{2})\\.?0?$".r
+  private val DottedDate = "^(\\d{2})\\.(\\d{2})\\.(\\d{4})$".r
+  private val NumPart = "[1-9]\\d*".r
+
   /** D5 `parse_date`: `yyyymmdd(.0)` or `dd.mm.yyyy` → (y, m, d). */
   def parseDate(date: String): Option[(Int, Int, Int)] = {
     if (date == null) return None
-    val packed = "^(\\d{4})(\\d{2})(\\d{2})\\.?0?$".r
-    val dotted = "^(\\d{2})\\.(\\d{2})\\.(\\d{4})$".r
     date match {
-      case packed(y, m, d) => Some((y.toInt, m.toInt, d.toInt))
-      case dotted(d, m, y) => Some((y.toInt, m.toInt, d.toInt))
-      case _               => None
+      case PackedDate(y, m, d) => Some((y.toInt, m.toInt, d.toInt))
+      case DottedDate(d, m, y) => Some((y.toInt, m.toInt, d.toInt))
+      case _                   => None
     }
   }
 
@@ -65,9 +69,8 @@ object Similarity {
   /** E3 `simple_date_matcher`: fraction (≤3) of numeric parts shared. */
   def simpleDateMatcher(src: String, target: String): Double = {
     if (!notEmpty(src) || !notEmpty(target)) return -1.0
-    val re = "[1-9]\\d*".r
-    val srcParts = re.findAllIn(src).toSeq
-    val trgParts = re.findAllIn(target).toSet
+    val srcParts = NumPart.findAllIn(src).toSeq
+    val trgParts = NumPart.findAllIn(target).toSet
     val shared = math.min(3, srcParts.count(trgParts.contains))
     shared / 3.0 * 100.0
   }

@@ -155,10 +155,12 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens (md5-based token hash — see
     * [[tokenHash64]]).
     */
+  private val WhitespaceRe = java.util.regex.Pattern.compile("\\s+")
+
   def simHash(text: String): Long = {
     if (text == null) return 0L
     val weights = new Array[Int](64)
-    for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
+    for (tok <- WhitespaceRe.split(text.toLowerCase) if tok.nonEmpty) {
       val h = tokenHash64(tok)
       var bit = 0
       while (bit < 64) {
