@@ -64,6 +64,7 @@ object Fuzz {
 
   /** `fuzz.ratio` without preprocessing: 0.0–100.0. */
   def ratioRaw(a: String, b: String): Double = {
+    if (a == b) return 100.0 // exact: Indel distance 0 (covers both-empty)
     val lensum = a.length + b.length
     if (lensum == 0) 100.0
     else 100.0 * (1.0 - indelDistance(a, b).toDouble / lensum)
@@ -86,8 +87,13 @@ object Fuzz {
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   def tokenSetRatio(a: String, b: String): Double = {
-    val ta = Whitespace.split(defaultProcess(a)).filter(_.nonEmpty).toSet
-    val tb = Whitespace.split(defaultProcess(b)).filter(_.nonEmpty).toSet
+    val pa = defaultProcess(a)
+    val pb = defaultProcess(b)
+    // exact: equal processed strings have identical token sets → both
+    // diffs empty → 100 (also covers the both-empty rule below)
+    if (pa == pb) return 100.0
+    val ta = Whitespace.split(pa).filter(_.nonEmpty).toSet
+    val tb = Whitespace.split(pb).filter(_.nonEmpty).toSet
     // rapidfuzz: two strings that BOTH process to nothing are a full match;
     // only an asymmetric empty side scores 0.
     if (ta.isEmpty && tb.isEmpty) return 100.0
