@@ -42,6 +42,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("candidate generation is bounded: degenerate buckets cannot go quadratic") {
+    // a corpus where EVERY row lands in one composite bucket — with the
+    // cap at k, the candidate set must be ≤ k², never n²
+    import org.apache.spark.sql.functions.lit
+    import graft.linkage.PersonMatching
+    val session = spark
+    import session.implicits._
+    val n = 60
+    val degenerate = (1L to n.toLong).map(i => (i, "erika", "schmidt"))
+      .toDF("id", "strGName_processed", "strLName_processed")
+    val src = degenerate.withColumnRenamed("id", "srcID")
+    val trg = degenerate.withColumnRenamed("id", "trgID")
+    val k = 7
+    val capped = PersonMatching.scoredPairs(src, trg,
+      PersonMatching.MatchConfig(minScore = 0.0, maxBucketSize = k), lit(true)).count()
+    assert(capped === (k.toLong * k),
+      s"cap $k must bound candidates at k², got $capped (n² would be ${n * n})")
+  }
+
   test("date normalization stays in a codegen'd projection chain") {
     // execute so AQE materializes the final plan (codegen markers only
     // exist per finalized stage)
