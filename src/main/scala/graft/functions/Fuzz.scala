@@ -92,6 +92,13 @@ object Fuzz {
     // exact: equal processed strings have identical token sets → both
     // diffs empty → 100 (also covers the both-empty rule below)
     if (pa == pb) return 100.0
+    // exact: single-token inputs (no interior space after processing)
+    // have an empty intersection and singleton diffs, so the full
+    // formula degenerates to the plain Indel ratio of the processed
+    // strings (sectLen = 0 kills the two sect branches); an empty side
+    // gives 0 either way. The common case in name matching — skips all
+    // set machinery.
+    if (pa.indexOf(' ') < 0 && pb.indexOf(' ') < 0) return ratioRaw(pa, pb)
     val ta = Whitespace.split(pa).filter(_.nonEmpty).toSet
     val tb = Whitespace.split(pb).filter(_.nonEmpty).toSet
     // rapidfuzz: two strings that BOTH process to nothing are a full match;
