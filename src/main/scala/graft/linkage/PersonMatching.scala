@@ -40,6 +40,12 @@ object PersonMatching {
     * some lname bucket" becomes a single composite-key match — no
     * materialized per-column pair sets, no intersection of near-
     * quadratic intermediates.
+    *
+    * The trailing `distinct` is deliberate even for consumers that
+    * collapse duplicates themselves: A/B at sf0.1 showed removing it
+    * COSTS ~6 s on q22 — the aggregation hands AQE exact cardinality
+    * for the scoring joins that follow, which outweighs the extra
+    * shuffle.
     */
   private def candidatePairs(
       src: DataFrame, trg: DataFrame, cfg: MatchConfig): DataFrame = {
