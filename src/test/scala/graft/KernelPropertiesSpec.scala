@@ -114,6 +114,47 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("token_set_ratio fast paths equal the full formula (seeded sweep)") {
+    // reference implementation of the full formula, no shortcuts — the
+    // fast paths in Fuzz.tokenSetRatio must be value-identical to this
+    def full(a: String, b: String): Double = {
+      val ta = Fuzz.defaultProcess(a).split("\\s+").filter(_.nonEmpty).toSet
+      val tb = Fuzz.defaultProcess(b).split("\\s+").filter(_.nonEmpty).toSet
+      if (ta.isEmpty && tb.isEmpty) return 100.0
+      if (ta.isEmpty || tb.isEmpty) return 0.0
+      val sect = ta.intersect(tb)
+      val diffAb = (ta -- tb).toArray.sorted
+      val diffBa = (tb -- ta).toArray.sorted
+      if (sect.nonEmpty && (diffAb.isEmpty || diffBa.isEmpty)) return 100.0
+      val abJoined = diffAb.mkString(" ")
+      val baJoined = diffBa.mkString(" ")
+      val sectLen = if (sect.isEmpty) 0 else sect.iterator.map(_.length).sum + sect.size - 1
+      val sectBonus = if (sectLen != 0) 1 else 0
+      val sectAbLen = sectLen + sectBonus + abJoined.length
+      val sectBaLen = sectLen + sectBonus + baJoined.length
+      def norm(dist: Int, lensum: Int): Double =
+        if (lensum == 0) 1.0 else 1.0 - dist.toDouble / lensum
+      var best = norm(Fuzz.indelDistance(abJoined, baJoined), sectAbLen + sectBaLen)
+      if (sectLen != 0) {
+        best = math.max(best, norm(sectBonus + abJoined.length, sectLen + sectAbLen))
+        best = math.max(best, norm(sectBonus + baJoined.length, sectLen + sectBaLen))
+      }
+      best * 100.0
+    }
+    val alphabet = "ab -.19"
+    def rs(): String =
+      (0 until rnd.nextInt(10)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 5000) {
+      val (a, b) = (rs(), rs())
+      assert(Fuzz.tokenSetRatio(a, b) === full(a, b), s"'$a' vs '$b'")
+    }
+    // and the equal-input path of ratio
+    for (_ <- 1 to 500) {
+      val s = rs()
+      assert(Fuzz.ratio(s, s) === 100.0)
+    }
+  }
+
   test("preprocess_name double-letter collapse is single-pass (reference semantics)") {
     // re.sub's non-overlapping matching leaves "aaa" as "aa" — the chain
     // is deliberately NOT idempotent, matching the reference exactly

@@ -165,6 +165,25 @@ class TextOpsSpec extends SparkSpec {
       assert(pairs.contains((i, i + 1000)), s"dup pair $i missing")
   }
 
+  test("multimodal features feed the ANN path: duplicate media are each other's top hits") {
+    // the array<float> feature contract composes straight into cosine
+    // top-k — the "embed media, search neighbors" pipeline end to end
+    val payloads = (1L to 20L).map { i =>
+      val body = Array.tabulate(512)(j => ((i * 31 + j * 7) % 251).toByte)
+      (i, Multimodal.StubCodec.encodeHeader("image", "fakepng", 64, 64, 0L) ++ body)
+    }
+    val media = (payloads ++ payloads.take(3).map { case (i, b) => (i + 100, b) })
+      .toDF("media_id", "content")
+    val featured = media.select(col("media_id").as("vec_id"),
+      Multimodal.extractFeaturesUdf(col("content")).as("embedding"))
+    val top = Ann.cosineTopK(featured.filter(col("vec_id") > 100), featured, k = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("id"))
+    for (q <- Seq(101L, 102L, 103L)) {
+      val hits = top.filter(_._1 == q).map(_._2).toSet
+      assert(hits === Set(q, q - 100), s"dup pair for $q: $hits")
+    }
+  }
+
   test("multimodal stubs: header metadata, features, frame sampling") {
     val payload = Array.tabulate(256)(_.toByte)
     val img = Multimodal.StubCodec.encodeHeader("image", "fakepng", 640, 480, 0L) ++ payload
