@@ -20,10 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first
-    graft.core.Tables.names.foreach { t =>
-      try graft.core.Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+    // whichever query happens to run first. Goes through the typed
+    // accessors — `events` is TIMESTAMP(NANOS) and a raw scan aborts,
+    // leaving it cold and spamming the bench tail with task errors.
+    graft.core.Tables.all(spark, sfDir).foreach { case (t, df) =>
+      try df.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+      }
     }
     // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those.
     // Tokens match a query when they equal its name or its qNN prefix

@@ -39,4 +39,15 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Every table through its typed accessor — `events` needs the
+    * nanos-as-long path, so warmup/iteration code must come through here
+    * rather than looping `table(...)` over [[names]].
+    */
+  def all(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "region" -> region(spark, dir), "nation" -> nation(spark, dir),
+    "customer" -> customer(spark, dir), "supplier" -> supplier(spark, dir),
+    "part" -> part(spark, dir), "orders" -> orders(spark, dir),
+    "lineitem" -> lineitem(spark, dir), "events" -> events(spark, dir),
+    "documents" -> documents(spark, dir), "embeddings" -> embeddings(spark, dir))
 }

@@ -310,39 +310,34 @@ object Clustering {
     * assignments merge wherever they share a row.
     */
   def mergeClusterings(l1: DataFrame, l2: DataFrame): DataFrame = {
-    // label-graph components: cluster labels become vertices, rows edges
+    // label-graph components: cluster labels become vertices, rows edges.
+    // String vertices are mapped to dense longs first so the numeric
+    // [[connectedComponents]] (one label-sum aggregate per round instead
+    // of a join + count convergence check) runs the propagation.
     val ids = l1.select(col("id")).union(l2.select(col("id"))).distinct()
     val e1 = l1.select(col("id").as("a"), concat(lit("c1:"), col("cluster_id")).as("lbl"))
     val e2 = l2.select(col("id").as("a"), concat(lit("c2:"), col("cluster_id")).as("lbl"))
     val rowIds = ids.withColumn("v", col("id").cast("string"))
-    val edges = e1.union(e2)
+    val edgesStr = e1.union(e2)
       .select(col("a").cast("string").as("a"), col("lbl").as("b"))
-    val vertices = rowIds.select(col("v").as("id"))
-      .union(edges.select(col("b").as("id"))).distinct()
-    val comps = connectedComponentsStr(vertices, edges)
-    rowIds.join(comps.withColumnRenamed("id", "v"), "v")
-      .select(col("id"), col("component").as("cluster_id"))
-  }
-
-  /** String-vertex variant of [[connectedComponents]]. */
-  private def connectedComponentsStr(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct().localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+    val verticesStr = rowIds.select(col("v").as("vid"))
+      .union(edgesStr.select(col("b").as("vid"))).distinct()
+    // monotonically_increasing_id is unique per row but not deterministic
+    // across recomputations — localCheckpoint pins one assignment so both
+    // edge-endpoint joins and the final label join see the same mapping
+    val mapping = verticesStr
+      .withColumn("nid", monotonically_increasing_id()).localCheckpoint()
+    val edgesNum = edgesStr
+      .join(mapping.select(col("vid").as("a"), col("nid").as("na")), "a")
+      .join(mapping.select(col("vid").as("b"), col("nid").as("nb")), "b")
+      .select(col("na").as("a"), col("nb").as("b"))
+    val comps = connectedComponents(mapping.select(col("nid").as("id")), edgesNum)
+    // component = the winning vertex's dense id; map it back to that
+    // vertex's string so cluster ids stay human-readable labels
+    rowIds.join(mapping.select(col("vid").as("v"), col("nid")), "v")
+      .join(comps.withColumnRenamed("id", "nid"), "nid")
+      .join(mapping.select(col("nid").as("component"), col("vid").as("cluster_id")), "component")
+      .select(col("id"), col("cluster_id"))
   }
 
   /** E15 cluster quality: per-cluster average/single/max link statistics

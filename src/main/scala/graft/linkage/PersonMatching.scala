@@ -63,8 +63,11 @@ object PersonMatching {
     s.join(t, Seq("fb", "lb")).select("srcID", "trgID").distinct()
   }
 
-  /** Most recent drop counter (test observability; one per capped side). */
-  @volatile private[graft] var lastDropAccumulator: org.apache.spark.util.LongAccumulator = _
+  /** Most recent drop counter (test observability; one per capped side).
+    * `Observation.get` blocks until the first action over the capped plan
+    * completes, then returns `Map("dropped_bucket_rows" -> count)`.
+    */
+  @volatile private[graft] var lastDropObservation: org.apache.spark.sql.Observation = _
 
   /** Hard per-bucket membership cap — the 100 TB safety valve. Candidate
     * pairs per composite bucket grow with |src|·|trg| of the bucket; on a
@@ -74,25 +77,24 @@ object PersonMatching {
     * bound it. Buckets past `maxBucketSize` keep a deterministic
     * hash-ordered subset per side — both sides keep the SAME survivors,
     * so surviving rows retain their exact-match pairs — and every dropped
-    * membership is counted in the `graft.match.dropped_bucket_rows`
-    * accumulator, never silent. Default 10000 (10^8 pairs/bucket ceiling)
-    * is far above any non-degenerate bucket.
+    * membership is counted via `observe()` (a CollectMetrics node over
+    * the already-computed `__rank`), never silent. Observed metrics are
+    * merged exactly once per completed action, so the count is exact
+    * under task retries — an accumulator in a filter would over-report.
+    * Default 10000 (10^8 pairs/bucket ceiling) is far above any
+    * non-degenerate bucket.
     */
   private def capBuckets(exploded: DataFrame, id: String, maxBucketSize: Int): DataFrame = {
     if (maxBucketSize <= 0) return exploded
-    val acc = exploded.sparkSession.sparkContext
-      .longAccumulator("graft.match.dropped_bucket_rows")
-    lastDropAccumulator = acc
-    val keepUdf = udf { (rank: Int) =>
-      val keep = rank <= maxBucketSize
-      if (!keep) acc.add(1)
-      keep
-    }
+    val obs = org.apache.spark.sql.Observation(s"graft.match.dropped.$id")
+    lastDropObservation = obs
     val w = Window.partitionBy(col("fb"), col("lb"))
       .orderBy(hash(col(id)), col(id))
     exploded
       .withColumn("__rank", row_number().over(w))
-      .filter(keepUdf(col("__rank")))
+      .observe(obs, sum(when(col("__rank") > maxBucketSize, 1L).otherwise(0L))
+        .as("dropped_bucket_rows"))
+      .filter(col("__rank") <= maxBucketSize)
       .drop("__rank")
   }
 

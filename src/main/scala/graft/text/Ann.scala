@@ -110,8 +110,11 @@ object Ann {
   def cosineNearDuplicates(
       df: DataFrame, threshold: Double, cfg: LshConfig = LshConfig(),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val matches = lshCosineTopK(df, df, k = Int.MaxValue, cfg, idCol, vecCol)
-    matches.filter(col("query_id") < col("id") && col("score") >= threshold)
+    // self-join: keep only the a<b orientation BEFORE the rescore joins —
+    // each surviving pair is scored once, not in both orientations
+    val matches = lshCosineTopK(df, df, k = Int.MaxValue, cfg, idCol, vecCol,
+      candidatePredicate = col("query_id") < col("id"))
+    matches.filter(col("score") >= threshold)
       .select(col("query_id").as("a"), col("id").as("b"), col("score"))
   }
 
@@ -156,7 +159,8 @@ object Ann {
     */
   def lshCosineTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      candidatePredicate: Column = lit(true)): DataFrame = {
     val bits = cfg.bits
     val tables = cfg.tables
     val seed = cfg.seed
@@ -184,8 +188,12 @@ object Ann {
       .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
     def withBuckets(df: DataFrame, id: String) = vecs(df, id)
       .select(col(id), explode(sigUdf(col(s"__v_$id"))).as("bucket"))
+    // candidatePredicate prunes pairs before the distinct AND before the
+    // vector rejoins — a self-join caller passes query_id < id here so
+    // each pair is rescored in one orientation only
     val candidates = withBuckets(queries, "query_id")
       .join(withBuckets(corpus, "id"), "bucket")
+      .filter(candidatePredicate)
       .select(col("query_id"), col("id")).distinct()
     val scored = candidates
       .join(vecs(queries, "query_id"), "query_id")

@@ -110,8 +110,8 @@ class PersonMatchingSpec extends SparkSpec {
     assert(survivors.size === 5)
     val pairs = capped.map(r => (r.getAs[Long]("srcID"), r.getAs[Long]("trgID"))).toSet
     survivors.foreach(s => assert(pairs.contains((s, s)), s"self-pair of $s dropped"))
-    assert(PersonMatching.lastDropAccumulator.value === 35L,
-      "each dropped bucket membership must be counted")
+    assert(PersonMatching.lastDropObservation.get("dropped_bucket_rows") === 35L,
+      "each dropped bucket membership must be counted (retry-exact via observe)")
     // uncapped default on the same corpus: the full quadratic pair set
     val uncapped = PersonMatching.scoredPairs(src, trg,
       MatchConfig(minScore = 0.0), lit(true)).count()
