@@ -15,7 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (same semantics as Bench): tokens match a
+    // query when they equal its name or its qNN prefix. The driver never
+    // sets this, so driver runs always dump the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+    }
+    if (only.isDefined && selected.isEmpty) {
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY matched no query")
+      sys.exit(1)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

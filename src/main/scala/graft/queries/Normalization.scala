@@ -87,21 +87,164 @@ object Normalization {
       |WHERE o_totalprice > 450000.0
       |ORDER BY o_orderkey""".stripMargin
 
-  /** F3–F14 at scale: the full last-name chain over part names (multi-word
-    * values exercise splitting). Value-exactness is covered by the golden
-    * fixtures; this entry proves the chain runs on table-sized input
-    * (rows-only check) and keeps it in the bench set.
+  /** F1–F14 at scale as a construction oracle: each `p_partkey % 11` style
+    * decorates the two-word part name so one specific chain step provably
+    * fires — 1: academic title (F4), 2: case fold (F3), 3: comma
+    * separators (F1), 4: keyword removal (F5), 5: letter-spacing collapse
+    * (F13), 6: birth-name extraction (F7), 7: noble prefix + the F8
+    * separator guard, 8: in-word digit + title-run restart (F11/F12
+    * semantics), 9: unclear-word `?` fold + QA (F2), 10: length-cap QA
+    * (F10), else base. The DuckDB oracle replays every RE2-expressible
+    * reference regex verbatim; only the three lookaround-guarded steps
+    * (F13 collapse, F8 noble lookbehind, Python-title digit runs) are
+    * derived from construction knowledge, with the derivation pinned per
+    * style. None of the 16 corpus words collides with the dash/deleted/
+    * keyword/noble tables (verified), so the skipped folds are no-ops on
+    * both sides.
     */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    Names.normalizeLastName(p, "p_name", "catalog", outName = "p_name_norm")
-      .select(col("p_partkey"), col("p_name_norm_cleaned_0"), col("p_name_norm_qa"))
+    val w = split(col("p_name"), " ")
+    val w1 = get(w, lit(0))
+    val w2 = get(w, lit(1))
+    val style = pmod(col("p_partkey"), lit(11))
+    val styled = p.withColumn("p_name_raw",
+      when(style === 1, concat(lit("dr. "), col("p_name")))
+        .when(style === 2, upper(col("p_name")))
+        .when(style === 3, regexp_replace(col("p_name"), " ", ", "))
+        .when(style === 4, concat(lit("herr "), col("p_name")))
+        .when(style === 5, concat(regexp_replace(w1, "(.)", "$1 "), w2))
+        .when(style === 6, concat(col("p_name"), lit(" geb. "), w1))
+        .when(style === 7, concat(lit("von "), col("p_name")))
+        .when(style === 8, concat(w1, lit("7"), w2))
+        .when(style === 9, concat(col("p_name"), lit(" unclear")))
+        .when(style === 10, concat(repeat(w1, 17), lit(" "), w2))
+        .otherwise(col("p_name")))
+    Names.normalizeLastName(styled, "p_name_raw", "catalog", outName = "p_name_norm")
+      .select(col("p_partkey"), col("p_name_norm_cleaned_0"),
+        col("p_name_norm_cleaned_1"), col("p_name_norm_cleaned_2"),
+        col("p_name_norm_birth_name_extracted"), col("p_name_norm_qa"))
       .orderBy(col("p_partkey"))
   }
+  /** DuckDB replay of the q21 chain. Construction-knowledge steps, each
+    * pinned to the style that exercises it:
+    *  - style 5 (F13): the spaced run is exactly w1's letters, and the
+    *    lookahead collapse provably returns `w1 || ' ' || w2`;
+    *  - style 7 (F8): the lookbehind guard keeps the one space after the
+    *    noble word, so the guardless fold is fixed up via `^von;` →
+    *    `von `; the NobleName QA lookahead is `style = 7` by construction;
+    *  - style 8 (title): Python `str.title` restarts a letter run after
+    *    the embedded digit, so post-digit-strip `cleaned_0` is both words
+    *    upper-first; everywhere else every `;`-part is space-separated
+    *    lowercase words and word-wise upper-first equals `str.title`.
+    * k (numbered columns) = 3 because style 9 always yields exactly three
+    * parts and no style reaches the split cap of 5.
+    */
+  private val q21Sql =
+    """WITH src AS (
+      |  SELECT p_partkey, p_name,
+      |         string_split(p_name, ' ')[1] AS w1,
+      |         string_split(p_name, ' ')[2] AS w2,
+      |         p_partkey % 11 AS style
+      |  FROM part
+      |), styled AS (
+      |  SELECT *, CASE style
+      |      WHEN 1 THEN 'dr. ' || p_name
+      |      WHEN 2 THEN upper(p_name)
+      |      WHEN 3 THEN replace(p_name, ' ', ', ')
+      |      WHEN 4 THEN 'herr ' || p_name
+      |      WHEN 5 THEN regexp_replace(w1, '(.)', '\1 ', 'g') || w2
+      |      WHEN 6 THEN p_name || ' geb. ' || w1
+      |      WHEN 7 THEN 'von ' || p_name
+      |      WHEN 8 THEN w1 || '7' || w2
+      |      WHEN 9 THEN p_name || ' unclear'
+      |      WHEN 10 THEN repeat(w1, 17) || ' ' || w2
+      |      ELSE p_name END AS raw
+      |  FROM src
+      |), folded AS (
+      |  -- F1 clean_copy question/separator folds + edge trims, then F3 lower
+      |  SELECT *, lower(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(trim(raw),
+      |        '(?i)illegible|unclear|unsure|not clear|unreadable|unklar|nicht erkennbar|nicht lesbar|\?+|unlesbar|unleserlich|ungenau|andere angabe', '?', 'g'),
+      |      '(?i),|\bor\b|\boder\b|\band\b|\bund\b|/|\(|\)|:|\[|\]', ';', 'g'),
+      |    ';+', ';', 'g'),
+      |    '^\s*;\s*|\s*;\s*$|^\s+|\s+$', '', 'g'),
+      |    '-+', '-', 'g')) AS lowered
+      |  FROM styled
+      |), despaced AS (
+      |  -- F13 (lookahead in the engine): by construction only style 5 has
+      |  -- letter-spaced runs and the collapse returns the original words
+      |  SELECT *, CASE WHEN style = 5 THEN w1 || ' ' || w2 ELSE lowered END AS s13
+      |  FROM folded
+      |), stripped AS (
+      |  -- F4 academic titles + F5 keyword removal (verbatim reference tables)
+      |  SELECT *, regexp_replace(
+      |      regexp_replace(s13, '\b([dD]r\.|[pP]rof\.|[mM]udr\.)', '', 'g'),
+      |      '(\b|\()(mr\.|mrs\.|frau|fr\.\s|herr|herrn|frl\.|ing\.|tote|toter|died|neugeborenes|unbekannter\stoter|unbekannte\stote|auch|vel|freifrau|prinz|prinzessin|erbprinz|freiherr|freifr|reichsgraf|reichsgräfin|graf|gräfin|freiin|säugling|kind|wwe\.|gefr\.|soldat|baron|baronin|hr\.|ehefrau|vel|alias|baby|wwe|schwester|wife|gattin|gatte|or|oder|od\.\s|jude|jüdin|bruder|heil|hitler)(\s|\b|\)|$)', '', 'g') AS s45
+      |  FROM despaced
+      |), birthed AS (
+      |  -- F7: birth tail extracted (keyword + one joiner char stripped),
+      |  -- remainder of the name keeps everything before the keyword
+      |  SELECT *,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_extract(s45, '((\b)(geborene|geb\.|geb|geboren|nee|née|nèe|zd\.|zd)(\b).*)', 1),
+      |        '((\b)(geborene|geb\.|geb|geboren|nee|née|nèe|zd\.|zd)(\b).)', '', 'g'),
+      |      '((\b)(geborene|geb\.|geb|geboren|nee|née|nèe|zd\.|zd)(\b).*)', '', 'g') AS birth_raw,
+      |    regexp_replace(s45, '((\b)(geborene|geb\.|geb|geboren|nee|née|nèe|zd\.|zd)(\b).*)', '', 'g') AS s7
+      |  FROM stripped
+      |), seps AS (
+      |  -- F8: strip edge semicolons, flatten to spaces, fold separators to
+      |  -- ';' (guardless twin), then restore the one lookbehind-guarded
+      |  -- space after the style-7 noble word
+      |  SELECT *, regexp_replace(
+      |    CASE WHEN style = 7 THEN regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(replace(regexp_replace(regexp_replace(s7, '^;*|;*$', '', 'g'), '^\s+|\s+$', '', 'g'), ';', ' '), '^\s+|\s+$', '', 'g'),
+      |          '(\s;|;\s|\s+|,|,\s|-|;+|\\)', ';', 'g'),
+      |        '^von;', 'von ')
+      |    ELSE regexp_replace(
+      |        regexp_replace(replace(regexp_replace(regexp_replace(s7, '^;*|;*$', '', 'g'), '^\s+|\s+$', '', 'g'), ';', ' '), '^\s+|\s+$', '', 'g'),
+      |        '(\s;|;\s|\s+|,|,\s|-|;+|\\)', ';', 'g')
+      |    END, ';{2,}', ';', 'g') AS c
+      |  FROM birthed
+      |), titled AS (
+      |  -- Python str.title: word-wise upper-first (all runs are lowercase
+      |  -- words here; style 8's digit-run restart is handled at the end)
+      |  SELECT *,
+      |    array_to_string(list_transform(string_split(c, ';'), p ->
+      |      array_to_string(list_transform(string_split(p, ' '), ww ->
+      |        upper(ww[1]) || ww[2:]), ' ')), ';') AS tc,
+      |    array_to_string(list_transform(string_split(birth_raw, ';'), p ->
+      |      array_to_string(list_transform(string_split(p, ' '), ww ->
+      |        upper(ww[1]) || ww[2:]), ' ')), ';') AS tbirth
+      |  FROM seps
+      |), split_cols AS (
+      |  SELECT *, string_split(tc, ';') AS parts FROM titled
+      |)
+      |SELECT p_partkey,
+      |  CASE WHEN style = 8
+      |    THEN upper(w1[1]) || w1[2:] || upper(w2[1]) || w2[2:]
+      |    ELSE trim(regexp_replace(parts[1], '[0-9]', '', 'g')) END AS p_name_norm_cleaned_0,
+      |  trim(regexp_replace(parts[2], '[0-9]', '', 'g')) AS p_name_norm_cleaned_1,
+      |  trim(regexp_replace(parts[3], '[0-9]', '', 'g')) AS p_name_norm_cleaned_2,
+      |  trim(tbirth) AS p_name_norm_birth_name_extracted,
+      |  (   (regexp_matches(c, '[\(\)\[\]0-9\?,:_\/\*\"#]|\.\.|^-|-$|[^a-zA-Z]-[^a-zA-Z]')
+      |       AND NOT regexp_matches(c, '^-$'))
+      |   OR regexp_matches(tbirth, '[\(\)\[\]0-9\?,:_\/\*\"#]|\.\.|^-|-$|[^a-zA-Z]-[^a-zA-Z]')
+      |   OR style = 7
+      |   OR coalesce(length(parts[1]) > 49, false)
+      |   OR coalesce(length(parts[2]) > 49, false)) AS p_name_norm_qa
+      |FROM split_cols
+      |ORDER BY p_partkey""".stripMargin
 
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
     Q("q20_left_join_renames", q20, Some(q20Sql)),
-    Q("q21_normalize_names_scale", q21, None))
+    Q("q21_normalize_names_scale", q21, Some(q21Sql)))
 }

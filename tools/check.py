@@ -27,7 +27,8 @@ if not skip_verify:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         capture_output=True, text=True, cwd="/root/repo",
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8",
+             **({"SPARK_GRAFT_ONLY": ",".join(sorted(only))} if only else {})})
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
     for line in r.stdout.splitlines():
@@ -63,9 +64,12 @@ def frame_hash(df: pd.DataFrame):
         h.update(row.encode()); h.update(b"\x1e")
     return h.hexdigest()[:16]
 
+def selected(name):
+    return not only or name in only or name.split("_")[0] in only
+
 fails = 0
 for name in sorted(oracles):
-    if only and name not in only:
+    if not selected(name):
         continue
     path = f"{OUT}/{name}"
     try:
@@ -97,7 +101,7 @@ except Exception:
     current = set(os.listdir(OUT))
 for name in sorted(os.listdir(OUT)):
     p = os.path.join(OUT, name)
-    if os.path.isdir(p) and name in current and name not in oracles and (not only or name in only):
+    if os.path.isdir(p) and name in current and name not in oracles and selected(name):
         try:
             n = len(pd.read_parquet(p))
             print(f"ok   {name}: rows={n} (rows-only, no oracle)")
