@@ -379,6 +379,50 @@ object LlmData {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** REAL image decode through `javax.imageio`: deterministic grayscale
+    * PNGs are generated per doc_id (dimensions and every pixel's luma are
+    * closed-form in doc_id), encoded to actual PNG bytes, then decoded
+    * back — header-only metadata (format/width/height) plus a full pixel
+    * decode summed to one luma checksum. PNG is lossless, so the oracle
+    * re-derives width/height AND the per-pixel sum straight from the
+    * generator formula: a hash match proves the codec really decoded the
+    * pixel data, not just parsed a header.
+    */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.ImageIoCodec.encodePng(
+        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
+    }
+    val lumaSumUdf = udf { (b: Array[Byte]) =>
+      Multimodal.ImageIoCodec.pixelLumaSum(b)
+    }
+    val imgs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+    Multimodal.withImageMetadata(imgs, "content")
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        lumaSumUdf(col("content")).as("pixel_luma_sum"))
+      .orderBy(col("doc_id"))
+  }
+  private val q38Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT doc_id, w, h, unnest(range(w)) AS x FROM d
+      |), xy AS (
+      |  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs
+      |)
+      |SELECT doc_id, 'png' AS format,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(sum((31 * x + 17 * y + doc_id) % 256) AS BIGINT) AS pixel_luma_sum
+      |FROM xy
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q32_event_time_window", q32, Some(q32Sql)),
     Q("q36_session_window", q36, Some(q36Sql)),
@@ -391,5 +435,6 @@ object LlmData {
     Q("q30_cosine_topk", q30, Some(q30Sql)),
     Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
     Q("q35_cosine_near_dup", q35, Some(q35Sql)),
-    Q("q37_multimodal_roundtrip", q37, Some(q37Sql)))
+    Q("q37_multimodal_roundtrip", q37, Some(q37Sql)),
+    Q("q38_image_decode", q38, Some(q38Sql)))
 }

@@ -204,4 +204,38 @@ class TextOpsSpec extends SparkSpec {
     assert(feats.length === 16)
     assert(math.abs(feats.sum - 1.0f) < 1e-5)
   }
+
+  test("ImageIoCodec: real PNG/BMP/GIF bytes decode to format, dims, and exact pixels") {
+    import Multimodal.ImageIoCodec
+    val png = ImageIoCodec.encodePng(13, 7, 42L)
+    // actual PNG container, not the stub header
+    assert(png.take(4).map(_ & 0xff).sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    assert(ImageIoCodec.imageMetadata(png) === Some(("png", 13, 7)))
+    // lossless round trip: decoded pixel sum equals the generator's closed form
+    val expected = (for { y <- 0 until 7; x <- 0 until 13 }
+      yield (31L * x + 17L * y + 42L) % 256).sum
+    assert(ImageIoCodec.pixelLumaSum(png) === Some(expected))
+
+    // other JDK-native containers decode through the same function
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (fmt <- Seq("bmp", "gif")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val meta = ImageIoCodec.imageMetadata(bos.toByteArray)
+      assert(meta.map(t => (t._2, t._3)) === Some((13, 7)), s"format $fmt")
+      assert(meta.get._1 === fmt)
+    }
+    // garbage and null bytes are None, not exceptions
+    assert(ImageIoCodec.imageMetadata("not an image".getBytes) === None)
+    assert(ImageIoCodec.imageMetadata(null) === None)
+    assert(ImageIoCodec.pixelLumaSum("junk".getBytes) === None)
+
+    // the decoder-swap contract: real bytes through the media_meta schema
+    val df2 = Seq((1L, png)).toDF("media_id", "content")
+    val m = Multimodal.withImageMetadata(df2, "content")
+      .select("media_meta.*").head()
+    assert(m.getAs[String]("media_type") === "image")
+    assert(m.getAs[String]("format") === "png")
+    assert(m.getAs[Int]("width") === 13 && m.getAs[Int]("height") === 7)
+  }
 }
