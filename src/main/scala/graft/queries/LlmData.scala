@@ -160,9 +160,19 @@ object LlmData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Language-ID heuristic + quality scoring + BPE-ish token counts over
-    * the corpus (rows-only: heuristic outputs have no SQL oracle; the
-    * kernels are value-tested in TextStatsSpec).
+  /** Language-ID heuristic + quality scoring + BPE-ish token counts +
+    * Rabin–Karp fingerprint, all hash-verified against a full DuckDB
+    * replay ([[q29Sql]]):
+    *  - language-ID: the stopword-profile counting and the maxBy
+    *    `(count, lang)` tie-break are replayed verbatim; the CJK/Cyrillic
+    *    codepoint branches are provably no-ops because this corpus is
+    *    pure ASCII (the replay's `n_alpha = 0` guard covers the only
+    *    other early exit);
+    *  - quality: the exact composite formula, term by term in double;
+    *  - BPE count: the same pre-tokenizer regex via `regexp_extract_all`
+    *    (Java and RE2 agree on every construct the pattern uses);
+    *  - fingerprint: `list_reduce` over codepoints in HUGEINT mod 2^64,
+    *    re-signed at the end — bit-for-bit the JVM's wrapping `31*h + c`.
     */
   private def q29(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -172,6 +182,62 @@ object LlmData {
         TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         TextStats.fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  private val q29Sql =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    length(text) AS n,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
+      |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents
+      |), counts AS (
+      |  SELECT *,
+      |    len(toks) AS n_toks,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','be','that','it','for','on','with','as'], x))) AS n_stop,
+      |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are'], x))) AS c_en,
+      |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','für','von','auf'], x))) AS c_de,
+      |    len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','pas','pour','dans','une','que','des','du'], x))) AS c_fr,
+      |    len(list_filter(ltoks, x -> list_contains(['el','los','las','es','no','por','para','una','con','del','se','como'], x))) AS c_es,
+      |    len(list_filter(ltoks, x -> list_contains(['il','di','che','non','per','una','sono','con','del','gli','questo'], x))) AS c_it
+      |  FROM m
+      |), lang AS (
+      |  -- maxBy (count, lang): langs tested in descending name order with
+      |  -- `= greatest(...)` reproduces the lexicographic tie-break
+      |  SELECT *, greatest(c_en, c_de, c_fr, c_es, c_it) AS mx,
+      |    CASE WHEN c_it = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'it'
+      |         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'fr'
+      |         WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'es'
+      |         WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_it) THEN 'en'
+      |         ELSE 'de' END AS best_lang
+      |  FROM counts
+      |), fp AS (
+      |  -- JVM wrapping arithmetic: fold 31*h + codepoint in HUGEINT mod
+      |  -- 2^64 (seed prepended: list_reduce has no initial-value arg)
+      |  SELECT *, list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(range(1, length(norm) + 1), i -> CAST(unicode(norm[i]) AS HUGEINT))),
+      |      (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS fpu
+      |  FROM lang
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN n_alpha = 0 OR len(ltoks) = 0 THEN 'unknown'
+      |       WHEN mx >= 2 THEN best_lang ELSE 'unknown' END AS predicted_lang,
+      |  round(
+      |    least(n / 200.0, 1.0) * 0.2
+      |    + (CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n END) * 0.3
+      |    + least((CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_toks END) * 4.0, 1.0) * 0.2
+      |    + (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / n_toks END) * 0.15
+      |    + (1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n END) * 4.0, 1.0)) * 0.15,
+      |    6) AS quality,
+      |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+      |  CAST(CASE WHEN fpu >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN fpu - CAST('18446744073709551616' AS HUGEINT) ELSE fpu END AS BIGINT) AS fingerprint
+      |FROM fp
+      |ORDER BY doc_id""".stripMargin
 
   /** Exact cosine top-k: 10 probe vectors against the whole corpus.
     * Scores are floats through different summation orders in the two
@@ -431,7 +497,7 @@ object LlmData {
     Q("q26_simhash_dedup", q26, Some(q26Sql)),
     Q("q27_ngram_jaccard_dedup", q27, Some(q27Sql)),
     Q("q28_text_stats", q28, Some(q28Sql)),
-    Q("q29_text_analysis", q29, None),
+    Q("q29_text_analysis", q29, Some(q29Sql)),
     Q("q30_cosine_topk", q30, Some(q30Sql)),
     Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
     Q("q35_cosine_near_dup", q35, Some(q35Sql)),
