@@ -82,8 +82,54 @@ object Pipeline {
       |WHERE doc_id < 2500
       |ORDER BY doc_id""".stripMargin
 
+  /** X1 at corpus scale WITH a json_extract oracle: repeat-group JSON is
+    * synthesized deterministically from each document's tokens (1–3
+    * `name_repeat` entries, index-suffixed so values are unique and the
+    * single-field NA filter is the identity; one two-field `note_repeat`
+    * entry keeps a multi-field group in play), then unpacked through the
+    * real two-pass [[Unpack.unpack]]. The oracle rebuilds the same JSON
+    * with DuckDB `json_object` and replays extraction with
+    * `json_extract_string` — numbered-column fan-out (batch max arity 3),
+    * missing-repeat null padding, and the plain-name path for
+    * non-repeating groups are all hash-checked. q16 stays as the
+    * reference-fixture parity golden.
+    */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.core.Tables.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val k = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val names = transform(slice(toks, lit(1), k),
+      (t, i) => struct(concat(t, lit("-"), i).as("name")))
+    val notes = array(struct(col("lang").as("lang"), col("source").as("source")))
+    val payload = to_json(struct(names.as("name_repeat"), notes.as("note_repeat")))
+    Unpack.unpack(d.select(col("doc_id"), payload.as("payload")), "payload")
+      .orderBy(col("doc_id"))
+  }
+  private val q39Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t, doc_id % 3 + 1 AS k,
+      |         lang, source
+      |  FROM documents
+      |), payload AS (
+      |  SELECT doc_id,
+      |    json_object(
+      |      'name_repeat', list_transform(range(k), i -> json_object('name', t[i+1] || '-' || i)),
+      |      'note_repeat', [json_object('lang', lang, 'source', source)]
+      |    ) AS j
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  json_extract_string(j, '$.name_repeat[0].name') AS name_0,
+      |  json_extract_string(j, '$.name_repeat[1].name') AS name_1,
+      |  json_extract_string(j, '$.name_repeat[2].name') AS name_2,
+      |  json_extract_string(j, '$.note_repeat[0].lang') AS lang,
+      |  json_extract_string(j, '$.note_repeat[0].source') AS source
+      |FROM payload
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, None),
     Q("q17_consensus_dedup", q17, None),
-    Q("q33_consensus_vote_scale", q18c, Some(q18cSql)))
+    Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
+    Q("q39_json_unpack_scale", q39, Some(q39Sql)))
 }
