@@ -59,10 +59,44 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Scale-growth measurement: the similarity family timed fresh at half
+    // and full corpus (graft.bench.scale.frac), back to back in the same
+    // warm JVM. ratio = full/half per data-doubling; near-linear plans
+    // stay ≲ 2, quadratic blowups read ≈ 4. Untimed for `total`; skipped
+    // under SPARK_GRAFT_ONLY or SPARK_GRAFT_SCALING=0.
+    val scalingTargets = Seq("q22_person_match_self", "q23_person_clustering",
+      "q25_minhash_dedup", "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
+      "q35_cosine_near_dup")
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0" && only.isEmpty
+    val scalingJson =
+      if (!doScaling) "null"
+      else scalingTargets.flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          def timeIt(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          try {
+            sys.props(graft.core.ScaleKnob.Prop) = "0.5"
+            val tHalf = try timeIt() finally sys.props.remove(graft.core.ScaleKnob.Prop)
+            val tFull = timeIt()
+            val ratio = tFull / tHalf
+            val exp = math.log(ratio) / math.log(2)
+            Some(s""""$name":{"half_sec":$tHalf,"full_sec":$tFull,"ratio":$ratio,"growth_exponent":$exp}""")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] scaling of $name failed: ${e.getMessage}")
+              None
+          }
+        }
+      }.mkString("{", ",", "}")
+
     // no-silent-caps: bounds that make a bench number stop tracking the
     // scale factor are declared in the result itself
     val caps = """{"documents_corpus":"doc_id < 2500 (q18c/q24-q27 demo corpus cap)"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"caps":$caps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"caps":$caps,"scaling":$scalingJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -14,7 +14,7 @@ object Linkage {
     * Restricted to rows whose name words are bucketable (≥2 chars).
     */
   private def persons(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
+    graft.core.ScaleKnob.sample(Tables.part(spark, dir), "p_partkey")
       .select(col("p_partkey").as("pid"),
         split(col("p_name"), " ").getItem(0).as("strGName_processed"),
         split(col("p_name"), " ").getItem(1).as("strLName_processed"),

@@ -20,8 +20,9 @@ object LlmData {
     // demo corpus capped at 2500 docs: covers every row at the sf0.01
     // correctness scale (500 docs); bounds the bench-scale quadratic
     // worst case of this deliberately tiny-vocabulary synthetic corpus
-    val d = Tables.documents(spark, dir).select("doc_id", "text")
-      .filter(col("doc_id") < 2500)
+    val d = graft.core.ScaleKnob.sample(
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 2500), "doc_id")
     val exact = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val near = d.filter(col("doc_id") % 7 === 0)
@@ -272,8 +273,8 @@ object LlmData {
     * hash match; TextOpsSpec separately asserts recall ≥ 0.9 vs exact.
     */
   private def q31(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < 10)
+    val e = graft.core.ScaleKnob.sample(Tables.embeddings(spark, dir), "vec_id")
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
     Ann.lshCosineTopK(queries, e, k = 5)
       .select(col("query_id"), col("rank"), col("id"))
       .orderBy(col("query_id"), col("rank"))
@@ -330,7 +331,7 @@ object LlmData {
     * different orders (the q30 rank-compare precedent).
     */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = graft.core.ScaleKnob.sample(Tables.embeddings(spark, dir), "vec_id")
     val corpus = e.select("vec_id", "embedding").unionByName(
       e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))

@@ -61,6 +61,48 @@ class PlanAuditSpec extends SparkSpec {
       s"cap $k must bound candidates at k², got $capped (n² would be ${n * n})")
   }
 
+  test("AQE splits a planted skewed join partition (the cap-plus-AQE story)") {
+    // the engine's degenerate-input story is: hard caps bound candidate
+    // explosions, AQE's skew-join handles residual imbalance at runtime.
+    // This plants one hot key holding ~97% of the left side and asserts
+    // the adaptive plan actually engaged the skew split.
+    val session = spark
+    import session.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val left = spark.range(0, 40000).select(
+        when($"id" < 39000, lit(0L)).otherwise($"id" % 32).as("k"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val right = spark.range(0, 32).select($"id".as("k"), lit("dim").as("v"))
+      val j = left.join(right, "k")
+      // execute THIS queryExecution so its adaptive plan finalizes
+      // (count() would plan and run a separate aggregate query)
+      assert(j.collect().length === 40000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), "adaptive execution did not finalize")
+      assert(p.contains("skew=true") || p.toLowerCase.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("date normalization stays in a codegen'd projection chain") {
     // execute so AQE materializes the final plan (codegen markers only
     // exist per finalized stage)
