@@ -118,7 +118,11 @@ object PersonMatching {
       maxBucketSize: Int = 10000,
       // score via the codegen'd column expression instead of the UDF —
       // see the measurement note in scorePairs
-      useExpressionScorer: Boolean = false)
+      useExpressionScorer: Boolean = false,
+      // compute the two token-set name kernels once per DISTINCT name
+      // pair and broadcast-join the small memo back, instead of once per
+      // candidate pair — see the cardinality note in scorePairs
+      memoizeNameKernels: Boolean = false)
 
   /** E6 `person_similarity` as a pure column expression over the native
     * codegen'd kernels — identical arithmetic (and FP association) to
@@ -126,21 +130,40 @@ object PersonMatching {
     * boxing or UDF dispatch. This is the hot path of the blocked join:
     * millions of candidate pairs score inside one codegen'd projection.
     */
+  private[graft] def notEmptyCol(c: Column): Column =
+    c.isNotNull && length(c) > 0 && !c.isin("00000000", "-1.0", "-1")
+
+  /** The E5 token-set kernel with the -1 not-comparable sentinel — the
+    * expensive half of the score, factored out so it can be memoized per
+    * distinct name pair.
+    */
+  private[graft] def setScoreCol(a: Column, b: Column): Column =
+    when(notEmptyCol(a) && notEmptyCol(b),
+      graft.expressions.FuzzColumns.tokenSetRatio(a, b)).otherwise(lit(-1.0))
+
   private[graft] def personSimilarityColumn(
       s: PersonCols, t: PersonCols,
       useDate: Boolean, usePrisoner: Boolean, usePob: Boolean,
       nameOnly: Boolean, simpleDate: Boolean): Column = {
+    val primary =
+      (greatest(lit(0.0), setScoreCol(s.lname, t.lname)) +
+        greatest(lit(0.0), setScoreCol(s.gname, t.gname))) / 2
+    combineScores(primary, s, t, useDate, usePrisoner, usePob, nameOnly, simpleDate)
+  }
+
+  /** Everything after `primary` in E6's combiner — shared by the inline
+    * expression scorer and the memoized-primary path; arithmetic and FP
+    * association identical to `Similarity.personSimilarity`.
+    */
+  private def combineScores(
+      primary: Column, s: PersonCols, t: PersonCols,
+      useDate: Boolean, usePrisoner: Boolean, usePob: Boolean,
+      nameOnly: Boolean, simpleDate: Boolean): Column = {
     import graft.expressions.FuzzColumns
-    def notEmpty(c: Column): Column =
-      c.isNotNull && length(c) > 0 && !c.isin("00000000", "-1.0", "-1")
-    def setScore(a: Column, b: Column): Column =
-      when(notEmpty(a) && notEmpty(b), FuzzColumns.tokenSetRatio(a, b)).otherwise(lit(-1.0))
+    def notEmpty(c: Column): Column = notEmptyCol(c)
     def ratioScore(a: Column, b: Column): Column =
       when(notEmpty(a) && notEmpty(b), FuzzColumns.indelRatio(a, b)).otherwise(lit(-1.0))
 
-    val primary =
-      (greatest(lit(0.0), setScore(s.lname, t.lname)) +
-        greatest(lit(0.0), setScore(s.gname, t.gname))) / 2
     if (nameOnly) return primary
 
     val dateK =
@@ -213,6 +236,65 @@ object PersonMatching {
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
     val nameOnly = cfg.nameOnly
     val simpleDate = cfg.useSimpleDateMatcher
+    if (cfg.memoizeNameKernels) {
+      // Kernel memoization: name columns in linkage corpora are Zipf-
+      // heavy (a few thousand distinct surnames across millions of rows),
+      // so the candidate set repeats the same (name_a, name_b) combos
+      // enormously. The token-set kernels are computed once per DISTINCT
+      // pair and broadcast-hash-joined back; the remaining per-pair combine
+      // runs in one lean UDF (evaluated once — a composite column would be
+      // re-evaluated in Filter and Project). The joined candidate base is
+      // localCheckpoint'd because three consumers (two memo builds + the
+      // final score) would otherwise each recompute the blocked join.
+      // The memo is built from the candidate set itself, so it works for
+      // ANY caller-supplied candidates, and its size is bounded by the
+      // candidate count. ONLY enable when name-pair cardinality is far
+      // below the pair count: measured on q22 sf0.1 (6.3M pairs, 64×64
+      // name combos, two runs each) memo 23.8/24.9 s vs UDF 20.4/21.0 s
+      // — the UDF path WINS there because this synthetic corpus's
+      // candidate names are mostly equal, so the equal-input fast paths
+      // already short-circuit the kernels; the option is kept for
+      // real-world corpora where co-bucketed names differ (full kernel
+      // cost) but repeat (Zipf).
+      def personStructOf(df: DataFrame): Column = {
+        def opt(c: String): Column =
+          if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
+        struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
+          opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
+          opt(cfg.prisonerCol).as("prisoner"))
+      }
+      val joined = candidates
+        .join(src.select(col("srcID"), personStructOf(src).as("__srcP")), "srcID")
+        .join(trg.select(col("trgID"), personStructOf(trg).as("__trgP")), "trgID")
+        .localCheckpoint()
+      def memo(a: Column, b: Column, an: String, bn: String, out: String) =
+        joined.select(a.as(an), b.as(bn)).distinct()
+          .withColumn(out, setScoreCol(col(an), col(bn)))
+      val lM = memo(col("__srcP.lname"), col("__trgP.lname"), "__la", "__lb", "__lscore")
+      val gM = memo(col("__srcP.gname"), col("__trgP.gname"), "__ga", "__gb", "__gscore")
+      val primary =
+        (greatest(lit(0.0), col("__lscore")) + greatest(lit(0.0), col("__gscore"))) / 2
+      val combineUdf = udf { (primary: Double,
+          s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
+        def p(r: org.apache.spark.sql.Row) = graft.similarity.Similarity.Person(
+          r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),
+          r.getAs[String]("pob"), r.getAs[String]("prisoner"))
+        graft.similarity.Similarity.personSimilarityFrom(primary, p(s), p(t),
+          useDate = useDate, usePrisoner = usePrisoner, usePob = usePob,
+          dateMatcher =
+            if (simpleDate) graft.similarity.Similarity.simpleDateMatcher
+            else graft.similarity.Similarity.dateSimilarity)
+      }
+      return joined
+        .join(broadcast(lM),
+          col("__srcP.lname") <=> col("__la") && col("__trgP.lname") <=> col("__lb"))
+        .join(broadcast(gM),
+          col("__srcP.gname") <=> col("__ga") && col("__trgP.gname") <=> col("__gb"))
+        .withColumn("score",
+          if (nameOnly) primary else combineUdf(primary, col("__srcP"), col("__trgP")))
+        .filter(col("score") >= cfg.minScore)
+        .select(col("srcID"), col("score"), col("trgID"))
+    }
     if (cfg.useExpressionScorer) {
       val (sCols, sP) = personCols(cfg, src, "s_")
       val (tCols, tP) = personCols(cfg, trg, "t_")

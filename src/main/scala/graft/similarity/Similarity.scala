@@ -113,7 +113,22 @@ object Similarity {
       math.max(0, nameSetMatcher(src.gname, trg.gname)))
     val primary = primaryScores.sum / 2
     if (nameOnly) return primary
+    personSimilarityFrom(primary, src, trg,
+      useDate, usePrisoner, usePob, nonNamesOptional, dateMatcher)
+  }
 
+  /** E6 with the name `primary` supplied by the caller — the combine
+    * stage used when the token-set kernels were memoized per distinct
+    * name pair. Arithmetic identical to [[personSimilarity]].
+    */
+  def personSimilarityFrom(
+      primary: Double,
+      src: Person, trg: Person,
+      useDate: Boolean,
+      usePrisoner: Boolean,
+      usePob: Boolean,
+      nonNamesOptional: Boolean = false,
+      dateMatcher: (String, String) => Double = dateSimilarity): Double = {
     val secondaryScores =
       (if (usePrisoner) Seq(nameMatcher(src.prisonerNumber, trg.prisonerNumber)) else Nil) ++
         (if (useDate) Seq(math.max(0, dateMatcher(src.dob, trg.dob))) else Nil)
