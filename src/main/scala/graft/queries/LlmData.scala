@@ -490,6 +490,24 @@ object LlmData {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** IVF ANN driver-visible with an exact oracle: at nProbe = nList every
+    * cell is probed, so assign → probe → rescore → rank MUST equal the
+    * brute-force top-k whatever the centroid sample — which pins the
+    * whole inverted-file dataflow without the oracle having to replay
+    * Spark's murmur3 centroid selection. The pruning benefit and recall
+    * floor at nProbe < nList are asserted in TextOpsSpec. Rank-compared
+    * like q30 (float summation order differs across engines); the oracle
+    * IS q30's SQL — any IVF-specific loss (a dropped cell, a mis-assigned
+    * vector, a probe-join bug) breaks the hash match.
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.ivfCosineTopK(queries, e, k = 5, Ann.IvfConfig(nList = 16, nProbe = 16))
+      .select(col("query_id"), col("rank"), col("id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q("q32_event_time_window", q32, Some(q32Sql)),
     Q("q36_session_window", q36, Some(q36Sql)),
@@ -503,5 +521,6 @@ object LlmData {
     Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
     Q("q35_cosine_near_dup", q35, Some(q35Sql)),
     Q("q37_multimodal_roundtrip", q37, Some(q37Sql)),
-    Q("q38_image_decode", q38, Some(q38Sql)))
+    Q("q38_image_decode", q38, Some(q38Sql)),
+    Q("q40_ann_ivf_topk", q40, Some(q30Sql)))
 }
