@@ -1,0 +1,86 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import graft.sources.Excel
+
+/** S2 XLSX scan: a workbook zip is crafted in-test (pure JDK, the same
+  * container a spreadsheet app writes) and read back — header naming,
+  * shared vs inline strings, rich-text runs, raw numeric passthrough
+  * (`dtype=str` parity), skipped-cell null padding, and the A1-style
+  * column addressing are all value-checked.
+  */
+class ExcelSpec extends SparkSpec {
+
+  private def entry(z: ZipOutputStream, name: String, content: String): Unit = {
+    z.putNextEntry(new ZipEntry(name))
+    z.write(content.getBytes("UTF-8"))
+    z.closeEntry()
+  }
+
+  /** A minimal two-sheet workbook: shared strings (one rich-text), and a
+    * sheet mixing shared strings, inline strings, numbers, and gaps.
+    */
+  private def workbook(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entry(z, "[Content_Types].xml", """<?xml version="1.0"?><Types/>""")
+    entry(z, "xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst count="4" uniqueCount="4">
+        |<si><t>name</t></si>
+        |<si><t>camp</t></si>
+        |<si><r><t>Ausch</t></r><r><t>witz</t></r></si>
+        |<si><t>Dachau</t></si>
+        |</sst>""".stripMargin)
+    entry(z, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>code</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>1017.50</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>inline name</t></is></c><c r="C3"><v>7</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry(z, "xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    bos.toByteArray
+  }
+
+  test("XLSX scan: header, shared/inline/rich strings, numbers as text, null gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
+    val f = dir.resolve("lookup.xlsx").toFile
+    val out = new FileOutputStream(f)
+    try out.write(workbook()) finally out.close()
+
+    val df = Excel.readXlsx(spark, "file://" + f.getAbsolutePath)
+    assert(df.columns.toSeq === Seq("name", "camp", "code"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length === 3)
+    // rich-text shared string concatenates runs; numbers pass through verbatim
+    assert(rows(0) === (("Auschwitz", "Dachau", "1017.50")))
+    // row 3 skips column B entirely -> null, A1-addressing keeps C in place
+    assert(rows(1) === (("inline name", null, "7")))
+    // short row -> trailing nulls
+    assert(rows(2) === (("Dachau", null, null)))
+
+    // second sheet by index
+    val s2 = Excel.readXlsx(spark, "file://" + f.getAbsolutePath, sheet = 1)
+    assert(s2.columns.toSeq === Seq("only"))
+    assert(s2.collect().map(_.getString(0)).toSeq === Seq("42"))
+
+    // the frame is a normal distributed DataFrame: joinable/filterable
+    assert(df.filter(org.apache.spark.sql.functions.col("camp").isNull).count() === 2)
+  }
+
+  test("column-reference arithmetic handles multi-letter columns") {
+    assert(Excel.colIndex("A1") === 0)
+    assert(Excel.colIndex("Z9") === 25)
+    assert(Excel.colIndex("AA12") === 26)
+    assert(Excel.colIndex("BC7") === 54)
+  }
+}
