@@ -40,6 +40,45 @@ object Excel {
       schema)
   }
 
+  /** S6 `to_excel` twin: write a (small) DataFrame as a single-sheet
+    * XLSX workbook — inline strings only, header row first, null cells
+    * skipped, every value rendered via `String.valueOf` (the reference
+    * writes str-typed frames). Driver-side collect by design, mirroring
+    * the reader's small-lookup-table contract.
+    */
+  def writeXlsx(df: DataFrame, spark: SparkSession, uri: String): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def rowXml(r: Int, cells: Seq[Any]): String =
+      cells.zipWithIndex.collect {
+        case (v, i) if v != null =>
+          s"""<c r="${colRef(i)}${r + 1}" t="inlineStr"><is><t>${esc(String.valueOf(v))}</t></is></c>"""
+      }.mkString(s"""<row r="${r + 1}">""", "", "</row>")
+    val header = rowXml(0, df.columns.toSeq)
+    val body = df.collect().zipWithIndex
+      .map { case (row, i) => rowXml(i + 1, row.toSeq) }.mkString
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$header$body</sheetData></worksheet>""")
+    z.close()
+    ObjectStore.put(spark, uri, bos.toByteArray)
+  }
+
+  /** 0 → "A", 26 → "AA" — inverse of [[colIndex]]. */
+  private[graft] def colRef(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) { val r = (i - 1) % 26; sb.insert(0, ('A' + r).toChar); i = (i - 1) / 26 }
+    sb.toString
+  }
+
   /** Workbook bytes → rows of cell strings for one sheet (cells beyond
     * the last populated column of a row are absent).
     */

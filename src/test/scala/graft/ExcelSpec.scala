@@ -82,5 +82,20 @@ class ExcelSpec extends SparkSpec {
     assert(Excel.colIndex("Z9") === 25)
     assert(Excel.colIndex("AA12") === 26)
     assert(Excel.colIndex("BC7") === 54)
+    for (i <- 0 until 100) assert(Excel.colIndex(Excel.colRef(i) + "1") === i)
+  }
+
+  test("XLSX sink round-trips through the reader (S6 to_excel twin)") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-w")
+    val uri = "file://" + dir.resolve("out.xlsx").toString
+    val df = Seq(("a", "1 < 2 & 3", null: String), ("b", null: String, "z"))
+      .toDF("k", "weird", "maybe")
+    Excel.writeXlsx(df, spark, uri)
+    val back = Excel.readXlsx(spark, uri)
+    assert(back.columns.toSeq === Seq("k", "weird", "maybe"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(("a", "1 < 2 & 3", null), ("b", null, "z")))
   }
 }
