@@ -71,27 +71,41 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0" && only.isEmpty
     val scalingJson =
       if (!doScaling) "null"
-      else scalingTargets.flatMap { name =>
-        SparkEntry.queries.get(name).flatMap { fn =>
-          def timeIt(): Double = {
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }
-          try {
-            sys.props(graft.core.ScaleKnob.Prop) = "0.5"
-            val tHalf = try timeIt() finally sys.props.remove(graft.core.ScaleKnob.Prop)
-            val tFull = timeIt()
-            val ratio = tFull / tHalf
-            val exp = math.log(ratio) / math.log(2)
-            Some(s""""$name":{"half_sec":$tHalf,"full_sec":$tFull,"ratio":$ratio,"growth_exponent":$exp}""")
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] scaling of $name failed: ${e.getMessage}")
-              None
+      else {
+        val entries = scalingTargets.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            def timeIt(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            // best of 2 per point: single-shot wall times at these sizes
+            // swing with JIT/GC enough to flip a ratio by 2x
+            def best2(): Double = math.min(timeIt(), timeIt())
+            try {
+              sys.props(graft.core.ScaleKnob.Prop) = "0.5"
+              val tHalf = try best2() finally sys.props.remove(graft.core.ScaleKnob.Prop)
+              val tFull = best2()
+              val ratio = tFull / tHalf
+              val exp = math.log(ratio) / math.log(2)
+              Some(s""""$name":{"half_sec":$tHalf,"full_sec":$tFull,"ratio":$ratio,"growth_exponent":$exp}""")
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] scaling of $name failed: ${e.getMessage}")
+                None
+            }
           }
         }
-      }.mkString("{", ",", "}")
+        // q22 caveat: a SELF-match over a FIXED 8x8-word vocabulary is
+        // intrinsically quadratic in corpus size (halving rows quarters
+        // each bucket's pair count) — real name distributions grow the
+        // vocabulary with the data, which is what keeps bucket sizes and
+        // the ratio bounded; the hot-bucket cap guards the true worst case
+        val note = "\"note\":\"q22 self-matches a fixed-vocabulary corpus: candidate pairs scale " +
+          "quadratically with rows by construction (buckets densify, vocabulary does not grow); " +
+          "bounded by maxBucketSize, see PersonMatching.capBuckets\""
+        (entries :+ note).mkString("{", ",", "}")
+      }
 
     // no-silent-caps: bounds that make a bench number stop tracking the
     // scale factor are declared in the result itself
