@@ -315,9 +315,12 @@ object PersonMatching {
     // either way. `useExpressionScorer` keeps the codegen path
     // selectable for filter-pushdown use cases.
     val scoreUdf = udf { (s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
+      // positional access: getAs-by-name costs a field-index hash lookup
+      // per field per pair — 10 per score, tens of millions per join.
+      // Field order is pinned by personStruct below.
       def p(r: org.apache.spark.sql.Row) = graft.similarity.Similarity.Person(
-        r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),
-        r.getAs[String]("pob"), r.getAs[String]("prisoner"))
+        r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))
       graft.similarity.Similarity.personSimilarity(p(s), p(t),
         useDate = useDate, usePrisoner = usePrisoner, usePob = usePob,
         nameOnly = nameOnly,
