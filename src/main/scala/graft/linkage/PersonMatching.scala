@@ -122,7 +122,12 @@ object PersonMatching {
       // compute the two token-set name kernels once per DISTINCT name
       // pair and broadcast-join the small memo back, instead of once per
       // candidate pair — see the cardinality note in scorePairs
-      memoizeNameKernels: Boolean = false)
+      memoizeNameKernels: Boolean = false,
+      // src and trg are the SAME dataset: score each unordered pair once
+      // (srcID <= trgID) and mirror — valid because every default kernel
+      // (token-set, Indel, date-with-swap) is symmetric; rejected with
+      // the asymmetric simple-date matcher
+      selfJoinMirror: Boolean = false)
 
   /** E6 `person_similarity` as a pure column expression over the native
     * codegen'd kernels — identical arithmetic (and FP association) to
@@ -345,7 +350,19 @@ object PersonMatching {
   }
 
   def personMatching(src: DataFrame, trg: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
-    val scored = scoredPairs(src, trg, cfg, lit(true))
+    val scored =
+      if (!cfg.selfJoinMirror) scoredPairs(src, trg, cfg, lit(true))
+      else {
+        require(!cfg.useSimpleDateMatcher,
+          "selfJoinMirror needs a symmetric scorer; simple_date_matcher is directional")
+        // kernels run once per unordered pair; the mirror is a projection.
+        // localCheckpoint: the scored half feeds both union branches and
+        // would otherwise be recomputed (kernels included) for the mirror
+        val half = scoredPairs(src, trg, cfg, col("srcID") <= col("trgID"))
+          .localCheckpoint()
+        half.unionByName(half.filter(col("srcID") =!= col("trgID"))
+          .select(col("trgID").as("srcID"), col("score"), col("srcID").as("trgID")))
+      }
 
     // top-k per source — skipped entirely when every match is kept
     // (edge-generation callers): the per-source sort is the only

@@ -35,7 +35,8 @@ object Linkage {
     val m = PersonMatching.personMatching(
       p.withColumnRenamed("pid", "srcID"),
       p.withColumnRenamed("pid", "trgID"),
-      MatchConfig(topN = 1, minScore = 80.0))
+      // self-match: symmetric kernels run once per unordered pair
+      MatchConfig(topN = 1, minScore = 80.0, selfJoinMirror = true))
     // round the reported score (FP: 2/3·s + 1/3·s lands at 99.99999…);
     // ranking inside the window used the raw value
     m.withColumn("score", round(col("score"), 6)).orderBy(col("srcID"))

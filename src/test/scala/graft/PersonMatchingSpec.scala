@@ -146,6 +146,21 @@ class PersonMatchingSpec extends SparkSpec {
     udf.foreach { case (k, v) => assert(math.abs(memo(k) - v) < 1e-9, s"pair $k") }
   }
 
+  test("selfJoinMirror matches the plain path row for row") {
+    val src = persons.withColumnRenamed("id", "srcID")
+    val trg = persons.withColumnRenamed("id", "trgID")
+    def run(mirror: Boolean) = PersonMatching.personMatching(src, trg,
+      MatchConfig(topN = 2, minScore = 80.0, selfJoinMirror = mirror))
+      .collect()
+      .map(r => (r.getAs[Long]("srcID"), r.getAs[Double]("score"), r.getAs[Any]("trgID")))
+      .toSet
+    assert(run(mirror = true) === run(mirror = false))
+    intercept[IllegalArgumentException] {
+      PersonMatching.personMatching(src, trg,
+        MatchConfig(selfJoinMirror = true, useSimpleDateMatcher = true))
+    }
+  }
+
   test("allowDuplicates=false keeps one source per target") {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.filter(col("id") === 1).withColumnRenamed("id", "trgID")
