@@ -124,9 +124,14 @@ object Unpack {
     require(keyOrder.forall(_.endsWith("_repeat")),
       s"unpacking of non-'_repeat' groups is not implemented: ${keyOrder.filterNot(_.endsWith("_repeat"))}")
 
+    // localCheckpoint: pass 1b runs one aggregation PER repeat group and
+    // pass 2 is the final select — without materialization each of those
+    // G+1 consumers re-parses the JSON and re-runs the flatten UDFs over
+    // the whole corpus. One materialized pass serves them all.
     val flat = parsed.select(
       df0.columns.filterNot(_ == jsonColumn).map(col).toSeq ++
         keyOrder.map(k => flattenUdf(col("__parsed")(k)).as(s"__flat_$k")): _*)
+      .localCheckpoint()
 
     // ---- pass 1b: inner field order + max arity per group --------------
     final case class Field(group: String, name: String, maxLen: Int)
