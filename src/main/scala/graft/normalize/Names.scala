@@ -76,10 +76,13 @@ object Names {
     qa = qa || nobleQa
 
     val parts = split(pyTitleUdf(c), ";", 5)
+    // localCheckpoint: the arity aggregation below and the final select
+    // are two consumers of the full regex chain — materialize it once
     val df1 = input
       .withColumn("__parts", parts)
       .withColumn("__birth", birthName)
       .withColumn("__qa0", qa)
+      .localCheckpoint()
     val k = maxParts(df1, col("__parts"))
 
     // length-cap QA on all split columns but the last (F10), then digit
@@ -146,7 +149,9 @@ object Names {
     val qa = createQaCol(c, Regexes.Qa, Regexes.QaNoEntry) || hasNoble
 
     val parts = split(pyTitleUdf(c), ";", 5)
+    // same two-consumer materialization as the last-name family
     val df1 = input.withColumn("__parts", parts).withColumn("__qa0", qa)
+      .localCheckpoint()
     val k = maxParts(df1, col("__parts"))
 
     val splitCols = (0 until k).map(i => get(col("__parts"), lit(i)))
