@@ -70,7 +70,10 @@ object Nationality {
       val r = standardizeValue(d, u, raw)
       (r.parts, r.standardized, r.qa)
     }
+    // same two-consumer materialization as the name chains: the arity
+    // aggregation and the output select otherwise both run the UDF pass
     val with0 = df.withColumn("__nat", stdUdf(coalesce(col(natCol).cast("string"), lit(""))))
+      .localCheckpoint()
     val k = math.max(1, with0.agg(max(size(col("__nat._1")))).head().getInt(0))
     var out = with0
     for (i <- 0 until k) {
