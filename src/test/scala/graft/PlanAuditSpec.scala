@@ -20,6 +20,18 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads a column the query never uses")
   }
 
+  test("round-5 queries prune their scans") {
+    // q38 generates images from doc_id alone — the documents scan must
+    // not read the text payload
+    val p38 = plan("q38_image_decode")
+    assert(!p38.split("ReadSchema").last.contains("text"),
+      "q38 reads text bytes it never uses")
+    // q21 styles two columns of part — the other seven stay unread
+    val p21 = plan("q21_normalize_names_scale")
+    assert(!p21.split("ReadSchema").last.contains("p_retailprice"),
+      "q21 reads part columns it never uses")
+  }
+
   test("aggregations run partial (map-side) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"), "hash aggregation expected")
