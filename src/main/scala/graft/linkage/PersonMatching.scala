@@ -48,7 +48,8 @@ object PersonMatching {
     * shuffle.
     */
   private def candidatePairs(
-      src: DataFrame, trg: DataFrame, cfg: MatchConfig): DataFrame = {
+      src: DataFrame, trg: DataFrame, cfg: MatchConfig,
+      pairPredicate: Column): DataFrame = {
     def exploded(df: DataFrame, id: String) = {
       val e = df
         .select(col(id),
@@ -60,7 +61,11 @@ object PersonMatching {
     }
     val s = exploded(src, "srcID")
     val t = exploded(trg, "trgID")
-    s.join(t, Seq("fb", "lb")).select("srcID", "trgID").distinct()
+    // the pair predicate runs BEFORE the dedup aggregation: a row-level
+    // filter commutes with distinct, and pruning first (e.g. the
+    // self-join's srcID <= trgID) halves what the distinct shuffles
+    s.join(t, Seq("fb", "lb")).select("srcID", "trgID")
+      .filter(pairPredicate).distinct()
   }
 
   /** Most recent drop counter (test observability; one per capped side).
@@ -225,7 +230,7 @@ object PersonMatching {
   def scoredPairs(
       src: DataFrame, trg: DataFrame, cfg: MatchConfig,
       pairPredicate: Column): DataFrame = {
-    val candidates = candidatePairs(src, trg, cfg).filter(pairPredicate)
+    val candidates = candidatePairs(src, trg, cfg, pairPredicate)
     scorePairs(candidates, src, trg, cfg)
   }
 
