@@ -42,12 +42,11 @@ object Tables {
 
   /** Every table through its typed accessor — `events` needs the
     * nanos-as-long path, so warmup/iteration code must come through here
-    * rather than looping `table(...)` over [[names]].
+    * rather than looping `table(...)` over [[names]]. Derived from
+    * [[names]] so a new table can't be silently missing from warmup.
     */
-  def all(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
-    "region" -> region(spark, dir), "nation" -> nation(spark, dir),
-    "customer" -> customer(spark, dir), "supplier" -> supplier(spark, dir),
-    "part" -> part(spark, dir), "orders" -> orders(spark, dir),
-    "lineitem" -> lineitem(spark, dir), "events" -> events(spark, dir),
-    "documents" -> documents(spark, dir), "embeddings" -> embeddings(spark, dir))
+  def all(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    names.map { n =>
+      n -> (if (n == "events") events(spark, dir) else table(spark, dir, n))
+    }
 }

@@ -332,11 +332,16 @@ object Clustering {
       .join(mapping.select(col("vid").as("b"), col("nid").as("nb")), "b")
       .select(col("na").as("a"), col("nb").as("b"))
     val comps = connectedComponents(mapping.select(col("nid").as("id")), edgesNum)
-    // component = the winning vertex's dense id; map it back to that
-    // vertex's string so cluster ids stay human-readable labels
+    // component = the min-nid vertex, but nids are partition-layout-
+    // dependent — naming clusters after that winner would make labels
+    // change across runs/parallelism for identical input. Re-derive the
+    // label as the lexicographic min vid over the component's members:
+    // input-deterministic, one extra aggregate on the component key.
+    val repr = comps.join(mapping.withColumnRenamed("nid", "id"), "id")
+      .groupBy(col("component")).agg(min(col("vid")).as("cluster_id"))
     rowIds.join(mapping.select(col("vid").as("v"), col("nid")), "v")
       .join(comps.withColumnRenamed("id", "nid"), "nid")
-      .join(mapping.select(col("nid").as("component"), col("vid").as("cluster_id")), "component")
+      .join(repr, "component")
       .select(col("id"), col("cluster_id"))
   }
 

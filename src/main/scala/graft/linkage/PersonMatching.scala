@@ -97,8 +97,10 @@ object PersonMatching {
       .orderBy(hash(col(id)), col(id))
     exploded
       .withColumn("__rank", row_number().over(w))
-      .observe(obs, sum(when(col("__rank") > maxBucketSize, 1L).otherwise(0L))
-        .as("dropped_bucket_rows"))
+      // coalesce: sum() over zero rows is NULL — an empty side must
+      // observe 0 drops, not null (callers compare the metric to 0L)
+      .observe(obs, coalesce(sum(when(col("__rank") > maxBucketSize, 1L)
+        .otherwise(0L)), lit(0L)).as("dropped_bucket_rows"))
       .filter(col("__rank") <= maxBucketSize)
       .drop("__rank")
   }
@@ -234,6 +236,21 @@ object PersonMatching {
     scorePairs(candidates, src, trg, cfg)
   }
 
+  /** The five scorer inputs as one struct column; columns absent from
+    * `df` surface as null strings. Field ORDER is load-bearing: the
+    * default scorer UDF reads positionally (`getString(0..4)`), so
+    * gname/lname/dob/pob/prisoner must stay in exactly this order.
+    * Single definition shared by the memoized and default paths so the
+    * two can't drift.
+    */
+  private def personStruct(df: DataFrame, cfg: MatchConfig): Column = {
+    def opt(c: String): Column =
+      if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
+    struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
+      opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
+      opt(cfg.prisonerCol).as("prisoner"))
+  }
+
   /** Score a caller-supplied `(srcID, trgID)` candidate set — the same
     * scoring the blocked join applies, reusable over any blocking scheme
     * (E8 MinHash candidates, seeded pairs, …).
@@ -266,16 +283,9 @@ object PersonMatching {
       // already short-circuit the kernels; the option is kept for
       // real-world corpora where co-bucketed names differ (full kernel
       // cost) but repeat (Zipf).
-      def personStructOf(df: DataFrame): Column = {
-        def opt(c: String): Column =
-          if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
-        struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
-          opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
-          opt(cfg.prisonerCol).as("prisoner"))
-      }
       val joined = candidates
-        .join(src.select(col("srcID"), personStructOf(src).as("__srcP")), "srcID")
-        .join(trg.select(col("trgID"), personStructOf(trg).as("__trgP")), "trgID")
+        .join(src.select(col("srcID"), personStruct(src, cfg).as("__srcP")), "srcID")
+        .join(trg.select(col("trgID"), personStruct(trg, cfg).as("__trgP")), "trgID")
         .localCheckpoint()
       def memo(a: Column, b: Column, an: String, bn: String, out: String) =
         joined.select(a.as(an), b.as(bn)).distinct()
@@ -338,15 +348,8 @@ object PersonMatching {
           if (simpleDate) graft.similarity.Similarity.simpleDateMatcher
           else graft.similarity.Similarity.dateSimilarity)
     }
-    def personStruct(df: DataFrame): Column = {
-      def opt(c: String): Column =
-        if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
-      struct(opt(cfg.gnameCol).as("gname"), opt(cfg.lnameCol).as("lname"),
-        opt(cfg.dobCol).as("dob"), opt(cfg.pobCol).as("pob"),
-        opt(cfg.prisonerCol).as("prisoner"))
-    }
-    val srcP = src.select(col("srcID"), personStruct(src).as("__srcP"))
-    val trgP = trg.select(col("trgID"), personStruct(trg).as("__trgP"))
+    val srcP = src.select(col("srcID"), personStruct(src, cfg).as("__srcP"))
+    val trgP = trg.select(col("trgID"), personStruct(trg, cfg).as("__trgP"))
     candidates
       .join(srcP, "srcID").join(trgP, "trgID")
       .withColumn("score", scoreUdf(col("__srcP"), col("__trgP")))

@@ -20,21 +20,38 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * parquet, S1/S3). The bytes come through the same Hadoop `FileSystem`
   * connector as S5, so a workbook in an object store reads with the
   * same call.
+  *
+  * Hardening for partner-supplied workbooks: sheet index resolves
+  * through `xl/workbook.xml` tab order + the package relationships (not
+  * the physical `sheetN.xml` part name, which drifts when sheets are
+  * deleted/reordered in Excel), XML parsing rejects DOCTYPE declarations
+  * (XXE / entity-expansion), and blank or duplicate header cells get
+  * pandas-style disambiguation (`Unnamed: N`, `name.1`).
   */
 object Excel {
 
-  /** Read sheet `sheet` (0-based) of an XLSX workbook into a string-typed
-    * DataFrame; header = first row, missing trailing cells = null.
+  /** Read sheet `sheet` (0-based workbook tab order) of an XLSX workbook
+    * into a string-typed DataFrame; header = first row, missing trailing
+    * cells = null.
     */
   def readXlsx(spark: SparkSession, uri: String, sheet: Int = 0): DataFrame = {
     val rows = parseRows(ObjectStore.get(spark, uri), sheet)
     require(rows.nonEmpty, s"empty sheet $sheet in $uri")
-    val header = rows.head.map(v => if (v == null) "" else v)
+    // pandas.read_excel parity: blank headers become "Unnamed: N", a
+    // repeated name gets ".k" suffixes — two blanks would otherwise
+    // yield duplicate empty StructField names (unusable by name)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val header = rows.head.zipWithIndex.map { case (v, i) =>
+      val base = if (v == null || v.isEmpty) s"Unnamed: $i" else v
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"$base.$n"
+    }
     val width = header.length
     val data = rows.tail.map { r =>
       Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
     }
-    val schema = StructType(header.map(h => StructField(h, StringType)))
+    val schema = StructType(header.map(h => StructField(h, StringType)).toSeq)
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
       schema)
@@ -44,7 +61,10 @@ object Excel {
     * XLSX workbook — inline strings only, header row first, null cells
     * skipped, every value rendered via `String.valueOf` (the reference
     * writes str-typed frames). Driver-side collect by design, mirroring
-    * the reader's small-lookup-table contract.
+    * the reader's small-lookup-table contract. Emits a complete OPC
+    * package (content types, package + workbook relationships, workbook
+    * part) so Excel/pandas/openpyxl can open the file, not just this
+    * repo's reader.
     */
   def writeXlsx(df: DataFrame, spark: SparkSession, uri: String): Unit = {
     def esc(s: String): String =
@@ -52,7 +72,7 @@ object Excel {
     def rowXml(r: Int, cells: Seq[Any]): String =
       cells.zipWithIndex.collect {
         case (v, i) if v != null =>
-          s"""<c r="${colRef(i)}${r + 1}" t="inlineStr"><is><t>${esc(String.valueOf(v))}</t></is></c>"""
+          s"""<c r="${colRef(i)}${r + 1}" t="inlineStr"><is><t xml:space="preserve">${esc(String.valueOf(v))}</t></is></c>"""
       }.mkString(s"""<row r="${r + 1}">""", "", "</row>")
     val header = rowXml(0, df.columns.toSeq)
     val body = df.collect().zipWithIndex
@@ -64,9 +84,25 @@ object Excel {
       z.write(content.getBytes("UTF-8")); z.closeEntry()
     }
     entry("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""")
     entry("xl/worksheets/sheet1.xml",
-      s"""<?xml version="1.0"?><worksheet><sheetData>$header$body</sheetData></worksheet>""")
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$header$body</sheetData></worksheet>""")
     z.close()
     ObjectStore.put(spark, uri, bos.toByteArray)
   }
@@ -79,37 +115,83 @@ object Excel {
     sb.toString
   }
 
+  private val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
   /** Workbook bytes → rows of cell strings for one sheet (cells beyond
-    * the last populated column of a row are absent).
+    * the last populated column of a row are absent). `sheet` indexes the
+    * workbook's declared tab order.
     */
   private[graft] def parseRows(bytes: Array[Byte], sheet: Int): Seq[Array[String]] = {
-    var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetXml: Array[Byte] = null
-    val target = s"xl/worksheets/sheet${sheet + 1}.xml"
+    // collect the XML parts (media/binary parts skipped) — workbooks
+    // here are small lookup tables by contract, driver-side is fine
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
-        else if (e.getName == target) sheetXml = zin.readAllBytes()
+        if (e.getName.endsWith(".xml") || e.getName.endsWith(".rels"))
+          parts(e.getName) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
-    require(sheetXml != null, s"workbook has no $target")
+    val target = sheetPart(parts, sheet)
+    val sheetXml = parts.getOrElse(target,
+      throw new IllegalArgumentException(s"workbook has no $target"))
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     parseSheet(sheetXml, shared)
   }
 
+  /** Resolve a 0-based sheet index to its worksheet part name through
+    * `xl/workbook.xml` (tab order) + `xl/_rels/workbook.xml.rels`
+    * (r:id → part). Physical `sheetN.xml` numbering is NOT tab order:
+    * deleting Sheet1 in Excel leaves parts named sheet2/sheet3 with the
+    * tab order only in workbook.xml. Falls back to physical naming when
+    * the workbook/rels parts are absent (minimal hand-built packages).
+    */
+  private def sheetPart(parts: collection.Map[String, Array[Byte]], sheet: Int): String = {
+    val fallback = s"xl/worksheets/sheet${sheet + 1}.xml"
+    parts.get("xl/workbook.xml").flatMap { wb =>
+      val sheets = dom(wb).getElementsByTagNameNS("*", "sheet")
+      if (sheets.getLength == 0) None
+      else {
+        require(sheet < sheets.getLength,
+          s"workbook declares ${sheets.getLength} sheet(s); no index $sheet")
+        val el = sheets.item(sheet).asInstanceOf[org.w3c.dom.Element]
+        val rid = {
+          val ns = el.getAttributeNS(RelNs, "id")
+          if (ns.nonEmpty) ns else el.getAttribute("r:id")
+        }
+        parts.get("xl/_rels/workbook.xml.rels").flatMap { rb =>
+          val rels = dom(rb).getElementsByTagNameNS("*", "Relationship")
+          (0 until rels.getLength).map { i =>
+            val r = rels.item(i).asInstanceOf[org.w3c.dom.Element]
+            r.getAttribute("Id") -> r.getAttribute("Target")
+          }.toMap.get(rid).map { t =>
+            // rels targets are workbook-part-relative; "/x" is package-root
+            if (t.startsWith("/")) t.drop(1) else "xl/" + t
+          }
+        }
+      }
+    }.getOrElse(fallback)
+  }
+
+  /** Namespace-aware, entity-hardened parse: DOCTYPE is rejected
+    * outright — partner-supplied workbooks are untrusted input, and a
+    * crafted DTD means file exfiltration (XXE) or entity-expansion OOM.
+    */
   private def dom(bytes: Array[Byte]) = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
+    f.setNamespaceAware(true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
   }
 
   /** `<si>` entries; rich-text runs concatenate their `<t>` descendants. */
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
-    val sis = dom(bytes).getElementsByTagName("si")
+    val sis = dom(bytes).getElementsByTagNameNS("*", "si")
     (0 until sis.getLength).map { i =>
-      val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+      val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagNameNS("*", "t")
       (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
     }
   }
@@ -124,9 +206,9 @@ object Excel {
   }
 
   private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[Array[String]] = {
-    val rows = dom(bytes).getElementsByTagName("row")
+    val rows = dom(bytes).getElementsByTagNameNS("*", "row")
     (0 until rows.getLength).map { r =>
-      val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("c")
+      val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element].getElementsByTagNameNS("*", "c")
       val parsed = (0 until cells.getLength).map { c =>
         val cell = cells.item(c).asInstanceOf[org.w3c.dom.Element]
         val ref = cell.getAttribute("r")
@@ -134,13 +216,13 @@ object Excel {
         val t = cell.getAttribute("t")
         val value = t match {
           case "s" =>
-            val vs = cell.getElementsByTagName("v")
+            val vs = cell.getElementsByTagNameNS("*", "v")
             if (vs.getLength == 0) null else shared(vs.item(0).getTextContent.trim.toInt)
           case "inlineStr" =>
-            val ts = cell.getElementsByTagName("t")
+            val ts = cell.getElementsByTagNameNS("*", "t")
             (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
           case _ => // n, str, b, d or untyped: the raw <v> text, verbatim
-            val vs = cell.getElementsByTagName("v")
+            val vs = cell.getElementsByTagNameNS("*", "v")
             if (vs.getLength == 0) null else vs.item(0).getTextContent
         }
         idx -> value

@@ -21,19 +21,37 @@ else:
 OUT = "/tmp/graft_verify"
 skip_verify = "--skip-verify" in sys.argv
 
+
+def selected(name):
+    return not only or name in only or name.split("_")[0] in only
+
+
+verify_failed = set()
 if not skip_verify:
-    if not only and os.path.isdir(OUT):
-        shutil.rmtree(OUT)  # drop stale result dirs from removed queries
+    if os.path.isdir(OUT):
+        if not only:
+            shutil.rmtree(OUT)  # drop stale result dirs from removed queries
+        else:
+            # drop stale parquet for the SELECTED queries too — a query
+            # that crashes in Verify must not green-light last run's dump
+            for d in os.listdir(OUT):
+                p = os.path.join(OUT, d)
+                if os.path.isdir(p) and selected(d):
+                    shutil.rmtree(p)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    env.pop("SPARK_GRAFT_ONLY", None)  # never inherit a shell-exported filter
+    if only:
+        env["SPARK_GRAFT_ONLY"] = ",".join(sorted(only))
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
-        capture_output=True, text=True, cwd="/root/repo",
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8",
-             **({"SPARK_GRAFT_ONLY": ",".join(sorted(only))} if only else {})})
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
-    for line in r.stdout.splitlines():
+    for line in (r.stdout + "\n" + r.stderr).splitlines():
         if "[verify]" in line:
             print(line)
+            if " failed" in line:
+                verify_failed.add(line.split()[1])
 
 import duckdb
 import pandas as pd
@@ -64,10 +82,10 @@ def frame_hash(df: pd.DataFrame):
         h.update(row.encode()); h.update(b"\x1e")
     return h.hexdigest()[:16]
 
-def selected(name):
-    return not only or name in only or name.split("_")[0] in only
-
 fails = 0
+for name in sorted(verify_failed):
+    print(f"FAIL {name}: crashed in Verify (see [verify] line above)")
+    fails += 1
 for name in sorted(oracles):
     if not selected(name):
         continue
