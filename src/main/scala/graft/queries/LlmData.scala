@@ -17,12 +17,13 @@ object LlmData {
     * reproducible in SQL for the oracle.
     */
   private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
-    // demo corpus capped at 2500 docs: covers every row at the sf0.01
-    // correctness scale (500 docs); bounds the bench-scale quadratic
-    // worst case of this deliberately tiny-vocabulary synthetic corpus
+    // demo corpus capped at 2500 docs (ScaleKnob.docsCap — the Bench
+    // scaling pass lifts it to 5000 to measure growth): covers every row
+    // at the sf0.01 correctness scale (500 docs); bounds the bench-scale
+    // quadratic worst case of this deliberately tiny-vocabulary corpus
     val d = graft.core.ScaleKnob.sample(
       Tables.documents(spark, dir).select("doc_id", "text")
-        .filter(col("doc_id") < 2500), "doc_id")
+        .filter(col("doc_id") < graft.core.ScaleKnob.docsCap), "doc_id")
     val exact = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val near = d.filter(col("doc_id") % 7 === 0)

@@ -89,6 +89,8 @@ for name in sorted(verify_failed):
 for name in sorted(oracles):
     if not selected(name):
         continue
+    if name in verify_failed:
+        continue  # already counted as a FAIL above; don't double-count
     path = f"{OUT}/{name}"
     try:
         got = pd.read_parquet(path)
