@@ -9,11 +9,14 @@ import graft.unpack.Unpack
 /** Reference-pipeline operators surfaced as driver-visible queries
   * (SURVEY X1/X3, C1–C13, S1).
   *
-  * These run on the reference's own 8-row fixture corpus (bundled as a
+  * q16/q17 run on the reference's own 8-row fixture corpus (bundled as a
   * classpath resource) rather than the TPC-H-ish tables: the operators'
-  * semantics are defined by that corpus. Not ANSI-SQL-expressible → no
-  * DuckDB oracle → the driver records rows-only checks; the value-level
-  * assertions live in `UnpackSpec` / `EncDeduplicaterSpec` golden tests.
+  * semantics are defined by that corpus. q16's flatten is DuckDB-
+  * replayable (`read_csv` + `json_extract_string` over the same
+  * materialized fixture) and carries a full hash oracle; q17's consensus
+  * repair presets are not SQL-expressible → rows-only check, with the
+  * value-level assertions in `EncDeduplicaterSpec` golden tests (the
+  * SQL-expressible strict/date matcher half is oracle-backed in q41).
   */
 object Pipeline {
 
@@ -23,6 +26,45 @@ object Pipeline {
     Unpack.unpack(raw, "json_data",
       additionalSplitsOn = c => c.contains("category"), splitRe = "[\\|;,\\s]")
       .orderBy("row_id")
+  }
+
+  /** DuckDB replay of q16 over the SAME materialized fixture file Spark
+    * scans ([[Fixtures.path]] is deterministic): `read_csv` + per-index
+    * `json_extract_string`. Semantics replayed exactly: python-`str`
+    * trim, present-but-JSON-null → the literal string 'None', absent
+    * repeat index → real NULL (the `json_array_length > i` guard), plain
+    * column names for groups whose batch-wide max arity is 1, numbered
+    * fan-out otherwise (category ×6, place_of_birth ×2, first_name ×2 on
+    * this corpus). The single-field NA filter and `additional_splits`
+    * are identity on this fixture by construction (no duplicate values
+    * inside a cell, no separator characters in category cells) — those
+    * paths stay value-covered by UnpackSpec's goldens and q39's
+    * corpus-scale oracle.
+    */
+  private lazy val q16Sql = {
+    val p = Fixtures.path("raw_enc_data.csv")
+    def one(group: String, field: String): String =
+      s"coalesce(trim(json_extract_string(json_data, '$$.${group}[0].$field')), 'None') AS $field"
+    def numbered(group: String, field: String, n: Int): String =
+      (0 until n).map { i =>
+        s"CASE WHEN json_array_length(json_data, '$$.$group') > $i THEN " +
+          s"coalesce(trim(json_extract_string(json_data, '$$.$group[$i].$field')), 'None') END AS ${field}_$i"
+      }.mkString(",\n  ")
+    s"""SELECT CAST(row_id AS BIGINT) AS row_id, workflow_id, document_id,
+       |  ${numbered("prisoner_category_repeat", "prisoner_category", 6)},
+       |  ${one("prisoner_number_repeat", "prisoner_number")},
+       |  ${one("imprisonment_repeat", "imprisonment_year")},
+       |  ${one("imprisonment_repeat", "imprisonment_month")},
+       |  ${one("imprisonment_repeat", "imprisonment_day")},
+       |  ${one("imprisonment_repeat", "imprisonment_camp")},
+       |  ${numbered("place_of_birth_repeat", "place_of_birth", 2)},
+       |  ${one("birthdate_repeat", "birthdate_year")},
+       |  ${one("birthdate_repeat", "birthdate_month")},
+       |  ${one("birthdate_repeat", "birthdate_day")},
+       |  ${numbered("first_name_repeat", "first_name", 2)},
+       |  ${one("last_name_repeat", "last_name")}
+       |FROM read_csv('$p', header=true, all_varchar=true)
+       |ORDER BY row_id""".stripMargin
   }
 
   /** C1–C13: per-document consensus deduplication over the fixture.
@@ -128,7 +170,7 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[Q] = Seq(
-    Q("q16_unpack_repeat_groups", q16, None),
+    Q("q16_unpack_repeat_groups", q16, Some(q16Sql)),
     Q("q17_consensus_dedup", q17, None),
     Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
     Q("q39_json_unpack_scale", q39, Some(q39Sql)))

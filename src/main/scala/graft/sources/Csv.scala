@@ -69,14 +69,23 @@ object Csv {
     df.write.option("header", "true").option("sep", sep).mode("overwrite").csv(path)
 }
 
-/** Classpath fixture access: materializes a resource to a temp file so
-  * Spark's file-based readers can scan it regardless of working directory.
+/** Classpath fixture access: materializes a resource to a DETERMINISTIC
+  * file (`$tmpdir/graftfixtures/<name>`) so Spark's file-based readers
+  * can scan it regardless of working directory — and so oracle SQL that
+  * embeds the path (q16's DuckDB `read_csv` replay, executed by the
+  * driver after Verify exits) finds the same bytes Spark scanned.
+  * Written via temp-file + atomic move: concurrent callers (tests) never
+  * observe a torn file.
   */
 object Fixtures {
+  private val dir = java.nio.file.Paths.get(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graftfixtures")
+
   def path(name: String): String = {
     val in = getClass.getResourceAsStream(s"/graftfixtures/$name")
     require(in != null, s"fixture $name not on classpath")
-    val tmp = java.nio.file.Files.createTempFile("graft_fixture_", s"_$name")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".$name.", ".part")
     try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()
     // pandas `to_csv(index=True)` leaves the index header blank; Spark's
@@ -88,7 +97,12 @@ object Fixtures {
       if (text.startsWith(","))
         java.nio.file.Files.writeString(tmp, "row_id" + text)
     }
-    tmp.toFile.deleteOnExit()
-    tmp.toString
+    val target = dir.resolve(name)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // NO deleteOnExit: the driver's DuckDB oracle reads this path AFTER
+    // the Verify JVM exits. A few KB under $tmpdir, overwritten per run.
+    target.toString
   }
 }
