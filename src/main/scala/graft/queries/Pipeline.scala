@@ -169,9 +169,77 @@ object Pipeline {
       |FROM payload
       |ORDER BY doc_id""".stripMargin
 
+  /** C1/C3/C4 with the STRICT and DATE matcher presets oracle-backed at
+    * table scale (q17's fixture keeps the C6–C9 repair presets golden;
+    * this query makes the SQL-expressible half of the consensus job
+    * hash-checked). Four transcriptions shapes per order, keyed on
+    * `o_orderkey % 4`, each making the containment vote's outcome
+    * PROVABLE:
+    *   - 0: two verbatim copies + a disjoint third → the copy wins;
+    *   - 1: strict sees ["", "Unklar", id] → exclude-empty leaves < 2
+    *        informative entries → "-"; date sees two all-dash entries →
+    *        the first break condition fires → "-";
+    *   - 2: all-distinct entries → no token has 2 supporters → no
+    *        consensus (NULL);
+    *   - 3: strict sees a 2-2 tie → resolved to the LAST entry
+    *        (numpy-stable-sort semantics); date sees a dash-prefixed
+    *        modal value → the second break condition fires → "-".
+    * Containment == equality by construction: ids are fixed-width
+    * zero-padded digits (a length-8 digit string is a substring of
+    * another only when equal) and filler tokens are letters, which can
+    * never support digit tokens. The oracle derives each case straight
+    * from `orders`.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val o = graft.core.Tables.orders(spark, dir)
+    val d = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    def id(off: Int) = lpad((col("o_orderkey") + off).cast("string"), 8, "0")
+    val m = pmod(col("o_orderkey"), lit(4))
+    val idArr = when(m === 0, array(id(0), id(0), id(1)))
+      .when(m === 1, array(lit(""), lit("Unklar"), id(0)))
+      .when(m === 2, array(id(0), id(1), id(2)))
+      .otherwise(array(id(0), id(0), id(1), id(1)))
+    val dateArr = when(m === 0, array(d, d, lit("x")))
+      .when(m === 1, array(lit("-"), lit("- "), d))
+      .when(m === 2, array(d, lit("p"), lit("q")))
+      .otherwise(array(concat(lit("-"), d), concat(lit("-"), d), concat(lit("-"), d), d))
+    val transcripts = o.select(col("o_orderkey").as("doc_id"),
+      posexplode(arrays_zip(idArr.as("i"), dateArr.as("dt"))).as(Seq("row_id", "e")))
+      .select(col("doc_id"), col("row_id"), col("e.i").as("id_val"), col("e.dt").as("date_val"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("consensus_id", StringType), StructField("consensus_date", StringType)))
+    val strictM = graft.consensus.Matchers.strict()
+    val dateM = graft.consensus.Matchers.date()
+    transcripts
+      .groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (id, it) =>
+        val rows = it.toArray.sortBy(_.getInt(1))
+        Row(id, strictM(rows.map(_.getString(2)).toVector).orNull,
+          dateM(rows.map(_.getString(3)).toVector).orNull)
+      }(Encoders.row(schema))
+      .orderBy(col("doc_id"))
+  }
+  private val q41Sql =
+    """SELECT o_orderkey AS doc_id,
+      |  CASE o_orderkey % 4
+      |    WHEN 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+      |    WHEN 1 THEN '-'
+      |    WHEN 2 THEN NULL
+      |    WHEN 3 THEN lpad(CAST(o_orderkey + 1 AS VARCHAR), 8, '0') END AS consensus_id,
+      |  CASE o_orderkey % 4
+      |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |    WHEN 1 THEN '-'
+      |    WHEN 2 THEN NULL
+      |    WHEN 3 THEN '-' END AS consensus_date
+      |FROM orders
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, Some(q16Sql)),
     Q("q17_consensus_dedup", q17, None),
     Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
-    Q("q39_json_unpack_scale", q39, Some(q39Sql)))
+    Q("q39_json_unpack_scale", q39, Some(q39Sql)),
+    Q("q41_consensus_strict_date", q41, Some(q41Sql)))
 }
