@@ -91,6 +91,14 @@ object Linkage {
   /** E10–E12: agglomerative clustering over the doubled corpus — blocked
     * scored edges → connected components → exact greedy replay — emitted
     * as the cluster-size histogram the construction pins to one row.
+    *
+    * Determinism-cost A/B (round 6, sf0.1 local[32]): round 5's recorded
+    * q23 7.5 s / q34 4.9 s "regression" vs round 4 (4.8/3.7) was
+    * single-shot noise — measured best-of-2 under the round-6 protocol
+    * q23 = 5.0 s, q34 = 3.67 s, i.e. parity with round 4. The
+    * deterministic-label work costs nothing measurable here (its extra
+    * aggregate lives in mergeClusterings, which is not on the q23/q34
+    * path at all).
     */
   private def q23(spark: SparkSession, dir: String): DataFrame =
     graft.linkage.Clustering.cluster(doubledCorpus(spark, dir),

@@ -94,7 +94,43 @@ class AuxOperatorsSpec extends SparkSpec {
     assert(parsed("Last name") === "Muller")
     assert(parsed("T1: City") === "Berlin")
     assert(parsed("T1: Category") === "POW")
-    assert(Zooniverse.parseAnnotations("not json") === Map.empty)
+  }
+
+  test("X2 zooniverse schema validation: malformed exports fail explicitly") {
+    import Zooniverse.MalformedAnnotationException
+    // single-select_label "empty" task consumes its following value task
+    val withEmpty =
+      """[{"task":"T1","task_label":null,"value":[
+        |  {"value":[{"select_label":"ignored"}]},
+        |  {"value":"discarded"},
+        |  {"task":"T1.2","task_label":"Kept","value":"yes"}
+        |]}]""".stripMargin
+    assert(Zooniverse.parseAnnotations(withEmpty) === Map("T1: Kept" -> "yes"))
+    // null entries are the reference's NaN -> skipped; null input -> empty
+    assert(Zooniverse.parseAnnotations("[null]") === Map.empty)
+    assert(Zooniverse.parseAnnotations(null) === Map.empty)
+    // malformed: not JSON at all
+    val e1 = intercept[MalformedAnnotationException](Zooniverse.parseAnnotations("not json"))
+    assert(e1.getMessage.contains("not valid JSON"))
+    // malformed: a task matching no schema (value is a number -> neither
+    // parent, simple, nor null); the reference `assert False`s here
+    val e2 = intercept[MalformedAnnotationException](
+      Zooniverse.parseAnnotations("""[{"task":"T0","task_label":"L","value":7}]"""))
+    assert(e2.getMessage.contains("not a valid task instance"))
+    // malformed: sub-task matching no schema inside a parent
+    val e3 = intercept[MalformedAnnotationException](
+      Zooniverse.parseAnnotations(
+        """[{"task":"T1","task_label":null,"value":[{"value":3}]}]"""))
+    assert(e3.getMessage.contains("neither task_types apply"))
+    // malformed: simple task without a label
+    val e4 = intercept[MalformedAnnotationException](
+      Zooniverse.parseAnnotations("""[{"value":"orphan"}]"""))
+    assert(e4.getMessage.contains("without label"))
+    // malformed: dropdown pair cut off at the end of the queue
+    val e5 = intercept[MalformedAnnotationException](
+      Zooniverse.parseAnnotations(
+        """[{"task":"T1","task_label":null,"value":[{"value":[{"label":"L"}]}]}]"""))
+    assert(e5.getMessage.contains("without a following value task"))
   }
 
   test("clean_copy_2, entry numbering and metadata filtering helpers") {
