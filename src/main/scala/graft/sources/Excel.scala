@@ -30,6 +30,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Excel {
 
+  /** XLSX spec bounds (Excel itself stores at most XFD = 16384 columns /
+    * 1048576 rows). A cell ref past the column bound is a crafted or
+    * corrupt workbook — without the check a single `<c r="ZZZZ1">` forces
+    * a ~475k-slot row array and a longer run overflows Int.
+    */
+  val MaxColumns = 16384
+  val MaxRows = 1 << 20
+
+  /** Decompressed-size cap per XML part. The contract for this source is
+    * small lookup workbooks; a part blowing past this is either a
+    * misrouted big table or a zip bomb, and either should fail with a
+    * named limit instead of a driver OOM.
+    */
+  val MaxPartBytes: Int = 64 << 20
+
   /** Read sheet `sheet` (0-based workbook tab order) of an XLSX workbook
     * into a string-typed DataFrame; header = first row, missing trailing
     * cells = null.
@@ -66,16 +81,39 @@ object Excel {
     * part) so Excel/pandas/openpyxl can open the file, not just this
     * repo's reader.
     */
-  def writeXlsx(df: DataFrame, spark: SparkSession, uri: String): Unit = {
-    def esc(s: String): String =
+  def writeXlsx(df: DataFrame, spark: SparkSession, uri: String,
+      maxRows: Int = MaxRows): Unit = {
+    def esc(s: String): String = {
+      // XML 1.0 cannot represent control chars below 0x20 (except
+      // tab/LF/CR) AT ALL — not even as entities; emitting them verbatim
+      // produces a workbook this module's own DOCTYPE-hardened reader
+      // (and Excel) rejects. Fail with the offending char, openpyxl-style.
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x20 && c != '\t' && c != '\n' && c != '\r')
+          throw new IllegalArgumentException(
+            f"cell value contains XML-illegal control character U+$c%04X " +
+              s"(index $i); clean the column before writeXlsx")
+        i += 1
+      }
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    }
     def rowXml(r: Int, cells: Seq[Any]): String =
       cells.zipWithIndex.collect {
         case (v, i) if v != null =>
           s"""<c r="${colRef(i)}${r + 1}" t="inlineStr"><is><t xml:space="preserve">${esc(String.valueOf(v))}</t></is></c>"""
       }.mkString(s"""<row r="${r + 1}">""", "", "</row>")
     val header = rowXml(0, df.columns.toSeq)
-    val body = df.collect().zipWithIndex
+    // driver-boundary guard: this sink materializes the frame on the
+    // driver by design (small lookup workbooks); a misrouted big table
+    // must fail loudly here, not as a driver OOM. limit(max+1) keeps the
+    // guard a single pass — no extra count() job.
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"writeXlsx is a small-workbook sink: input exceeds $maxRows rows " +
+        s"(XLSX sheet limit is $MaxRows); route big tables to CSV/parquet")
+    val body = collected.zipWithIndex
       .map { case (row, i) => rowXml(i + 1, row.toSeq) }.mkString
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
@@ -129,8 +167,15 @@ object Excel {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName.endsWith(".xml") || e.getName.endsWith(".rels"))
-          parts(e.getName) = zin.readAllBytes()
+        if (e.getName.endsWith(".xml") || e.getName.endsWith(".rels")) {
+          // bounded read: zip headers lie about sizes, so cap what is
+          // actually inflated — a part past the cap is a zip bomb or a
+          // misrouted big table, not a lookup workbook
+          val data = zin.readNBytes(MaxPartBytes + 1)
+          require(data.length <= MaxPartBytes,
+            s"workbook part ${e.getName} exceeds $MaxPartBytes decompressed bytes")
+          parts(e.getName) = data
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -196,11 +241,17 @@ object Excel {
     }
   }
 
-  /** "BC7" → column index 54 (letters only; the row digits are skipped). */
+  /** "BC7" → column index 54 (letters only; the row digits are skipped).
+    * Bounded by [[MaxColumns]]: checked inside the accumulation so a long
+    * crafted letter run fails fast instead of overflowing Int.
+    */
   private[graft] def colIndex(cellRef: String): Int = {
     var i = 0; var acc = 0
     while (i < cellRef.length && Character.isLetter(cellRef.charAt(i))) {
-      acc = acc * 26 + (cellRef.charAt(i) - 'A' + 1); i += 1
+      acc = acc * 26 + (cellRef.charAt(i) - 'A' + 1)
+      require(acc <= MaxColumns,
+        s"cell ref '$cellRef' is past the XLSX column limit ($MaxColumns)")
+      i += 1
     }
     acc - 1
   }

@@ -98,4 +98,30 @@ class ExcelSpec extends SparkSpec {
     val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows.toSeq === Seq(("a", "1 < 2 & 3", null), ("b", null, "z")))
   }
+
+  test("driver-boundary hardening: row cap, XML-illegal chars, column-ref bomb") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-g")
+    val uri = "file://" + dir.resolve("g.xlsx").toString
+    // a misrouted big table fails loudly at the declared cap, not by OOM
+    val big = Seq("r1", "r2", "r3").toDF("v")
+    val capErr = intercept[IllegalArgumentException](
+      Excel.writeXlsx(big, spark, uri, maxRows = 2))
+    assert(capErr.getMessage.contains("small-workbook sink"))
+    // XML 1.0 cannot represent U+0001 at all; the sink must reject it
+    // rather than emit a workbook its own reader refuses to parse
+    val dirty = Seq("ok", "bad\u0001cell").toDF("v")
+    val escErr = intercept[IllegalArgumentException](
+      Excel.writeXlsx(dirty, spark, uri))
+    assert(escErr.getMessage.contains("U+0001"))
+    // tab/CR/LF are legal XML and must round-trip, not be rejected
+    Excel.writeXlsx(Seq("a\tb\nc").toDF("v"), spark, uri)
+    assert(Excel.readXlsx(spark, uri).collect().map(_.getString(0)).toSeq
+      === Seq("a\tb\nc"))
+    // crafted cell ref: bounded at the XLSX column limit, no huge array
+    assert(Excel.colIndex("XFD1") === Excel.MaxColumns - 1)
+    val refErr = intercept[IllegalArgumentException](Excel.colIndex("ZZZZ1"))
+    assert(refErr.getMessage.contains("column limit"))
+  }
 }
