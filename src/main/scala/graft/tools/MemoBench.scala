@@ -20,8 +20,8 @@ object MemoBench {
 
     // vocab: 100 gname groups x 4 variants sharing (2-char prefix, length)
     // => same bucket, different strings; 4 lname groups x 4 variants
-    val gSuf = Seq("onard", "enrik", "ulrch", "arlos")
-    val lSuf = Seq("ermann", "artmut", "olgers", "urtzel")
+    val gSuf = Seq("onardowitsch", "enrikssonder", "ulrichsenberg", "arlosvonberg")
+    val lSuf = Seq("ermannsdorfer", "artmutkessler", "olgersonmeyer", "urtzelbrandt")
     val gVocab = for (g <- 0 until 100; v <- 0 until 4)
       yield s"${('a' + g / 10).toChar}${('a' + g % 10).toChar}${gSuf(v)}"
     val lVocab = for (g <- 0 until 4; v <- 0 until 4)
@@ -29,7 +29,7 @@ object MemoBench {
     val gArr = array(gVocab.map(lit): _*)
     val lArr = array(lVocab.map(lit): _*)
 
-    val n = 20000
+    val n = 60000
     // quadratic-skew group pick (Zipf-ish hot buckets), variant by id
     val u1 = (pmod(hash(col("id"), lit(1)), lit(1000)).cast("double") / 1000.0)
     val u2 = (pmod(hash(col("id"), lit(2)), lit(1000)).cast("double") / 1000.0)
