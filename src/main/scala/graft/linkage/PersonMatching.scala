@@ -126,10 +126,6 @@ object PersonMatching {
       // score via the codegen'd column expression instead of the UDF —
       // see the measurement note in scorePairs
       useExpressionScorer: Boolean = false,
-      // compute the two token-set name kernels once per DISTINCT name
-      // pair and broadcast-join the small memo back, instead of once per
-      // candidate pair — see the cardinality note in scorePairs
-      memoizeNameKernels: Boolean = false,
       // src and trg are the SAME dataset: score each unordered pair once
       // (srcID <= trgID) and mirror — valid because every default kernel
       // (token-set, Indel, date-with-swap) is symmetric; rejected with
@@ -146,8 +142,18 @@ object PersonMatching {
     c.isNotNull && length(c) > 0 && !c.isin("00000000", "-1.0", "-1")
 
   /** The E5 token-set kernel with the -1 not-comparable sentinel — the
-    * expensive half of the score, factored out so it can be memoized per
-    * distinct name pair.
+    * expensive half of the score.
+    *
+    * A "memoize the kernel per DISTINCT name pair and broadcast-join it
+    * back" variant was built and A/B'd twice, and LOST both times, so it
+    * was deleted rather than shipped as a flag: on q22's equal-heavy
+    * corpus (6.3M pairs, 64×64 name combos) memo 23.8/24.9 s vs direct
+    * 20.4/21.0 s; on a Zipf corpus DESIGNED for it (60k rows, co-bucketed
+    * names differ-but-repeat, 400+16-word vocabulary, hot buckets) memo
+    * 5.99/6.04 s vs direct 2.25/2.06 s — 2.8× slower. The distinct +
+    * two broadcast joins + a localCheckpoint cost more than they save
+    * because the codegen'd kernel is already cheap per pair and its
+    * equal-input fast path short-circuits the common case.
     */
   private[graft] def setScoreCol(a: Column, b: Column): Column =
     when(notEmptyCol(a) && notEmptyCol(b),
@@ -240,8 +246,6 @@ object PersonMatching {
     * `df` surface as null strings. Field ORDER is load-bearing: the
     * default scorer UDF reads positionally (`getString(0..4)`), so
     * gname/lname/dob/pob/prisoner must stay in exactly this order.
-    * Single definition shared by the memoized and default paths so the
-    * two can't drift.
     */
   private def personStruct(df: DataFrame, cfg: MatchConfig): Column = {
     def opt(c: String): Column =
@@ -263,58 +267,6 @@ object PersonMatching {
     val usePob = src.columns.contains(cfg.pobCol) && trg.columns.contains(cfg.pobCol)
     val nameOnly = cfg.nameOnly
     val simpleDate = cfg.useSimpleDateMatcher
-    if (cfg.memoizeNameKernels) {
-      // Kernel memoization: name columns in linkage corpora are Zipf-
-      // heavy (a few thousand distinct surnames across millions of rows),
-      // so the candidate set repeats the same (name_a, name_b) combos
-      // enormously. The token-set kernels are computed once per DISTINCT
-      // pair and broadcast-hash-joined back; the remaining per-pair combine
-      // runs in one lean UDF (evaluated once — a composite column would be
-      // re-evaluated in Filter and Project). The joined candidate base is
-      // localCheckpoint'd because three consumers (two memo builds + the
-      // final score) would otherwise each recompute the blocked join.
-      // The memo is built from the candidate set itself, so it works for
-      // ANY caller-supplied candidates, and its size is bounded by the
-      // candidate count. ONLY enable when name-pair cardinality is far
-      // below the pair count: measured on q22 sf0.1 (6.3M pairs, 64×64
-      // name combos, two runs each) memo 23.8/24.9 s vs UDF 20.4/21.0 s
-      // — the UDF path WINS there because this synthetic corpus's
-      // candidate names are mostly equal, so the equal-input fast paths
-      // already short-circuit the kernels; the option is kept for
-      // real-world corpora where co-bucketed names differ (full kernel
-      // cost) but repeat (Zipf).
-      val joined = candidates
-        .join(src.select(col("srcID"), personStruct(src, cfg).as("__srcP")), "srcID")
-        .join(trg.select(col("trgID"), personStruct(trg, cfg).as("__trgP")), "trgID")
-        .localCheckpoint()
-      def memo(a: Column, b: Column, an: String, bn: String, out: String) =
-        joined.select(a.as(an), b.as(bn)).distinct()
-          .withColumn(out, setScoreCol(col(an), col(bn)))
-      val lM = memo(col("__srcP.lname"), col("__trgP.lname"), "__la", "__lb", "__lscore")
-      val gM = memo(col("__srcP.gname"), col("__trgP.gname"), "__ga", "__gb", "__gscore")
-      val primary =
-        (greatest(lit(0.0), col("__lscore")) + greatest(lit(0.0), col("__gscore"))) / 2
-      val combineUdf = udf { (primary: Double,
-          s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
-        def p(r: org.apache.spark.sql.Row) = graft.similarity.Similarity.Person(
-          r.getAs[String]("gname"), r.getAs[String]("lname"), r.getAs[String]("dob"),
-          r.getAs[String]("pob"), r.getAs[String]("prisoner"))
-        graft.similarity.Similarity.personSimilarityFrom(primary, p(s), p(t),
-          useDate = useDate, usePrisoner = usePrisoner, usePob = usePob,
-          dateMatcher =
-            if (simpleDate) graft.similarity.Similarity.simpleDateMatcher
-            else graft.similarity.Similarity.dateSimilarity)
-      }
-      return joined
-        .join(broadcast(lM),
-          col("__srcP.lname") <=> col("__la") && col("__trgP.lname") <=> col("__lb"))
-        .join(broadcast(gM),
-          col("__srcP.gname") <=> col("__ga") && col("__trgP.gname") <=> col("__gb"))
-        .withColumn("score",
-          if (nameOnly) primary else combineUdf(primary, col("__srcP"), col("__trgP")))
-        .filter(col("score") >= cfg.minScore)
-        .select(col("srcID"), col("score"), col("trgID"))
-    }
     if (cfg.useExpressionScorer) {
       val (sCols, sP) = personCols(cfg, src, "s_")
       val (tCols, tP) = personCols(cfg, trg, "t_")

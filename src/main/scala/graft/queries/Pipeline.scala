@@ -185,17 +185,21 @@ object Pipeline {
     *        (numpy-stable-sort semantics); date sees a dash-prefixed
     *        modal value → the second break condition fires → "-".
     * Containment == equality by construction: ids are fixed-width
-    * zero-padded digits (a length-8 digit string is a substring of
+    * zero-padded digits (a length-12 digit string is a substring of
     * another only when equal) and filler tokens are letters, which can
-    * never support digit tokens. The oracle derives each case straight
-    * from `orders`.
+    * never support digit tokens. The pad width must exceed the digit
+    * count of max(o_orderkey) + 2 or lpad TRUNCATES and distinct keys
+    * collide; 12 digits holds to sf ≈ 166,000 (TPC-H orderkeys reach
+    * 6M × sf) — far past the 100 TB ≈ sf 100,000 design point, where
+    * 8 digits already broke at sf ≈ 17. The oracle derives each case
+    * straight from `orders`.
     */
   private def q41(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val o = graft.core.Tables.orders(spark, dir)
     val d = date_format(col("o_orderdate"), "yyyy-MM-dd")
-    def id(off: Int) = lpad((col("o_orderkey") + off).cast("string"), 8, "0")
+    def id(off: Int) = lpad((col("o_orderkey") + off).cast("string"), 12, "0")
     val m = pmod(col("o_orderkey"), lit(4))
     val idArr = when(m === 0, array(id(0), id(0), id(1)))
       .when(m === 1, array(lit(""), lit("Unklar"), id(0)))
@@ -224,10 +228,10 @@ object Pipeline {
   private val q41Sql =
     """SELECT o_orderkey AS doc_id,
       |  CASE o_orderkey % 4
-      |    WHEN 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+      |    WHEN 0 THEN lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
       |    WHEN 1 THEN '-'
       |    WHEN 2 THEN NULL
-      |    WHEN 3 THEN lpad(CAST(o_orderkey + 1 AS VARCHAR), 8, '0') END AS consensus_id,
+      |    WHEN 3 THEN lpad(CAST(o_orderkey + 1 AS VARCHAR), 12, '0') END AS consensus_id,
       |  CASE o_orderkey % 4
       |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
       |    WHEN 1 THEN '-'

@@ -78,13 +78,23 @@ object Csv {
   * observe a torn file.
   */
 object Fixtures {
+  // per-user directory: a world-shared fixed path would let another
+  // local user pre-create it (EPERM) or substitute bytes that feed the
+  // q16 DuckDB oracle. The user-name suffix keeps users apart; the
+  // ownership check below catches a squatter who guessed the name.
   private val dir = java.nio.file.Paths.get(
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graftfixtures")
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    s"graftfixtures-${sys.props.getOrElse("user.name", "unknown")}")
 
   def path(name: String): String = {
     val in = getClass.getResourceAsStream(s"/graftfixtures/$name")
     require(in != null, s"fixture $name not on classpath")
     java.nio.file.Files.createDirectories(dir)
+    val owner = java.nio.file.Files.getOwner(dir).getName
+    val me = sys.props.getOrElse("user.name", owner)
+    require(owner == me,
+      s"fixture dir $dir is owned by '$owner', not '$me' — refusing to " +
+        "write oracle-fed fixtures into a directory another user controls")
     val tmp = java.nio.file.Files.createTempFile(dir, s".$name.", ".part")
     try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()

@@ -107,12 +107,17 @@ object Excel {
     val header = rowXml(0, df.columns.toSeq)
     // driver-boundary guard: this sink materializes the frame on the
     // driver by design (small lookup workbooks); a misrouted big table
-    // must fail loudly here, not as a driver OOM. limit(max+1) keeps the
-    // guard a single pass — no extra count() job.
-    val collected = df.limit(maxRows + 1).collect()
-    require(collected.length <= maxRows,
-      s"writeXlsx is a small-workbook sink: input exceeds $maxRows rows " +
-        s"(XLSX sheet limit is $MaxRows); route big tables to CSV/parquet")
+    // must fail loudly here, not as a driver OOM. limit(cap+1) keeps the
+    // guard a single pass — no extra count() job. The header occupies
+    // sheet row 1, so the DATA budget is maxRows - 1: a frame of exactly
+    // maxRows data rows would emit maxRows + 1 sheet rows, one past the
+    // XLSX limit the error message cites.
+    val dataCap = maxRows - 1
+    val collected = df.limit(dataCap + 1).collect()
+    require(collected.length <= dataCap,
+      s"writeXlsx is a small-workbook sink: input exceeds $dataCap data rows " +
+        s"(XLSX sheet limit is $MaxRows rows including the header); " +
+        "route big tables to CSV/parquet")
     val body = collected.zipWithIndex
       .map { case (row, i) => rowXml(i + 1, row.toSeq) }.mkString
     val bos = new java.io.ByteArrayOutputStream()

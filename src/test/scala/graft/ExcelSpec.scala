@@ -109,6 +109,13 @@ class ExcelSpec extends SparkSpec {
     val capErr = intercept[IllegalArgumentException](
       Excel.writeXlsx(big, spark, uri, maxRows = 2))
     assert(capErr.getMessage.contains("small-workbook sink"))
+    // the header row counts against the sheet limit: maxRows=2 leaves
+    // room for exactly 1 data row — 2 data rows would emit 3 sheet rows
+    val twoRows = Seq("r1", "r2").toDF("v")
+    val hdrErr = intercept[IllegalArgumentException](
+      Excel.writeXlsx(twoRows, spark, uri, maxRows = 2))
+    assert(hdrErr.getMessage.contains("small-workbook sink"))
+    Excel.writeXlsx(Seq("r1").toDF("v"), spark, uri, maxRows = 2)
     // XML 1.0 cannot represent U+0001 at all; the sink must reject it
     // rather than emit a workbook its own reader refuses to parse
     val dirty = Seq("ok", "bad\u0001cell").toDF("v")

@@ -132,20 +132,6 @@ class PersonMatchingSpec extends SparkSpec {
     udf.foreach { case (k, v) => assert(math.abs(col(k) - v) < 1e-9, s"pair $k") }
   }
 
-  test("memoized name-kernel path agrees with the UDF path end to end") {
-    val src = persons.withColumnRenamed("id", "srcID")
-    val trg = persons.withColumnRenamed("id", "trgID")
-    def run(memo: Boolean) = PersonMatching.scoredPairs(src, trg,
-      MatchConfig(minScore = 80.0, memoizeNameKernels = memo), lit(true))
-      .collect()
-      .map(r => (r.getAs[Long]("srcID"), r.getAs[Long]("trgID")) -> r.getAs[Double]("score"))
-      .toMap
-    val udf = run(memo = false)
-    val memo = run(memo = true)
-    assert(udf.keySet === memo.keySet)
-    udf.foreach { case (k, v) => assert(math.abs(memo(k) - v) < 1e-9, s"pair $k") }
-  }
-
   test("selfJoinMirror matches the plain path row for row") {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.withColumnRenamed("id", "trgID")
