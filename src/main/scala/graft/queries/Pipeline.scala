@@ -14,9 +14,10 @@ import graft.unpack.Unpack
   * semantics are defined by that corpus. q16's flatten is DuckDB-
   * replayable (`read_csv` + `json_extract_string` over the same
   * materialized fixture) and carries a full hash oracle; q17's consensus
-  * repair presets are not SQL-expressible → rows-only check, with the
-  * value-level assertions in `EncDeduplicaterSpec` golden tests (the
-  * SQL-expressible strict/date matcher half is oracle-backed in q41).
+  * repair presets are not SQL-expressible, so its oracle replays a
+  * precomputed golden of the reference's own output (see [[q17Sql]]) —
+  * value-level assertions also live in `EncDeduplicaterSpec`, and the
+  * SQL-expressible strict/date matcher half is oracle-backed in q41.
   */
 object Pipeline {
 
@@ -85,6 +86,39 @@ object Pipeline {
       metadataCols = Seq("object_id", "workflow_id")))
       .drop("object_id")
       .orderBy(col("deleted"), col("document_id"), col("row_id"))
+  }
+
+  /** q17's oracle: a GOLDEN-REPLAY check. The C6–C9 consensus repairs
+    * (iterative cross-entry umlaut/abbreviation/case/syllable repair,
+    * `enc/matching.py:92-292`) are not SQL-expressible, so the oracle
+    * does not recompute them — it replays the REFERENCE'S OWN OUTPUT:
+    * `tools/gen_ground_truth.py` runs the actual pandas
+    * `ENC_Deduplicater` over `normalised_enc_data.csv` with q17's exact
+    * job spec and dumps the result as the `dedup_ground_truth.csv`
+    * fixture (object_id dropped on both sides — uuid4 per run). The SQL
+    * just reshapes that CSV to q17's schema: every empty cell back to ''
+    * (DuckDB reads empty as NULL; the Spark output has no null strings),
+    * the 16 converted QA/flag columns to real booleans (while
+    * prisoner_number_qa stays a STRING — the reference's
+    * convert_qa_columns_to_bool only converts columns registered in the
+    * qa_map, and the prisoner trim's QA column is not), and row_id to
+    * q17's double-with-null-consensus-rows shape. Any drift in the
+    * Spark dedup — vote, repair, flag, or metadata propagation — breaks
+    * the hash.
+    */
+  private lazy val q17Sql = {
+    val p = Fixtures.path("dedup_ground_truth.csv")
+    val boolCols = Seq("last_name_qa", "first_name_qa", "imprisonment_qa",
+      "birthdate_qa", "place_of_birth_0_qa", "place_of_birth_1_qa",
+      "imprisonment_camp_qa", "has_qa", "deleted", "is_ambiguous") ++
+      (0 to 5).map(i => s"prisoner_category_${i}_qa")
+    val repl = (boolCols.map(c => s"""("$c"='True') AS "$c"""") :+
+      "CASE WHEN deleted='True' THEN CAST(row_id AS DOUBLE) END AS row_id")
+      .mkString(",\n  ")
+    s"""SELECT * REPLACE ($repl)
+       |FROM (SELECT COALESCE(COLUMNS(*), '')
+       |      FROM read_csv('$p', header=true, all_varchar=true))
+       |ORDER BY deleted, document_id, row_id""".stripMargin
   }
 
   /** C1–C11 at table scale WITH an exact oracle: three synthetic
@@ -242,7 +276,7 @@ object Pipeline {
 
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, Some(q16Sql)),
-    Q("q17_consensus_dedup", q17, None),
+    Q("q17_consensus_dedup", q17, Some(q17Sql)),
     Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
     Q("q39_json_unpack_scale", q39, Some(q39Sql)),
     Q("q41_consensus_strict_date", q41, Some(q41Sql)))

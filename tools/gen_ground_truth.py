@@ -118,3 +118,77 @@ unpacked = pd.read_csv("/root/reference/testing_data/unpacked_enc_data.csv",
 out = process_unpacked_data(unpacked, skip_columns=[
     "updated_at", "user_id", "workflow_id", "created_at", "document_id", "id"])
 dump(out, "processed_ground_truth.csv")
+
+# ENC_Deduplicater golden (q17's oracle): the reference's exact dedup
+# output over its own normalised fixture, same job spec as
+# tests/enc/deduplication_test.py. object_id is a fresh uuid4 per run →
+# dropped (q17 drops it too).
+#
+# matching.py imports fuzzy/plot deps at module level, but the four
+# DEFAULT matchers q17 exercises never call them (no with_fuzzy_matching
+# in any default preset; plotting is display-only) — stub the modules,
+# with loud failures if a stubbed callable is ever actually invoked.
+def _unused(name):
+    def f(*a, **k):
+        raise AssertionError(f"{name} was called — the dedup golden would not be faithful")
+    return f
+
+def _jaro(s1, s2):
+    # standard Jaro similarity (the public algorithm jellyfish implements):
+    # matches within floor(max/2)-1, transpositions = mismatched-alignment
+    # pairs / 2. Self-checked below against the textbook MARTHA/MARHTA
+    # vector and the repo's pinned Scala E7 vectors.
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    window = max(len(s1), len(s2)) // 2 - 1
+    m1, m2 = [], []
+    used = [False] * len(s2)
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(len(s2), i + window + 1)):
+            if not used[j] and s2[j] == c:
+                used[j] = True
+                m1.append(c)
+                m2.append(j)
+                break
+    if not m1:
+        return 0.0
+    m2 = [s2[j] for j in sorted(m2)]
+    t = sum(a != b for a, b in zip(m1, m2)) / 2
+    m = len(m1)
+    return (m / len(s1) + m / len(s2) + (m - t) / m) / 3
+
+assert abs(_jaro("MARTHA", "MARHTA") - (1 + 1 + (6 - 1) / 6) / 3) < 1e-12
+assert abs(_jaro("abcdef", "bcadef") - (1 + 1 + (6 - 1.5) / 6) / 3) < 1e-12
+assert _jaro("", "") == 1.0 and _jaro("a", "") == 0.0 and _jaro("same", "same") == 1.0
+assert abs(_jaro("DWAYNE", "DUANE") - 0.82) < 0.005  # textbook vector
+for mod, attrs in [
+        ("iteration_utilities", {"first": lambda it: next(iter(it))}),
+        ("jellyfish", {"jaro_similarity": _jaro}),
+        ("plotly", {}), ("plotly.express", {}), ("plotly.graph_objects", {}),
+        ("rapidfuzz", {"fuzz": types.SimpleNamespace(ratio=_unused("fuzz.ratio")),
+                       "utils": types.SimpleNamespace(default_process=_unused("utils.default_process"))})]:
+    m = types.ModuleType(mod)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules.setdefault(mod, m)
+from aroa_etl.enc.deduplication import ENC_Deduplicater
+normalised = pd.read_csv("/root/reference/testing_data/normalised_enc_data.csv",
+                         index_col=0, dtype=str)
+dd = ENC_Deduplicater(normalised, "document_id",
+                      metadata_columns=["object_id", "workflow_id"])
+dd.on_person_cols(["first_name_cleaned_0", "first_name_cleaned_1",
+                   "last_name_cleaned_0"])
+dd.on_date_cols(["birthdate_day_cleaned", "birthdate_month_cleaned",
+                 "birthdate_year_cleaned", "imprisonment_day_cleaned",
+                 "imprisonment_month_cleaned", "imprisonment_year_cleaned"])
+dd.on_other_cols(["imprisonment_camp_cleaned", "place_of_birth_0_cleaned",
+                  "place_of_birth_1_cleaned"])
+dd.on_other_strict_cols([f"prisoner_category_{i}_cleaned" for i in range(6)])
+dedup_out = dd.run().drop(columns=["object_id"])
+# -> MAIN resources: q17's DuckDB oracle reads this via Fixtures.path,
+# and Verify runs from the main classpath
+dedup_out.to_csv(os.path.join(OUT, "..", "..", "..", "main", "resources",
+                              "graftfixtures", "dedup_ground_truth.csv"))
+print(f"wrote main-resources dedup_ground_truth.csv ({dedup_out.shape[0]} rows, {dedup_out.shape[1]} cols)")
