@@ -491,6 +491,52 @@ object LlmData {
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode through `javax.sound.sampled` (the audio twin of
+    * q38): deterministic 16-bit PCM mono WAV clips are generated per
+    * doc_id (length and every sample closed-form in doc_id), encoded to
+    * actual RIFF/WAVE bytes, then decoded back — header-only metadata
+    * (container/channels/rate/frames/duration) plus a full PCM decode
+    * summed to one sample checksum. PCM is lossless, so the oracle
+    * re-derives the frame count AND the per-sample sum straight from the
+    * generator formula: a hash match proves the codec really decoded the
+    * sample data, not just parsed a header. With this, video is the only
+    * modality still on the stub codec.
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
+    }
+    val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
+    val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+      .select(col("doc_id"), metaUdf(col("content")).as("m"),
+        sumUdf(col("content")).as("sample_sum"))
+      .select(col("doc_id"),
+        col("m._1").as("format"),
+        col("m._2").as("channels"),
+        col("m._3").as("sample_rate"),
+        col("m._4").as("n_frames"),
+        col("m._5").as("duration_ms"),
+        col("sample_sum"))
+      .orderBy(col("doc_id"))
+  }
+  private val q42Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 400 + 50 AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS i FROM d
+      |)
+      |SELECT doc_id, 'wave' AS format,
+      |  CAST(1 AS INTEGER) AS channels, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(sum((173 * i + doc_id) % 4001 - 2000) AS BIGINT) AS sample_sum
+      |FROM s
+      |GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
   /** IVF ANN driver-visible with an exact oracle: at nProbe = nList every
     * cell is probed, so assign → probe → rescore → rank MUST equal the
     * brute-force top-k whatever the centroid sample — which pins the
@@ -523,5 +569,6 @@ object LlmData {
     Q("q35_cosine_near_dup", q35, Some(q35Sql)),
     Q("q37_multimodal_roundtrip", q37, Some(q37Sql)),
     Q("q38_image_decode", q38, Some(q38Sql)),
-    Q("q40_ann_ivf_topk", q40, Some(q30Sql)))
+    Q("q40_ann_ivf_topk", q40, Some(q30Sql)),
+    Q("q42_audio_decode", q42, Some(q42Sql)))
 }

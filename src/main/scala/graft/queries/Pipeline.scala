@@ -274,10 +274,89 @@ object Pipeline {
       |FROM orders
       |ORDER BY doc_id""".stripMargin
 
+  /** X2 at corpus scale WITH a json_extract oracle (the Zooniverse twin
+    * of q39): annotation-export JSON is synthesized deterministically
+    * from each document and parsed through the real schema-dispatch
+    * parser ([[graft.unpack.Zooniverse]]). Three shapes keyed on
+    * `doc_id % 3` so every dispatch path is on the hot path:
+    *   - 0: a top-level simple task, plus a parent task exercising all
+    *        three sub-task schemas in sequence — a simple sub-task, an
+    *        empty task that must CONSUME its following value task, and a
+    *        dropdown/value pair (including the reference's un-schema'd
+    *        `label` read) — plus a trailing null task;
+    *   - 1: null annotations (the reference's NaN row → empty dict →
+    *        all-null outputs);
+    *   - 2: simple task only → the parent-derived columns are null
+    *        (missing-key lookups on the parsed map).
+    * The oracle rebuilds the identical JSON with DuckDB
+    * `json_array`/`json_object` and replays the flatten positionally
+    * with `json_extract_string` — if the parser mislabels a pair,
+    * fails to consume the empty task's value, or reads `select_label`
+    * where the reference reads `label`, the hash breaks. Malformed-
+    * export failure modes stay spec-asserted (AuxOperatorsSpec).
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    import graft.unpack.Zooniverse
+    val d = graft.core.Tables.documents(spark, dir)
+    val tok = element_at(split(col("text"), " "), 1)
+    val simple = to_json(struct(lit("T0").as("task"),
+      lit("Language").as("task_label"), col("lang").as("value")))
+    val subSimple = to_json(struct(lit("Source").as("task_label"), col("source").as("value")))
+    val dropdownValue = to_json(struct(tok.as("value")))
+    val parent = concat(
+      lit("""{"task":"T1","value":["""),
+      subSimple,
+      lit(""",{"value":[{"select_label":"none"}]},{"value":"discard"},"""),
+      lit("""{"value":[{"label":"Camp","select_label":"Camp"}]},"""),
+      dropdownValue,
+      lit("]}"))
+    val m = pmod(col("doc_id"), lit(3))
+    val ann = when(m === 1, lit(null).cast("string"))
+      .when(m === 2, concat(lit("["), simple, lit("]")))
+      .otherwise(concat(lit("["), simple, lit(","), parent, lit(",null]")))
+    Zooniverse.withParsedAnnotations(
+        d.select(col("doc_id"), ann.as("annotations")), "annotations")
+      .select(col("doc_id"),
+        element_at(col("annotations_map"), "Language").as("language"),
+        element_at(col("annotations_map"), "T1: Source").as("source"),
+        element_at(col("annotations_map"), "T1: Camp").as("camp"))
+      .orderBy(col("doc_id"))
+  }
+  private val q43Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok,
+      |         doc_id % 3 AS m
+      |  FROM documents
+      |), payload AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN m = 1 THEN NULL
+      |         WHEN m = 2 THEN json_array(
+      |           json_object('task', 'T0', 'task_label', 'Language', 'value', lang))
+      |         ELSE json_array(
+      |           json_object('task', 'T0', 'task_label', 'Language', 'value', lang),
+      |           json_object('task', 'T1', 'value', json_array(
+      |             json_object('task_label', 'Source', 'value', source),
+      |             json_object('value', json_array(json_object('select_label', 'none'))),
+      |             json_object('value', 'discard'),
+      |             json_object('value', json_array(
+      |               json_object('label', 'Camp', 'select_label', 'Camp'))),
+      |             json_object('value', tok))),
+      |           NULL)
+      |    END AS j
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  json_extract_string(j, '$[0].value') AS language,
+      |  json_extract_string(j, '$[1].value[0].value') AS source,
+      |  json_extract_string(j, '$[1].value[4].value') AS camp
+      |FROM payload
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, Some(q16Sql)),
     Q("q17_consensus_dedup", q17, Some(q17Sql)),
     Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
     Q("q39_json_unpack_scale", q39, Some(q39Sql)),
-    Q("q41_consensus_strict_date", q41, Some(q41Sql)))
+    Q("q41_consensus_strict_date", q41, Some(q41Sql)),
+    Q("q43_zooniverse_unpack", q43, Some(q43Sql)))
 }

@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample operators.
   *
   * IMAGES decode for real through [[ImageIoCodec]] (JDK `javax.imageio`:
-  * PNG/JPEG/BMP/GIF — no external libraries needed). Audio/video stay
-  * behind [[StubCodec]]'s deterministic fake (no JDK codec exists for
-  * them); the Spark-side contract (schema, partitioning, batch shape,
-  * null handling) is identical on both paths, which is the demonstration
+  * PNG/JPEG/BMP/GIF) and AUDIO through [[WavCodec]] (JDK
+  * `javax.sound.sampled`: WAV/PCM/AIFF/AU) — no external libraries
+  * needed for either. VIDEO has no JDK codec, so its CONTAINER stays
+  * synthetic ([[PngSeqCodec]]: stub header + length-prefixed frames) —
+  * but sampled frames are real PNGs decoded through the real image
+  * path, leaving the demuxer as the one stubbed boundary. The
+  * Spark-side contract (schema, partitioning, batch shape, null
+  * handling) is identical on all paths, which is the demonstration
   * that the decoder boundary is a one-function swap.
   */
 object Multimodal {
@@ -137,8 +141,161 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over JDK `javax.sound.sampled` — WAV/PCM needs no
+    * external library, exactly as PNG needed none for images. Metadata
+    * reads are header-only (`AudioSystem.getAudioFileFormat` parses the
+    * RIFF header, no sample decode), so the metadata path stays cheap at
+    * scale; the full sample decode is a separate, explicitly-priced
+    * function. With this, only VIDEO remains stubbed (no JDK codec
+    * exists for any video container).
+    */
+  object WavCodec {
+
+    /** Deterministic test/query clip: 16-bit PCM mono WAV whose sample i
+      * is `((173·i + seed) mod 4001) − 2000` — lossless PCM, so a decoder
+      * can be value-checked against the closed-form generator. The RIFF
+      * container is written by hand (44-byte canonical header); the
+      * DECODE side goes through `javax.sound.sampled`, which is the real
+      * codec under test.
+      */
+    def encodeWav(nSamples: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes, 0, 4); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes, 0, 4)
+      bb.put("fmt ".getBytes, 0, 4); bb.putInt(16)
+      bb.putShort(1)                       // PCM
+      bb.putShort(1)                       // mono
+      bb.putInt(sampleRateHz)
+      bb.putInt(sampleRateHz * 2)          // byte rate
+      bb.putShort(2)                       // block align
+      bb.putShort(16)                      // bits per sample
+      bb.put("data".getBytes, 0, 4); bb.putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort((((173L * i + seed) % 4001) - 2000).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Header-only (container, channels, sample rate, frames, duration) —
+      * no sample decode. Unknown/corrupt containers → None.
+      */
+    def audioMetadata(bytes: Array[Byte]): Option[(String, Int, Int, Long, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val durMs = frames * 1000L / fmt.getSampleRate.toLong
+        Some((aff.getType.toString.toLowerCase, fmt.getChannels,
+          fmt.getSampleRate.toInt, frames, durMs))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+    /** Full decode → sum of all 16-bit signed samples across channels.
+      * Value-pins the PCM payload itself, not just the header (the audio
+      * twin of [[ImageIoCodec.pixelLumaSum]]).
+      */
+    def sampleSum(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            return None
+          val raw = ais.readAllBytes()
+          var s = 0L
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i + 1 < raw.length) { s += ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort; i += 2 }
+          else
+            while (i + 1 < raw.length) { s += ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort; i += 2 }
+          Some(s)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  /** Video: a length-prefixed PNG-frame sequence. The JDK has no video
+    * codec, so the CONTAINER is synthetic (stub header + 4-byte
+    * big-endian length prefix per frame) — but every frame is a real
+    * PNG and frame decode goes through the real `javax.imageio` path
+    * ([[ImageIoCodec]]). That makes the frame-sample → per-frame decode
+    * pipeline real end-to-end; swapping the container parser for a real
+    * demuxer is the one remaining stub boundary.
+    */
+  object PngSeqCodec {
+
+    /** Deterministic test/query clip: `nFrames` PNGs where frame t's
+      * pixel (x, y) has luma `(31x + 17y + seed + 97t) mod 256` —
+      * lossless, so per-frame decodes can be value-checked against the
+      * closed-form generator (the moving-picture twin of
+      * [[ImageIoCodec.encodePng]]).
+      */
+    def encodePngSeq(w: Int, h: Int, nFrames: Int, frameMs: Long, seed: Long): Array[Byte] = {
+      val frames = Array.tabulate(nFrames)(t => ImageIoCodec.encodePng(w, h, seed + 97L * t))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(StubCodec.encodeHeader("video", "pngseq", w, h, nFrames * frameMs), 0, StubCodec.HeaderBytes)
+      val len = java.nio.ByteBuffer.allocate(4)
+      frames.foreach { f =>
+        len.clear(); len.putInt(f.length)
+        bos.write(len.array(), 0, 4)
+        bos.write(f, 0, f.length)
+      }
+      bos.toByteArray
+    }
+
+    /** Parse the container into its frame byte-arrays. Truncated or
+      * non-pngseq input → empty (the per-row failure contract all the
+      * codecs share).
+      */
+    def extractFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val meta = StubCodec.decodeMetadata(bytes)
+      if (!meta.exists(_._2 == "pngseq")) return Seq.empty
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = StubCodec.HeaderBytes
+      while (i + 4 <= bytes.length) {
+        val n = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (n < 0 || i + 4 + n > bytes.length) return Seq.empty // truncated
+        out += java.util.Arrays.copyOfRange(bytes, i + 4, i + 4 + n)
+        i += 4 + n
+      }
+      out.result()
+    }
+  }
+
+  /** Frame sampling over the PNG-sequence container: every `stride`-th
+    * REAL frame, exploded one row per frame with its original index —
+    * same output shape as the stub [[sampleFrames]], but the frame bytes
+    * are decodable images.
+    */
+  def samplePngSeqFrames(df: DataFrame, binaryCol: String, stride: Int = 2): DataFrame = {
+    val sampler = udf { (bytes: Array[Byte]) =>
+      PngSeqCodec.extractFrames(bytes).zipWithIndex
+        .collect { case (f, t) if t % stride == 0 => (t, f) }
+    }
+    df.select(col("*"), explode(sampler(col(binaryCol))).as("f"))
+      .withColumn("frame_idx", col("f._1"))
+      .withColumn("frame", col("f._2"))
+      .drop("f")
+  }
+
   /** Decode the metadata struct from a binary media column (stub
-    * container: audio/video and pre-round-5 image fixtures).
+    * container: video and pre-round-5 image fixtures).
     */
   val decodeMetadataUdf = udf { (bytes: Array[Byte]) =>
     StubCodec.decodeMetadata(bytes).map { case (mt, fm, w, h, d, sz) =>
@@ -163,6 +320,22 @@ object Multimodal {
   def withImageMetadata(df: DataFrame, binaryCol: String, out: String = "media_meta"): DataFrame =
     df.withColumn(out,
       decodeImageMetadataUdf(col(binaryCol)).cast(mediaMetadataType))
+
+  /** Real-audio twin of [[decodeMetadataUdf]]: same `media_meta` struct,
+    * decoded by `javax.sound.sampled` from actual WAV/AIFF/AU bytes.
+    * `width` carries the channel count and `height` the sample rate —
+    * the struct is the cross-modality contract, the per-modality column
+    * aliasing happens at the query layer.
+    */
+  val decodeAudioMetadataUdf = udf { (bytes: Array[Byte]) =>
+    WavCodec.audioMetadata(bytes).map { case (fm, ch, rate, _, durMs) =>
+      ("audio", fm, ch, rate, durMs, if (bytes == null) 0L else bytes.length.toLong)
+    }
+  }
+
+  def withAudioMetadata(df: DataFrame, binaryCol: String, out: String = "media_meta"): DataFrame =
+    df.withColumn(out,
+      decodeAudioMetadataUdf(col(binaryCol)).cast(mediaMetadataType))
 
   /** STUB feature extraction: a fixed-length float feature vector from
     * the payload (deterministic byte-histogram projection standing in for

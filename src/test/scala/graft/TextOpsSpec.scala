@@ -238,4 +238,43 @@ class TextOpsSpec extends SparkSpec {
     assert(m.getAs[String]("format") === "png")
     assert(m.getAs[Int]("width") === 13 && m.getAs[Int]("height") === 7)
   }
+
+  test("WavCodec: real WAV bytes decode to container metadata and exact samples") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeWav(321, 8000, 7L)
+    // actual RIFF/WAVE container, not the stub header
+    assert(new String(wav.take(4)) === "RIFF" && new String(wav.slice(8, 12)) === "WAVE")
+    // header-only metadata through the real javax.sound.sampled parser
+    assert(WavCodec.audioMetadata(wav) ===
+      Some(("wave", 1, 8000, 321L, 321L * 1000 / 8000)))
+    // lossless PCM round trip: decoded sample sum equals the closed form
+    val expected = (0 until 321).map(i => (173L * i + 7L) % 4001 - 2000).sum
+    assert(WavCodec.sampleSum(wav) === Some(expected))
+
+    // another JDK-native container decodes through the same functions:
+    // transcode the clip to AIFF (big-endian PCM) via javax.sound itself
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    assert(WavCodec.audioMetadata(aiff).map(t => (t._1, t._2, t._4)) ===
+      Some(("aiff", 1, 321L)))
+    assert(WavCodec.sampleSum(aiff) === Some(expected), "big-endian decode path")
+
+    // garbage and null bytes are None, not exceptions
+    assert(WavCodec.audioMetadata("not audio".getBytes) === None)
+    assert(WavCodec.audioMetadata(null) === None)
+    assert(WavCodec.sampleSum("junk".getBytes) === None)
+
+    // the decoder-swap contract: real bytes through the media_meta schema
+    val df3 = Seq((1L, wav)).toDF("media_id", "content")
+    val a = Multimodal.withAudioMetadata(df3, "content").select("media_meta.*").head()
+    assert(a.getAs[String]("media_type") === "audio")
+    assert(a.getAs[String]("format") === "wave")
+    assert(a.getAs[Int]("width") === 1)      // channels
+    assert(a.getAs[Int]("height") === 8000)  // sample rate
+    assert(a.getAs[Long]("duration_ms") === 321L * 1000 / 8000)
+  }
 }
