@@ -537,6 +537,56 @@ object LlmData {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Video frame-sampling with REAL per-frame decode: deterministic
+    * PNG-sequence clips are generated per doc_id (dimensions, frame
+    * count, and every frame's pixels closed-form in doc_id), every
+    * second frame is sampled out of the container, and each sampled
+    * frame goes through the real `javax.imageio` decode — header
+    * metadata plus a full pixel-luma sum. The container is the one
+    * honest stub left (the JDK has no video codec); the oracle
+    * re-derives the sampled frame set AND each frame's pixel sum from
+    * the generator formula, so a hash match proves the explode →
+    * per-frame-decode pipeline is real end-to-end.
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.PngSeqCodec.encodePngSeq(
+        (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
+    }
+    val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
+    val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
+    val clips = Tables.documents(spark, dir)
+      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+    Multimodal.samplePngSeqFrames(clips, "content", stride = 2)
+      .select(col("doc_id"), col("frame_idx"), metaUdf(col("frame")).as("m"),
+        lumaUdf(col("frame")).as("frame_luma_sum"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("m._1").as("format"),
+        col("m._2").as("width"),
+        col("m._3").as("height"),
+        col("frame_luma_sum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+  private val q44Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 7 + 4 AS w, doc_id % 5 + 3 AS h,
+      |         doc_id % 5 + 2 AS nf
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, w, h, unnest(range(nf)) AS t FROM d
+      |), xs AS (
+      |  SELECT doc_id, w, h, t, unnest(range(w)) AS x FROM f WHERE t % 2 = 0
+      |), xy AS (
+      |  SELECT doc_id, w, h, t, x, unnest(range(h)) AS y FROM xs
+      |)
+      |SELECT doc_id, CAST(t AS INTEGER) AS frame_idx, 'png' AS format,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(sum((31 * x + 17 * y + doc_id + 97 * t) % 256) AS BIGINT) AS frame_luma_sum
+      |FROM xy
+      |GROUP BY doc_id, t, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** IVF ANN driver-visible with an exact oracle: at nProbe = nList every
     * cell is probed, so assign → probe → rescore → rank MUST equal the
     * brute-force top-k whatever the centroid sample — which pins the
@@ -570,5 +620,6 @@ object LlmData {
     Q("q37_multimodal_roundtrip", q37, Some(q37Sql)),
     Q("q38_image_decode", q38, Some(q38Sql)),
     Q("q40_ann_ivf_topk", q40, Some(q30Sql)),
-    Q("q42_audio_decode", q42, Some(q42Sql)))
+    Q("q42_audio_decode", q42, Some(q42Sql)),
+    Q("q44_video_frame_decode", q44, Some(q44Sql)))
 }

@@ -277,4 +277,30 @@ class TextOpsSpec extends SparkSpec {
     assert(a.getAs[Int]("height") === 8000)  // sample rate
     assert(a.getAs[Long]("duration_ms") === 321L * 1000 / 8000)
   }
+
+  test("PngSeqCodec: container round trip, real frame decode, stride sampling") {
+    import Multimodal.{ImageIoCodec, PngSeqCodec}
+    val clip = PngSeqCodec.encodePngSeq(9, 5, 4, 40L, 11L)
+    // stub header carries the video metadata; frames are real PNGs
+    assert(Multimodal.StubCodec.decodeMetadata(clip).map(m => (m._1, m._2, m._5)) ===
+      Some(("video", "pngseq", 160L)))
+    val frames = PngSeqCodec.extractFrames(clip)
+    assert(frames.length === 4)
+    for (t <- 0 until 4) {
+      assert(ImageIoCodec.imageMetadata(frames(t)) === Some(("png", 9, 5)))
+      val expected = (for { y <- 0 until 5; x <- 0 until 9 }
+        yield (31L * x + 17L * y + 11L + 97L * t) % 256).sum
+      assert(ImageIoCodec.pixelLumaSum(frames(t)) === Some(expected), s"frame $t")
+    }
+    // truncated container and non-pngseq input → empty, not exceptions
+    assert(PngSeqCodec.extractFrames(clip.dropRight(3)) === Seq.empty)
+    assert(PngSeqCodec.extractFrames("junk".getBytes) === Seq.empty)
+    assert(PngSeqCodec.extractFrames(null) === Seq.empty)
+
+    // stride sampling keeps original frame indices on the exploded rows
+    val df4 = Seq((1L, clip)).toDF("media_id", "content")
+    val sampled = Multimodal.samplePngSeqFrames(df4, "content", stride = 2)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(sampled.sameElements(Array(0, 2)))
+  }
 }
