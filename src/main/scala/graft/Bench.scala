@@ -149,17 +149,25 @@ object Bench {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9
             }
-            // best of 2 per point: single-shot wall times at these sizes
-            // swing with JIT/GC enough to flip a ratio by 2x
-            def best2(): Double = math.min(timeIt(), timeIt())
             def atFrac(frac: Double): Double = {
-              sys.props(graft.core.ScaleKnob.Prop) = frac.toString
-              try best2() finally sys.props.remove(graft.core.ScaleKnob.Prop)
+              if (frac < 1.0) sys.props(graft.core.ScaleKnob.Prop) = frac.toString
+              try timeIt() finally sys.props.remove(graft.core.ScaleKnob.Prop)
             }
             try {
               if (liftCap) sys.props(graft.core.ScaleKnob.DocsCapProp) = "5000"
-              try Some((name, atFrac(0.25), atFrac(0.5), best2()))
-              finally if (liftCap) sys.props.remove(graft.core.ScaleKnob.DocsCapProp)
+              try {
+                // best of 2 per point, INTERLEAVED (q,h,f, q,h,f) rather
+                // than point-at-a-time: single-shot wall times at these
+                // sizes swing with JIT/GC enough to flip a ratio by 2x,
+                // and consecutive same-point runs share any noisy window,
+                // poisoning that point's best and fabricating curvature.
+                // Interleaving spreads each window across all three
+                // points, so min-per-point discards it.
+                val passes = Seq.fill(2)(Seq(0.25, 0.5, 1.0).map(atFrac))
+                passes.transpose.map(_.min) match {
+                  case Seq(q, h, f) => Some((name, q, h, f))
+                }
+              } finally if (liftCap) sys.props.remove(graft.core.ScaleKnob.DocsCapProp)
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] scaling of $name failed: ${e.getMessage}")

@@ -32,6 +32,16 @@ class PlanAuditSpec extends SparkSpec {
       "q21 reads part columns it never uses")
   }
 
+  test("round-7 media queries prune their scans") {
+    // q42/q44 generate clips from doc_id alone — the documents scan
+    // must not read the text payload
+    for (q <- Seq("q42_audio_decode", "q44_video_frame_decode")) {
+      val p = plan(q)
+      assert(!p.split("ReadSchema").last.contains("text"),
+        s"$q reads text bytes it never uses")
+    }
+  }
+
   test("aggregations run partial (map-side) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"), "hash aggregation expected")
