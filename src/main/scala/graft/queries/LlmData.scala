@@ -499,8 +499,8 @@ object LlmData {
     * summed to one sample checksum. PCM is lossless, so the oracle
     * re-derives the frame count AND the per-sample sum straight from the
     * generator formula: a hash match proves the codec really decoded the
-    * sample data, not just parsed a header. With this, video is the only
-    * modality still on the stub codec.
+    * sample data, not just parsed a header. With this and q44's
+    * per-frame decode, only the video container demux remains stubbed.
     */
   private def q42(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal

@@ -146,8 +146,9 @@ object Multimodal {
     * reads are header-only (`AudioSystem.getAudioFileFormat` parses the
     * RIFF header, no sample decode), so the metadata path stays cheap at
     * scale; the full sample decode is a separate, explicitly-priced
-    * function. With this, only VIDEO remains stubbed (no JDK codec
-    * exists for any video container).
+    * function. With this, only the video container demux remains
+    * stubbed (no JDK codec exists for any video container; see
+    * [[PngSeqCodec]] for the real-frame middle ground).
     */
   object WavCodec {
 
