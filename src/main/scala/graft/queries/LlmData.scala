@@ -537,6 +537,53 @@ object LlmData {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio QUALITY scoring over real decoded PCM (the audio twin of
+    * q28/q29's text quality pillar): a training pipeline drops silent,
+    * DC-biased, or clipped clips and uses the zero-crossing rate as a
+    * cheap noise/tonality signal. The clips are q42's closed-form WAVs;
+    * every statistic is integer-exact (count / sum / sum of squares /
+    * strict sign-change count / peak magnitude — RMS is one division
+    * away), so the DuckDB oracle re-derives the whole feature row from
+    * the generator formula with no float tolerance anywhere.
+    */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
+    }
+    val statsUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioStats(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), statsUdf(encodeUdf(col("doc_id"))).as("s"))
+      .select(col("doc_id"),
+        col("s._1").as("n_samples"),
+        col("s._2").as("sample_sum"),
+        col("s._3").as("sample_sumsq"),
+        col("s._4").as("zero_crossings"),
+        col("s._5").as("peak"))
+      .orderBy(col("doc_id"))
+  }
+  private val q45Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 400 + 50 AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS i FROM d
+      |), v AS (
+      |  SELECT doc_id, n, i, (173 * i + doc_id) % 4001 - 2000 AS x FROM s
+      |), w AS (
+      |  SELECT doc_id, n, x, lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      |  FROM v
+      |)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(sum(x) AS BIGINT) AS sample_sum,
+      |  CAST(sum(x * x) AS BIGINT) AS sample_sumsq,
+      |  CAST(sum(CASE WHEN px IS NOT NULL AND x * px < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(max(abs(x)) AS INTEGER) AS peak
+      |FROM w
+      |GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
   /** Video frame-sampling with REAL per-frame decode: deterministic
     * PNG-sequence clips are generated per doc_id (dimensions, frame
     * count, and every frame's pixels closed-form in doc_id), every
@@ -621,5 +668,6 @@ object LlmData {
     Q("q38_image_decode", q38, Some(q38Sql)),
     Q("q40_ann_ivf_topk", q40, Some(q30Sql)),
     Q("q42_audio_decode", q42, Some(q42Sql)),
-    Q("q44_video_frame_decode", q44, Some(q44Sql)))
+    Q("q44_video_frame_decode", q44, Some(q44Sql)),
+    Q("q45_audio_quality", q45, Some(q45Sql)))
 }

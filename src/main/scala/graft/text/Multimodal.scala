@@ -200,11 +200,10 @@ object Multimodal {
       }
     }
 
-    /** Full decode → sum of all 16-bit signed samples across channels.
-      * Value-pins the PCM payload itself, not just the header (the audio
-      * twin of [[ImageIoCodec.pixelLumaSum]]).
+    /** Decode all 16-bit signed samples (across channels) to one array.
+      * None for non-PCM16 or corrupt input.
       */
-    def sampleSum(bytes: Array[Byte]): Option[Long] = {
+    private def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] = {
       if (bytes == null || bytes.length == 0) return None
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -215,19 +214,50 @@ object Multimodal {
               fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
             return None
           val raw = ais.readAllBytes()
-          var s = 0L
+          val out = new Array[Short](raw.length / 2)
           var i = 0
           if (fmt.isBigEndian)
-            while (i + 1 < raw.length) { s += ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort; i += 2 }
+            while (i + 1 < raw.length) { out(i / 2) = ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort; i += 2 }
           else
-            while (i + 1 < raw.length) { s += ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort; i += 2 }
-          Some(s)
+            while (i + 1 < raw.length) { out(i / 2) = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort; i += 2 }
+          Some(out)
         } finally ais.close()
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
     }
+
+    /** Full decode → sum of all 16-bit signed samples across channels.
+      * Value-pins the PCM payload itself, not just the header (the audio
+      * twin of [[ImageIoCodec.pixelLumaSum]]).
+      */
+    def sampleSum(bytes: Array[Byte]): Option[Long] = {
+      val out = decodeSamples(bytes)
+      out.map { s => var acc = 0L; var i = 0; while (i < s.length) { acc += s(i); i += 1 }; acc }
+    }
+
+    /** Audio quality statistics over the decoded PCM — the audio twin of
+      * the text quality scorer: a training pipeline filters clips on
+      * silence (low energy), DC offset, clipping (peak at full scale),
+      * and noise character (zero-crossing rate). All-INTEGER outputs
+      * (count, sum, sum of squares, strict sign-change count, peak
+      * magnitude) so downstream comparisons are exact; RMS/rates are
+      * one division away for the caller.
+      */
+    def audioStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Int)] =
+      decodeSamples(bytes).map { s =>
+        var sum = 0L; var sumSq = 0L; var zc = 0L; var peak = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          sum += v; sumSq += v.toLong * v
+          if (i > 0 && v * s(i - 1).toInt < 0) zc += 1
+          val a = math.abs(v); if (a > peak) peak = a
+          i += 1
+        }
+        (s.length.toLong, sum, sumSq, zc, peak)
+      }
   }
 
   /** Video: a length-prefixed PNG-frame sequence. The JDK has no video

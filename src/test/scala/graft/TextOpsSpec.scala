@@ -278,6 +278,21 @@ class TextOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("duration_ms") === 321L * 1000 / 8000)
   }
 
+  test("WavCodec.audioStats: integer-exact quality features off decoded PCM") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeWav(200, 8000, 3L)
+    // independent reference computation straight from the generator
+    val xs = (0 until 200).map(i => ((173L * i + 3L) % 4001 - 2000).toInt)
+    val zc = xs.sliding(2).count { case Seq(a, b) => a * b < 0 }
+    assert(WavCodec.audioStats(wav) === Some((
+      200L, xs.map(_.toLong).sum, xs.map(v => v.toLong * v).sum,
+      zc.toLong, xs.map(math.abs).max)))
+    // single-sample clip: no pairs, so no crossings
+    assert(WavCodec.audioStats(WavCodec.encodeWav(1, 8000, 5L)).map(_._4) === Some(0L))
+    assert(WavCodec.audioStats("junk".getBytes) === None)
+    assert(WavCodec.audioStats(null) === None)
+  }
+
   test("PngSeqCodec: container round trip, real frame decode, stride sampling") {
     import Multimodal.{ImageIoCodec, PngSeqCodec}
     val clip = PngSeqCodec.encodePngSeq(9, 5, 4, 40L, 11L)
