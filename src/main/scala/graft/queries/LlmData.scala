@@ -537,6 +537,55 @@ object LlmData {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Image RESIZE through the real codec both ways: q38's closed-form
+    * PNGs are decoded, nearest-neighbor-resampled to a fixed 8×6
+    * thumbnail, re-encoded as real PNG, then decoded AGAIN for the luma
+    * checksum — the decode → transform → re-encode → decode chain is
+    * what a thumbnailing/normalizing training pipeline runs per image.
+    * NN sampling is exactly specified (target (tx,ty) reads source
+    * (tx·w/8, ty·h/6), integer floor), so the oracle re-derives every
+    * resized pixel from the generator formula; a hash match pins the
+    * resample indexing AND both codec passes, with no interpolation
+    * tolerance anywhere.
+    */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.ImageIoCodec.encodePng(
+        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
+    }
+    val resizeUdf = udf { (b: Array[Byte]) =>
+      Multimodal.ImageIoCodec.resizeNearest(b, 8, 6)
+    }
+    val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
+    val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), resizeUdf(encodeUdf(col("doc_id"))).as("thumb"))
+      .select(col("doc_id"), metaUdf(col("thumb")).as("m"),
+        lumaUdf(col("thumb")).as("thumb_luma_sum"))
+      .select(col("doc_id"),
+        col("m._2").as("width"),
+        col("m._3").as("height"),
+        col("thumb_luma_sum"))
+      .orderBy(col("doc_id"))
+  }
+  private val q46Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT doc_id, w, h, unnest(range(8)) AS tx FROM d
+      |), xy AS (
+      |  SELECT doc_id, w, h, tx, unnest(range(6)) AS ty FROM xs
+      |)
+      |SELECT doc_id,
+      |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+      |  CAST(sum((31 * (tx * w // 8) + 17 * (ty * h // 6) + doc_id) % 256) AS BIGINT)
+      |    AS thumb_luma_sum
+      |FROM xy
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Audio QUALITY scoring over real decoded PCM (the audio twin of
     * q28/q29's text quality pillar): a training pipeline drops silent,
     * DC-biased, or clipped clips and uses the zero-crossing rate as a
@@ -669,5 +718,6 @@ object LlmData {
     Q("q40_ann_ivf_topk", q40, Some(q30Sql)),
     Q("q42_audio_decode", q42, Some(q42Sql)),
     Q("q44_video_frame_decode", q44, Some(q44Sql)),
-    Q("q45_audio_quality", q45, Some(q45Sql)))
+    Q("q45_audio_quality", q45, Some(q45Sql)),
+    Q("q46_image_resize", q46, Some(q46Sql)))
 }

@@ -118,6 +118,36 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Nearest-neighbor resize: decode → sample source pixel
+      * `(tx·w/tw, ty·h/th)` (integer floor) per target pixel → re-encode
+      * PNG. NN is chosen over area/bilinear because it is exactly
+      * specified — target pixels are a pure index function of source
+      * pixels, so a resize → decode chain stays value-checkable with no
+      * interpolation tolerance. Real pipelines swap the kernel; the
+      * decode → transform → re-encode plumbing is the contract.
+      */
+    def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+      if (bytes == null || bytes.length == 0 || tw <= 0 || th <= 0) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val w = img.getWidth; val h = img.getHeight
+      var ty = 0
+      while (ty < th) {
+        val sy = ty * h / th
+        var tx = 0
+        while (tx < tw) {
+          out.setRGB(tx, ty, img.getRGB(tx * w / tw, sy))
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+
     /** Full decode → sum of per-pixel luma (blue channel). Value-pins the
       * pixel data itself, not just the header.
       */

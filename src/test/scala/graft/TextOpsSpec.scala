@@ -278,6 +278,29 @@ class TextOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("duration_ms") === 321L * 1000 / 8000)
   }
 
+  test("ImageIoCodec.resizeNearest: exact NN resample through real codec passes") {
+    import Multimodal.ImageIoCodec
+    val png = ImageIoCodec.encodePng(10, 8, 5L)
+    // downscale: target (tx,ty) must read source (tx*10/4, ty*8/3)
+    val down = ImageIoCodec.resizeNearest(png, 4, 3).get
+    assert(ImageIoCodec.imageMetadata(down) === Some(("png", 4, 3)))
+    val expectDown = (for { ty <- 0 until 3; tx <- 0 until 4 }
+      yield (31L * (tx * 10 / 4) + 17L * (ty * 8 / 3) + 5L) % 256).sum
+    assert(ImageIoCodec.pixelLumaSum(down) === Some(expectDown))
+    // upscale replicates source pixels, same index rule
+    val up = ImageIoCodec.resizeNearest(png, 20, 16).get
+    val expectUp = (for { ty <- 0 until 16; tx <- 0 until 20 }
+      yield (31L * (tx * 10 / 20) + 17L * (ty * 8 / 16) + 5L) % 256).sum
+    assert(ImageIoCodec.pixelLumaSum(up) === Some(expectUp))
+    // identity-size resize preserves every pixel
+    val same = ImageIoCodec.resizeNearest(png, 10, 8).get
+    assert(ImageIoCodec.pixelLumaSum(same) === ImageIoCodec.pixelLumaSum(png))
+    // garbage/degenerate inputs are None, not exceptions
+    assert(ImageIoCodec.resizeNearest("junk".getBytes, 4, 4) === None)
+    assert(ImageIoCodec.resizeNearest(null, 4, 4) === None)
+    assert(ImageIoCodec.resizeNearest(png, 0, 4) === None)
+  }
+
   test("WavCodec.audioStats: integer-exact quality features off decoded PCM") {
     import Multimodal.WavCodec
     val wav = WavCodec.encodeWav(200, 8000, 3L)
