@@ -185,7 +185,12 @@ object Bench {
     // the ratio bounded; the hot-bucket cap guards the true worst case
     val note = "q22 self-matches a fixed-vocabulary corpus: candidate pairs scale " +
       "quadratically with rows by construction (buckets densify, vocabulary does not grow); " +
-      "bounded by maxBucketSize, see PersonMatching.capBuckets"
+      "bounded by maxBucketSize, see PersonMatching.capBuckets. " +
+      "q27/q35 share the densification shape on the synthetic docs corpus: gram/embedding " +
+      "collisions concentrate in the first doubling (reproducibly ~1.4 then flattening " +
+      "to ~0.4 for q27) - the DECREASING second exponent is the signal that the " +
+      "prefix/band filters hold as the corpus grows, which is what the third scale " +
+      "point exists to show"
     val caps = """{"documents_corpus":"doc_id < 2500 in the main pass (q18c/q24-q27 demo corpus); scaling pass lifts to 5000 for q24/q26 (q34's corpus is frac-sampled, the docs cap does not apply to it)"}"""
     val qsFull = results.map { case (k, best, runs, probe) =>
       "\"" + k + "\":{\"best_sec\":" + best + ",\"runs\":" + runs.mkString("[", ",", "]") +
