@@ -633,6 +633,56 @@ object LlmData {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Audio RESAMPLE through the real codec both ways (the audio twin of
+    * q46's image resize): q42's 8 kHz closed-form clips are decoded,
+    * nearest-neighbor-resampled to 5 kHz (a non-divisor ratio, so the
+    * floor indexing actually matters), re-encoded as real WAV at the new
+    * rate, then decoded AGAIN for metadata and the sample checksum —
+    * rate normalization is what a speech pipeline runs before feature
+    * extraction. NN indexing is exactly specified (output j reads source
+    * `j·8000/5000`, length `n·5000/8000`, integer floors), so the oracle
+    * re-derives the resampled stream from the generator formula and a
+    * hash match pins the resample arithmetic AND both codec passes.
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
+    }
+    val resampleUdf = udf { (b: Array[Byte]) =>
+      Multimodal.WavCodec.resampleNearest(b, 5000)
+    }
+    val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
+    val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), resampleUdf(encodeUdf(col("doc_id"))).as("clip"))
+      .select(col("doc_id"), metaUdf(col("clip")).as("m"),
+        sumUdf(col("clip")).as("sample_sum"))
+      .select(col("doc_id"),
+        col("m._3").as("sample_rate"),
+        col("m._4").as("n_frames"),
+        col("m._5").as("duration_ms"),
+        col("sample_sum"))
+      .orderBy(col("doc_id"))
+  }
+  private val q47Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 400 + 50 AS n FROM documents
+      |), o AS (
+      |  SELECT doc_id, n, n * 5000 // 8000 AS m FROM d
+      |), s AS (
+      |  SELECT doc_id, n, m, unnest(range(m)) AS j FROM o
+      |)
+      |SELECT doc_id,
+      |  CAST(5000 AS INTEGER) AS sample_rate,
+      |  CAST(m AS BIGINT) AS n_frames,
+      |  CAST(m * 1000 // 5000 AS BIGINT) AS duration_ms,
+      |  CAST(sum((173 * (j * 8000 // 5000) + doc_id) % 4001 - 2000) AS BIGINT)
+      |    AS sample_sum
+      |FROM s
+      |GROUP BY doc_id, m
+      |ORDER BY doc_id""".stripMargin
+
   /** Video frame-sampling with REAL per-frame decode: deterministic
     * PNG-sequence clips are generated per doc_id (dimensions, frame
     * count, and every frame's pixels closed-form in doc_id), every
@@ -719,5 +769,6 @@ object LlmData {
     Q("q42_audio_decode", q42, Some(q42Sql)),
     Q("q44_video_frame_decode", q44, Some(q44Sql)),
     Q("q45_audio_quality", q45, Some(q45Sql)),
-    Q("q46_image_resize", q46, Some(q46Sql)))
+    Q("q46_image_resize", q46, Some(q46Sql)),
+    Q("q47_audio_resample", q47, Some(q47Sql)))
 }

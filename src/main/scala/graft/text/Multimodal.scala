@@ -267,6 +267,42 @@ object Multimodal {
       out.map { s => var acc = 0L; var i = 0; while (i < s.length) { acc += s(i); i += 1 }; acc }
     }
 
+    /** Nearest-neighbor sample-rate conversion: decode → output sample j
+      * reads source sample `j·srcRate/dstRate` (integer floor, output
+      * length `n·dstRate/srcRate` floored) → re-encode WAV at the target
+      * rate. The audio twin of [[ImageIoCodec.resizeNearest]]: NN over an
+      * interpolating kernel keeps the transform exactly specified, so a
+      * resample → decode chain is value-checkable with no tolerance; a
+      * real pipeline swaps in a windowed-sinc kernel behind the same
+      * signature.
+      */
+    def resampleNearest(bytes: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
+      if (dstRate <= 0) return None
+      decodeSamples(bytes).flatMap { s =>
+        // mono only: the NN index walks the interleaved sample array, so
+        // multi-channel input would mix channels
+        audioMetadata(bytes).filter(_._2 == 1).map { case (_, _, srcRate, _, _) =>
+          val outLen = (s.length.toLong * dstRate / srcRate).toInt
+          val dataLen = outLen * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes, 0, 4); bb.putInt(36 + dataLen)
+          bb.put("WAVE".getBytes, 0, 4)
+          bb.put("fmt ".getBytes, 0, 4); bb.putInt(16)
+          bb.putShort(1); bb.putShort(1)
+          bb.putInt(dstRate); bb.putInt(dstRate * 2)
+          bb.putShort(2); bb.putShort(16)
+          bb.put("data".getBytes, 0, 4); bb.putInt(dataLen)
+          var j = 0
+          while (j < outLen) {
+            bb.putShort(s((j.toLong * srcRate / dstRate).toInt))
+            j += 1
+          }
+          bb.array()
+        }
+      }
+    }
+
     /** Audio quality statistics over the decoded PCM — the audio twin of
       * the text quality scorer: a training pipeline filters clips on
       * silence (low energy), DC offset, clipping (peak at full scale),

@@ -301,6 +301,28 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.resizeNearest(png, 0, 4) === None)
   }
 
+  test("WavCodec.resampleNearest: exact NN rate conversion through real codec passes") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeWav(80, 8000, 9L)
+    def gen(i: Int): Long = (173L * i + 9L) % 4001 - 2000
+    // downsample 8000 -> 5000: 50 samples, output j reads source j*8/5
+    val down = WavCodec.resampleNearest(wav, 5000).get
+    assert(WavCodec.audioMetadata(down) === Some(("wave", 1, 5000, 50L, 10L)))
+    assert(WavCodec.sampleSum(down) ===
+      Some((0 until 50).map(j => gen(j * 8000 / 5000)).sum))
+    // upsample 8000 -> 16000 duplicates every sample
+    val up = WavCodec.resampleNearest(wav, 16000).get
+    assert(WavCodec.audioMetadata(up).map(m => (m._3, m._4)) === Some((16000, 160L)))
+    assert(WavCodec.sampleSum(up) === WavCodec.sampleSum(wav).map(_ * 2))
+    // identity rate preserves the stream exactly
+    assert(WavCodec.sampleSum(WavCodec.resampleNearest(wav, 8000).get) ===
+      WavCodec.sampleSum(wav))
+    // degenerate/garbage inputs are None, not exceptions
+    assert(WavCodec.resampleNearest(wav, 0) === None)
+    assert(WavCodec.resampleNearest("junk".getBytes, 5000) === None)
+    assert(WavCodec.resampleNearest(null, 5000) === None)
+  }
+
   test("WavCodec.audioStats: integer-exact quality features off decoded PCM") {
     import Multimodal.WavCodec
     val wav = WavCodec.encodeWav(200, 8000, 3L)
