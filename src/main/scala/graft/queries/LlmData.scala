@@ -633,6 +633,52 @@ object LlmData {
       |GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** Image QUALITY scoring over real decoded pixels (completing the
+    * quality pillar across modalities: text q28/q29, audio q45, image
+    * here): a training pipeline drops dark/blank, washed-out, or
+    * clipped images using mean/variance/extremes of the luma channel.
+    * Every statistic is integer-exact (count / sum / sum of squares /
+    * min / max), so the DuckDB oracle re-derives the whole feature row
+    * from q38's closed-form pixel generator with no float tolerance.
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.ImageIoCodec.encodePng(
+        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
+    }
+    val statsUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageStats(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), statsUdf(encodeUdf(col("doc_id"))).as("s"))
+      .select(col("doc_id"),
+        col("s._1").as("n_pixels"),
+        col("s._2").as("luma_sum"),
+        col("s._3").as("luma_sumsq"),
+        col("s._4").as("luma_min"),
+        col("s._5").as("luma_max"))
+      .orderBy(col("doc_id"))
+  }
+  private val q48Sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT doc_id, w, h, unnest(range(w)) AS x FROM d
+      |), xy AS (
+      |  SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs
+      |), px AS (
+      |  SELECT doc_id, w, h, (31 * x + 17 * y + doc_id) % 256 AS v FROM xy
+      |)
+      |SELECT doc_id,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(sum(v) AS BIGINT) AS luma_sum,
+      |  CAST(sum(v * v) AS BIGINT) AS luma_sumsq,
+      |  CAST(min(v) AS INTEGER) AS luma_min,
+      |  CAST(max(v) AS INTEGER) AS luma_max
+      |FROM px
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin
+
   /** Audio RESAMPLE through the real codec both ways (the audio twin of
     * q46's image resize): q42's 8 kHz closed-form clips are decoded,
     * nearest-neighbor-resampled to 5 kHz (a non-divisor ratio, so the
@@ -770,5 +816,6 @@ object LlmData {
     Q("q44_video_frame_decode", q44, Some(q44Sql)),
     Q("q45_audio_quality", q45, Some(q45Sql)),
     Q("q46_image_resize", q46, Some(q46Sql)),
-    Q("q47_audio_resample", q47, Some(q47Sql)))
+    Q("q47_audio_resample", q47, Some(q47Sql)),
+    Q("q48_image_quality", q48, Some(q48Sql)))
 }

@@ -169,6 +169,35 @@ object Multimodal {
         Some(s)
       }
     }
+
+    /** Image quality statistics over the decoded pixels — the image twin
+      * of the text/audio quality scorers: a training pipeline drops
+      * dark/blank (low mean), washed-out (low spread), and clipped
+      * (min/max pinned) images. All-INTEGER outputs over the luma
+      * channel (pixel count, sum, sum of squares, min, max — mean and
+      * variance are one division away), so comparisons stay exact.
+      */
+    def imageStats(bytes: Array[Byte]): Option[(Long, Long, Long, Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var sum = 0L; var sumSq = 0L; var lo = 255; var hi = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y) & 0xff
+            sum += v; sumSq += v.toLong * v
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth.toLong * img.getHeight, sum, sumSq, lo, hi))
+      }
+    }
   }
 
   /** REAL audio codec over JDK `javax.sound.sampled` — WAV/PCM needs no

@@ -301,6 +301,18 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.resizeNearest(png, 0, 4) === None)
   }
 
+  test("ImageIoCodec.imageStats: integer-exact quality features off decoded pixels") {
+    import Multimodal.ImageIoCodec
+    val png = ImageIoCodec.encodePng(6, 4, 13L)
+    // independent reference computation straight from the generator
+    val vs = for { y <- 0 until 4; x <- 0 until 6 }
+      yield ((31L * x + 17L * y + 13L) % 256).toInt
+    assert(ImageIoCodec.imageStats(png) === Some((
+      24L, vs.map(_.toLong).sum, vs.map(v => v.toLong * v).sum, vs.min, vs.max)))
+    assert(ImageIoCodec.imageStats("junk".getBytes) === None)
+    assert(ImageIoCodec.imageStats(null) === None)
+  }
+
   test("WavCodec.resampleNearest: exact NN rate conversion through real codec passes") {
     import Multimodal.WavCodec
     val wav = WavCodec.encodeWav(80, 8000, 9L)
