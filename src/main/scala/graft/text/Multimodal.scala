@@ -218,7 +218,10 @@ object Multimodal {
       * DECODE side goes through `javax.sound.sampled`, which is the real
       * codec under test.
       */
-    def encodeWav(nSamples: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
+    /** 44-byte canonical RIFF header + room for `nSamples` PCM16 mono
+      * samples; caller writes the samples into the returned buffer.
+      */
+    private def wavBuffer(nSamples: Int, sampleRateHz: Int): java.nio.ByteBuffer = {
       val dataLen = nSamples * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -232,6 +235,11 @@ object Multimodal {
       bb.putShort(2)                       // block align
       bb.putShort(16)                      // bits per sample
       bb.put("data".getBytes, 0, 4); bb.putInt(dataLen)
+      bb
+    }
+
+    def encodeWav(nSamples: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
+      val bb = wavBuffer(nSamples, sampleRateHz)
       var i = 0
       while (i < nSamples) {
         bb.putShort((((173L * i + seed) % 4001) - 2000).toShort)
@@ -312,16 +320,7 @@ object Multimodal {
         // multi-channel input would mix channels
         audioMetadata(bytes).filter(_._2 == 1).map { case (_, _, srcRate, _, _) =>
           val outLen = (s.length.toLong * dstRate / srcRate).toInt
-          val dataLen = outLen * 2
-          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes, 0, 4); bb.putInt(36 + dataLen)
-          bb.put("WAVE".getBytes, 0, 4)
-          bb.put("fmt ".getBytes, 0, 4); bb.putInt(16)
-          bb.putShort(1); bb.putShort(1)
-          bb.putInt(dstRate); bb.putInt(dstRate * 2)
-          bb.putShort(2); bb.putShort(16)
-          bb.put("data".getBytes, 0, 4); bb.putInt(dataLen)
+          val bb = wavBuffer(outLen, dstRate)
           var j = 0
           while (j < outLen) {
             bb.putShort(s((j.toLong * srcRate / dstRate).toInt))
