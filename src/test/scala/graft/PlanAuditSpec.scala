@@ -33,9 +33,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("round-7 media queries prune their scans") {
-    // q42/q44 generate clips from doc_id alone — the documents scan
-    // must not read the text payload
-    for (q <- Seq("q42_audio_decode", "q44_video_frame_decode")) {
+    // the media family generates clips/images from doc_id alone — the
+    // documents scan must not read the text payload
+    for (q <- Seq("q42_audio_decode", "q44_video_frame_decode",
+        "q45_audio_quality", "q46_image_resize", "q47_audio_resample",
+        "q48_image_quality")) {
       val p = plan(q)
       assert(!p.split("ReadSchema").last.contains("text"),
         s"$q reads text bytes it never uses")
