@@ -456,17 +456,27 @@ object LlmData {
     * generator formula: a hash match proves the codec really decoded the
     * pixel data, not just parsed a header.
     */
+  /** The shared closed-form media generators: one definition per
+    * modality because q38/q46/q48 (images) and q42/q45/q47 (clips) must
+    * agree with each other AND with every sibling oracle's hard-coded
+    * formula — a drifted copy would silently desynchronize a query from
+    * its oracle.
+    */
+  private val pngImageUdf = udf { (id: Long) =>
+    graft.text.Multimodal.ImageIoCodec.encodePng(
+      (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
+  }
+  private val wavClipUdf = udf { (id: Long) =>
+    graft.text.Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
+  }
+
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.ImageIoCodec.encodePng(
-        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
-    }
     val lumaSumUdf = udf { (b: Array[Byte]) =>
       Multimodal.ImageIoCodec.pixelLumaSum(b)
     }
     val imgs = Tables.documents(spark, dir)
-      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+      .select(col("doc_id"), pngImageUdf(col("doc_id")).as("content"))
     Multimodal.withImageMetadata(imgs, "content")
       .select(col("doc_id"),
         col("media_meta.format").as("format"),
@@ -504,13 +514,10 @@ object LlmData {
     */
   private def q42(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
-    }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
     val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+      .select(col("doc_id"), wavClipUdf(col("doc_id")).as("content"))
       .select(col("doc_id"), metaUdf(col("content")).as("m"),
         sumUdf(col("content")).as("sample_sum"))
       .select(col("doc_id"),
@@ -550,17 +557,13 @@ object LlmData {
     */
   private def q46(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.ImageIoCodec.encodePng(
-        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
-    }
     val resizeUdf = udf { (b: Array[Byte]) =>
       Multimodal.ImageIoCodec.resizeNearest(b, 8, 6)
     }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
     val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), resizeUdf(encodeUdf(col("doc_id"))).as("thumb"))
+      .select(col("doc_id"), resizeUdf(pngImageUdf(col("doc_id"))).as("thumb"))
       .select(col("doc_id"), metaUdf(col("thumb")).as("m"),
         lumaUdf(col("thumb")).as("thumb_luma_sum"))
       .select(col("doc_id"),
@@ -597,12 +600,9 @@ object LlmData {
     */
   private def q45(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
-    }
     val statsUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioStats(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), statsUdf(encodeUdf(col("doc_id"))).as("s"))
+      .select(col("doc_id"), statsUdf(wavClipUdf(col("doc_id"))).as("s"))
       .select(col("doc_id"),
         col("s._1").as("n_samples"),
         col("s._2").as("sample_sum"),
@@ -643,13 +643,9 @@ object LlmData {
     */
   private def q48(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.ImageIoCodec.encodePng(
-        (id % 29 + 4).toInt, (id % 23 + 4).toInt, id)
-    }
     val statsUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageStats(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), statsUdf(encodeUdf(col("doc_id"))).as("s"))
+      .select(col("doc_id"), statsUdf(pngImageUdf(col("doc_id"))).as("s"))
       .select(col("doc_id"),
         col("s._1").as("n_pixels"),
         col("s._2").as("luma_sum"),
@@ -692,16 +688,13 @@ object LlmData {
     */
   private def q47(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
-    }
     val resampleUdf = udf { (b: Array[Byte]) =>
       Multimodal.WavCodec.resampleNearest(b, 5000)
     }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
     val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), resampleUdf(encodeUdf(col("doc_id"))).as("clip"))
+      .select(col("doc_id"), resampleUdf(wavClipUdf(col("doc_id"))).as("clip"))
       .select(col("doc_id"), metaUdf(col("clip")).as("m"),
         sumUdf(col("clip")).as("sample_sum"))
       .select(col("doc_id"),

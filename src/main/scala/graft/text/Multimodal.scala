@@ -211,13 +211,6 @@ object Multimodal {
     */
   object WavCodec {
 
-    /** Deterministic test/query clip: 16-bit PCM mono WAV whose sample i
-      * is `((173·i + seed) mod 4001) − 2000` — lossless PCM, so a decoder
-      * can be value-checked against the closed-form generator. The RIFF
-      * container is written by hand (44-byte canonical header); the
-      * DECODE side goes through `javax.sound.sampled`, which is the real
-      * codec under test.
-      */
     /** 44-byte canonical RIFF header + room for `nSamples` PCM16 mono
       * samples; caller writes the samples into the returned buffer.
       */
@@ -238,6 +231,12 @@ object Multimodal {
       bb
     }
 
+    /** Deterministic test/query clip: 16-bit PCM mono WAV whose sample i
+      * is `((173·i + seed) mod 4001) − 2000` — lossless PCM, so a decoder
+      * can be value-checked against the closed-form generator. The RIFF
+      * container is written by hand ([[wavBuffer]]); the DECODE side goes
+      * through `javax.sound.sampled`, which is the real codec under test.
+      */
     def encodeWav(nSamples: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
       val bb = wavBuffer(nSamples, sampleRateHz)
       var i = 0
@@ -257,6 +256,9 @@ object Multimodal {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = aff.getFormat
+        // the JDK parser accepts a fmt chunk with sample rate 0 — that is
+        // corrupt input, not a divide-by-zero crash in a per-row UDF
+        if (fmt.getSampleRate <= 0) return None
         val frames = aff.getFrameLength.toLong
         val durMs = frames * 1000L / fmt.getSampleRate.toLong
         Some((aff.getType.toString.toLowerCase, fmt.getChannels,
@@ -267,10 +269,13 @@ object Multimodal {
       }
     }
 
-    /** Decode all 16-bit signed samples (across channels) to one array.
-      * None for non-PCM16 or corrupt input.
+    /** Decode all 16-bit signed samples (across channels, interleaved) to
+      * one array, plus the container's `AudioFormat` so callers can check
+      * channels/rate without a second header parse. None for non-PCM16
+      * or corrupt input.
       */
-    private def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    private def decodeSamplesWithFormat(
+        bytes: Array[Byte]): Option[(Array[Short], javax.sound.sampled.AudioFormat)] = {
       if (bytes == null || bytes.length == 0) return None
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -287,13 +292,16 @@ object Multimodal {
             while (i + 1 < raw.length) { out(i / 2) = ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort; i += 2 }
           else
             while (i + 1 < raw.length) { out(i / 2) = ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort; i += 2 }
-          Some(out)
+          Some((out, fmt))
         } finally ais.close()
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
     }
+
+    private def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] =
+      decodeSamplesWithFormat(bytes).map(_._1)
 
     /** Full decode → sum of all 16-bit signed samples across channels.
       * Value-pins the PCM payload itself, not just the header (the audio
@@ -315,10 +323,11 @@ object Multimodal {
       */
     def resampleNearest(bytes: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
       if (dstRate <= 0) return None
-      decodeSamples(bytes).flatMap { s =>
+      decodeSamplesWithFormat(bytes).collect {
         // mono only: the NN index walks the interleaved sample array, so
-        // multi-channel input would mix channels
-        audioMetadata(bytes).filter(_._2 == 1).map { case (_, _, srcRate, _, _) =>
+        // multi-channel input would mix channels; rate 0 is corrupt input
+        case (s, fmt) if fmt.getChannels == 1 && fmt.getSampleRate > 0 =>
+          val srcRate = fmt.getSampleRate.toInt
           val outLen = (s.length.toLong * dstRate / srcRate).toInt
           val bb = wavBuffer(outLen, dstRate)
           var j = 0
@@ -327,7 +336,6 @@ object Multimodal {
             j += 1
           }
           bb.array()
-        }
       }
     }
 
@@ -395,11 +403,15 @@ object Multimodal {
       while (i + 4 <= bytes.length) {
         val n = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
           ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-        if (n < 0 || i + 4 + n > bytes.length) return Seq.empty // truncated
+        // subtract, don't add: `i + 4 + n` overflows Int for a hostile
+        // prefix near Int.MaxValue and would pass the bound check
+        if (n < 0 || n > bytes.length - i - 4) return Seq.empty // truncated
         out += java.util.Arrays.copyOfRange(bytes, i + 4, i + 4 + n)
         i += 4 + n
       }
-      out.result()
+      // 1–3 trailing bytes = truncation inside a length prefix; the
+      // contract is all-or-nothing, never a silently shorter clip
+      if (i != bytes.length) Seq.empty else out.result()
     }
   }
 

@@ -267,6 +267,11 @@ class TextOpsSpec extends SparkSpec {
     assert(WavCodec.audioMetadata("not audio".getBytes) === None)
     assert(WavCodec.audioMetadata(null) === None)
     assert(WavCodec.sampleSum("junk".getBytes) === None)
+    // a fmt chunk with sample rate 0 parses in the JDK but is corrupt
+    // input → None, not a divide-by-zero from inside a UDF
+    val zeroRate = wav.clone()
+    for (i <- 24 until 32) zeroRate(i) = 0 // sample-rate + byte-rate fields
+    assert(WavCodec.audioMetadata(zeroRate) === None)
 
     // the decoder-swap contract: real bytes through the media_meta schema
     val df3 = Seq((1L, wav)).toDF("media_id", "content")
@@ -368,6 +373,15 @@ class TextOpsSpec extends SparkSpec {
     assert(PngSeqCodec.extractFrames(clip.dropRight(3)) === Seq.empty)
     assert(PngSeqCodec.extractFrames("junk".getBytes) === Seq.empty)
     assert(PngSeqCodec.extractFrames(null) === Seq.empty)
+    // truncation inside a LENGTH PREFIX (1-3 trailing bytes after a valid
+    // frame) must not return a silently shorter clip
+    val firstFrameEnd = Multimodal.StubCodec.HeaderBytes + 4 + frames(0).length
+    assert(PngSeqCodec.extractFrames(clip.take(firstFrameEnd + 2)) === Seq.empty)
+    // hostile length prefix near Int.MaxValue must not overflow the bound
+    // check into a ~2GB allocation
+    val hostile = clip.take(Multimodal.StubCodec.HeaderBytes) ++
+      Array(0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    assert(PngSeqCodec.extractFrames(hostile) === Seq.empty)
 
     // stride sampling keeps original frame indices on the exploded rows
     val df4 = Seq((1L, clip)).toDF("media_id", "content")
