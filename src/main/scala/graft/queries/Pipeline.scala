@@ -298,10 +298,16 @@ object Pipeline {
   private def q43(spark: SparkSession, dir: String): DataFrame = {
     import graft.unpack.Zooniverse
     val d = graft.core.Tables.documents(spark, dir)
-    val tok = element_at(split(col("text"), " "), 1)
+    // to_json silently DROPS null struct fields, so a null lang/source/
+    // text would emit a simple task without 'value' (a malformed export
+    // the parser rightly rejects) while the oracle's json_object keeps
+    // 'value': null — coalesce to a sentinel on BOTH sides instead
+    val lang0 = coalesce(col("lang"), lit("(null)"))
+    val source0 = coalesce(col("source"), lit("(null)"))
+    val tok = coalesce(element_at(split(col("text"), " "), 1), lit("(null)"))
     val simple = to_json(struct(lit("T0").as("task"),
-      lit("Language").as("task_label"), col("lang").as("value")))
-    val subSimple = to_json(struct(lit("Source").as("task_label"), col("source").as("value")))
+      lit("Language").as("task_label"), lang0.as("value")))
+    val subSimple = to_json(struct(lit("Source").as("task_label"), source0.as("value")))
     val dropdownValue = to_json(struct(tok.as("value")))
     val parent = concat(
       lit("""{"task":"T1","value":["""),
@@ -324,7 +330,10 @@ object Pipeline {
   }
   private val q43Sql =
     """WITH d AS (
-      |  SELECT doc_id, lang, source, string_split(text, ' ')[1] AS tok,
+      |  SELECT doc_id,
+      |         coalesce(lang, '(null)') AS lang,
+      |         coalesce(source, '(null)') AS source,
+      |         coalesce(string_split(text, ' ')[1], '(null)') AS tok,
       |         doc_id % 3 AS m
       |  FROM documents
       |), payload AS (

@@ -118,6 +118,18 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Full pixel decode with the codec-wide failure contract: None for
+      * null/empty input, unrecognized formats (`ImageIO.read` returns
+      * null), AND corrupt-but-recognized bytes (valid PNG signature,
+      * truncated body — `ImageIO.read` throws `IIOException` there, and
+      * a per-row UDF must not let that fail the job).
+      */
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length == 0) return None
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    }
+
     /** Nearest-neighbor resize: decode → sample source pixel
       * `(tx·w/tw, ty·h/th)` (integer floor) per target pixel → re-encode
       * PNG. NN is chosen over area/bilinear because it is exactly
@@ -127,9 +139,8 @@ object Multimodal {
       * decode → transform → re-encode plumbing is the contract.
       */
     def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
-      if (bytes == null || bytes.length == 0 || tw <= 0 || th <= 0) return None
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return None
+      if (tw <= 0 || th <= 0) return None
+      val img = readImage(bytes).getOrElse(return None)
       val out = new java.awt.image.BufferedImage(
         tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val w = img.getWidth; val h = img.getHeight
@@ -151,11 +162,8 @@ object Multimodal {
     /** Full decode → sum of per-pixel luma (blue channel). Value-pins the
       * pixel data itself, not just the header.
       */
-    def pixelLumaSum(bytes: Array[Byte]): Option[Long] = {
-      if (bytes == null || bytes.length == 0) return None
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+    def pixelLumaSum(bytes: Array[Byte]): Option[Long] =
+      readImage(bytes).map { img =>
         var s = 0L
         var y = 0
         while (y < img.getHeight) {
@@ -166,9 +174,8 @@ object Multimodal {
           }
           y += 1
         }
-        Some(s)
+        s
       }
-    }
 
     /** Image quality statistics over the decoded pixels — the image twin
       * of the text/audio quality scorers: a training pipeline drops
@@ -177,11 +184,8 @@ object Multimodal {
       * channel (pixel count, sum, sum of squares, min, max — mean and
       * variance are one division away), so comparisons stay exact.
       */
-    def imageStats(bytes: Array[Byte]): Option[(Long, Long, Long, Int, Int)] = {
-      if (bytes == null || bytes.length == 0) return None
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+    def imageStats(bytes: Array[Byte]): Option[(Long, Long, Long, Int, Int)] =
+      readImage(bytes).map { img =>
         var sum = 0L; var sumSq = 0L; var lo = 255; var hi = 0
         var y = 0
         while (y < img.getHeight) {
@@ -195,9 +199,8 @@ object Multimodal {
           }
           y += 1
         }
-        Some((img.getWidth.toLong * img.getHeight, sum, sumSq, lo, hi))
+        (img.getWidth.toLong * img.getHeight, sum, sumSq, lo, hi)
       }
-    }
   }
 
   /** REAL audio codec over JDK `javax.sound.sampled` — WAV/PCM needs no
@@ -259,6 +262,10 @@ object Multimodal {
         // the JDK parser accepts a fmt chunk with sample rate 0 — that is
         // corrupt input, not a divide-by-zero crash in a per-row UDF
         if (fmt.getSampleRate <= 0) return None
+        // getFrameLength is NOT_SPECIFIED (-1) for containers with
+        // unknown data size (e.g. streaming AU with 0xFFFFFFFF length);
+        // that would flow through as n_frames=-1 and a negative duration
+        if (aff.getFrameLength < 0) return None
         val frames = aff.getFrameLength.toLong
         val durMs = frames * 1000L / fmt.getSampleRate.toLong
         Some((aff.getType.toString.toLowerCase, fmt.getChannels,

@@ -318,6 +318,40 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.imageStats(null) === None)
   }
 
+  test("ImageIoCodec: corrupt-but-recognized images are None on every decode path") {
+    import Multimodal.ImageIoCodec
+    // valid PNG signature + header, truncated body: ImageIO RECOGNIZES
+    // the format (readers.hasNext is true) but read() throws IIOException
+    // mid-decode — a per-row UDF must map that to None, not fail the job
+    val png = ImageIoCodec.encodePng(40, 30, 11L)
+    val truncated = png.take(60)
+    assert(ImageIoCodec.pixelLumaSum(truncated) === None)
+    assert(ImageIoCodec.imageStats(truncated) === None)
+    assert(ImageIoCodec.resizeNearest(truncated, 4, 4) === None)
+  }
+
+  test("WavCodec.audioMetadata: unknown-length streaming container is None, not n_frames=-1") {
+    import Multimodal.WavCodec
+    // AU container with data size 0xFFFFFFFF (the spec's "unknown length"
+    // streaming marker): the JDK parses it fine but reports frame length
+    // NOT_SPECIFIED (-1), which must not leak out as apparently-valid
+    // metadata with n_frames=-1 and a negative duration
+    val bb = java.nio.ByteBuffer.allocate(24 + 16)
+    bb.put(".snd".getBytes, 0, 4)
+    bb.putInt(24)          // data offset
+    bb.putInt(0xFFFFFFFF)  // data size unknown (streaming)
+    bb.putInt(3)           // 16-bit linear PCM
+    bb.putInt(8000)        // sample rate
+    bb.putInt(1)           // channels
+    var i = 0
+    while (i < 8) { bb.putShort((i * 100).toShort); i += 1 }
+    val au = bb.array()
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(au))
+    assert(aff.getFrameLength < 0, "precondition: JDK reports NOT_SPECIFIED")
+    assert(WavCodec.audioMetadata(au) === None)
+  }
+
   test("WavCodec.resampleNearest: exact NN rate conversion through real codec passes") {
     import Multimodal.WavCodec
     val wav = WavCodec.encodeWav(80, 8000, 9L)
