@@ -61,12 +61,24 @@ object PersonMatching {
     }
     val s = exploded(src, "srcID")
     val t = exploded(trg, "trgID")
+    val obs = org.apache.spark.sql.Observation()
+    lastCandidateObservation = obs
     // the pair predicate runs BEFORE the dedup aggregation: a row-level
     // filter commutes with distinct, and pruning first (e.g. the
     // self-join's srcID <= trgID) halves what the distinct shuffles
     s.join(t, Seq("fb", "lb")).select("srcID", "trgID")
       .filter(pairPredicate).distinct()
+      // piggybacked per-partition count (CollectMetrics, no extra
+      // shuffle): how many candidate pairs survive blocking — the
+      // number that explains the scoring stage's cost at any scale
+      .observe(obs, count(lit(1)).as("candidate_pairs"))
   }
+
+  /** Most recent surviving-candidate counter (bench/test observability;
+    * set once per [[candidatePairs]] call). `Observation.get` blocks
+    * until the first action over the plan completes.
+    */
+  @volatile private[graft] var lastCandidateObservation: org.apache.spark.sql.Observation = _
 
   /** Most recent drop counter (test observability; one per capped side).
     * `Observation.get` blocks until the first action over the capped plan

@@ -1,0 +1,71 @@
+package graft
+
+/** Smoke test for the bench HARNESS itself (not the timings): `sbt test`
+  * never runs `graft.Bench`, so a harness regression — the round-6 class
+  * of bug where best-of-N silently masked flaky failures, or a malformed
+  * artifact line — would otherwise surface only in the driver's
+  * 14-minute full pass. Runs the real `Bench.run` in-process against the
+  * shared test session on one cheap query and asserts the output
+  * contract: both JSON artifacts well-formed, the probe stats present
+  * and sane, the timing positive, nothing failed.
+  */
+class BenchSmokeSpec extends SparkSpec {
+
+  private def withProps(props: (String, String)*)(body: => Unit): Unit = {
+    val saved = props.map { case (k, _) => k -> sys.props.get(k) }
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None)    => sys.props.remove(k)
+    }
+  }
+
+  test("Bench.run: one-query smoke keeps the artifact contract") {
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "0") {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke.json")
+        .fold(err => fail(s"Bench.run refused: $err"), identity)
+      assert(res.failed.isEmpty)
+
+      // both artifacts must parse as JSON (the driver consumes them raw)
+      import org.apache.spark.sql.functions.{col, from_json, lit, schema_of_json}
+      def parses(js: String): Unit = {
+        val df = spark.range(1).select(
+          from_json(lit(js), schema_of_json(lit(js))).as("j"))
+        assert(df.select(col("j")).head().get(0) != null, s"unparseable: $js")
+      }
+      parses(res.compact)
+      parses(res.full)
+
+      // probe contract: stats present, ordered, strictly positive
+      val probe = """"probe":\{"min":([0-9.]+),"med(?:ian)?":([0-9.]+),"max":([0-9.]+)""".r
+      val m = probe.findFirstMatchIn(res.compact)
+        .getOrElse(fail(s"no probe stats in compact line: ${res.compact}"))
+      val (mn, md, mx) = (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
+      assert(mn > 0 && mn <= md && md <= mx, s"probe stats out of order: $mn/$md/$mx")
+
+      // the query's timing is recorded and positive in both artifacts
+      assert(res.compact.contains("\"q01_pricing_summary\":"))
+      val best = """"q01_pricing_summary":\{"best_sec":([0-9.E-]+)""".r
+      val b = best.findFirstMatchIn(res.full)
+        .getOrElse(fail(s"no best_sec in full artifact")).group(1).toDouble
+      assert(b > 0)
+
+      // the retry gate's bookkeeping is always present (normally empty
+      // list in the full artifact, a count in the compact line)
+      assert(res.full.contains("\"contention_retries\":"))
+      assert("""\"retried\":\d+""".r.findFirstIn(res.compact).isDefined, res.compact)
+    }
+  }
+
+  test("Bench.run: unknown SPARK_GRAFT_ONLY filter is a refusal, not an empty pass") {
+    withProps("SPARK_GRAFT_ONLY" -> "q99_nope", "SPARK_GRAFT_SCALING" -> "0") {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke.json")
+      assert(res.isLeft)
+      assert(res.left.exists(_.contains("matched no query")))
+    }
+  }
+}
