@@ -722,28 +722,30 @@ object LlmData {
       |GROUP BY doc_id, m
       |ORDER BY doc_id""".stripMargin
 
-  /** Video frame-sampling with REAL per-frame decode: deterministic
-    * PNG-sequence clips are generated per doc_id (dimensions, frame
-    * count, and every frame's pixels closed-form in doc_id), every
-    * second frame is sampled out of the container, and each sampled
-    * frame goes through the real `javax.imageio` decode — header
-    * metadata plus a full pixel-luma sum. The container is the one
-    * honest stub left (the JDK has no video codec); the oracle
-    * re-derives the sampled frame set AND each frame's pixel sum from
-    * the generator formula, so a hash match proves the explode →
-    * per-frame-decode pipeline is real end-to-end.
+  /** Video frame-sampling with REAL container demux and per-frame
+    * decode: deterministic AVI clips (PNG payload frames — dimensions,
+    * frame count, and every frame's pixels closed-form in doc_id) are
+    * demuxed through the hand-written RIFF walker
+    * ([[graft.text.Multimodal.AviCodec]]), every second frame is
+    * sampled out of the `movi` list, and each sampled frame goes
+    * through the real `javax.imageio` decode — header metadata plus a
+    * full pixel-luma sum. The oracle re-derives the sampled frame set
+    * AND each frame's pixel sum from the generator formula, so a hash
+    * match proves the demux → explode → per-frame-decode pipeline is
+    * real end-to-end: a wrong chunk boundary, a missed pad byte, or a
+    * misread frame order all break the hash.
     */
   private def q44(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
     val encodeUdf = udf { (id: Long) =>
-      Multimodal.PngSeqCodec.encodePngSeq(
+      Multimodal.AviCodec.encodeAviPngSeq(
         (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
     }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
     val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
     val clips = Tables.documents(spark, dir)
       .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
-    Multimodal.samplePngSeqFrames(clips, "content", stride = 2)
+    Multimodal.sampleAviFrames(clips, "content", stride = 2)
       .select(col("doc_id"), col("frame_idx"), metaUdf(col("frame")).as("m"),
         lumaUdf(col("frame")).as("frame_luma_sum"))
       .select(col("doc_id"), col("frame_idx"),

@@ -389,13 +389,14 @@ class TextOpsSpec extends SparkSpec {
     assert(WavCodec.audioStats(null) === None)
   }
 
-  test("PngSeqCodec: container round trip, real frame decode, stride sampling") {
-    import Multimodal.{ImageIoCodec, PngSeqCodec}
-    val clip = PngSeqCodec.encodePngSeq(9, 5, 4, 40L, 11L)
-    // stub header carries the video metadata; frames are real PNGs
-    assert(Multimodal.StubCodec.decodeMetadata(clip).map(m => (m._1, m._2, m._5)) ===
-      Some(("video", "pngseq", 160L)))
-    val frames = PngSeqCodec.extractFrames(clip)
+  test("AviCodec: real RIFF/AVI round trip, frame decode, stride sampling") {
+    import Multimodal.{AviCodec, ImageIoCodec}
+    val clip = AviCodec.encodeAviPngSeq(9, 5, 4, 40L, 11L)
+    // the container is a real RIFF/AVI byte stream, not a stub header
+    assert(new String(clip.take(4)) === "RIFF" && new String(clip.slice(8, 12)) === "AVI ")
+    // header-only metadata straight from avih/strh
+    assert(AviCodec.aviMetadata(clip) === Some(("mpng", 9, 5, 4L, 160L)))
+    val frames = AviCodec.extractFrames(clip)
     assert(frames.length === 4)
     for (t <- 0 until 4) {
       assert(ImageIoCodec.imageMetadata(frames(t)) === Some(("png", 9, 5)))
@@ -403,24 +404,101 @@ class TextOpsSpec extends SparkSpec {
         yield (31L * x + 17L * y + 11L + 97L * t) % 256).sum
       assert(ImageIoCodec.pixelLumaSum(frames(t)) === Some(expected), s"frame $t")
     }
-    // truncated container and non-pngseq input → empty, not exceptions
-    assert(PngSeqCodec.extractFrames(clip.dropRight(3)) === Seq.empty)
-    assert(PngSeqCodec.extractFrames("junk".getBytes) === Seq.empty)
-    assert(PngSeqCodec.extractFrames(null) === Seq.empty)
-    // truncation inside a LENGTH PREFIX (1-3 trailing bytes after a valid
-    // frame) must not return a silently shorter clip
-    val firstFrameEnd = Multimodal.StubCodec.HeaderBytes + 4 + frames(0).length
-    assert(PngSeqCodec.extractFrames(clip.take(firstFrameEnd + 2)) === Seq.empty)
-    // hostile length prefix near Int.MaxValue must not overflow the bound
-    // check into a ~2GB allocation
-    val hostile = clip.take(Multimodal.StubCodec.HeaderBytes) ++
-      Array(0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
-    assert(PngSeqCodec.extractFrames(hostile) === Seq.empty)
+    // garbage / null / truncated input → empty, not exceptions; the
+    // contract is all-or-nothing, never a silently shorter clip
+    assert(AviCodec.extractFrames("junk".getBytes) === Seq.empty)
+    assert(AviCodec.extractFrames(null) === Seq.empty)
+    assert(AviCodec.extractFrames(clip.dropRight(3)) === Seq.empty)
+    assert(AviCodec.aviMetadata(clip.take(40)) === None)
+    assert(AviCodec.aviMetadata("junk".getBytes) === None)
+    assert(AviCodec.aviMetadata(null) === None)
 
     // stride sampling keeps original frame indices on the exploded rows
     val df4 = Seq((1L, clip)).toDF("media_id", "content")
-    val sampled = Multimodal.samplePngSeqFrames(df4, "content", stride = 2)
+    val sampled = Multimodal.sampleAviFrames(df4, "content", stride = 2)
       .select("frame_idx").collect().map(_.getInt(0)).sorted
     assert(sampled.sameElements(Array(0, 2)))
+  }
+
+  test("AviCodec: MJPEG layout — JPEG payloads survive the container bit-exact") {
+    import Multimodal.{AviCodec, ImageIoCodec}
+    // real JPEG frames (lossy codec, so the pin is CONTAINER fidelity:
+    // demuxed payloads must be byte-identical to what was muxed, and
+    // each must decode through the real javax.imageio JPEG path)
+    val jpegs = (0 until 3).map { t =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ImageIoCodec.encodePng(16, 12, 7L + t)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val avi = AviCodec.encodeAvi(jpegs, 16, 12, 33L, "MJPG")
+    assert(AviCodec.aviMetadata(avi) === Some(("mjpg", 16, 12, 3L, 99L)))
+    val out = AviCodec.extractFrames(avi)
+    assert(out.length === 3)
+    for (t <- 0 until 3) {
+      assert(out(t).sameElements(jpegs(t)), s"frame $t bytes changed in transit")
+      assert(ImageIoCodec.imageMetadata(out(t)) === Some(("jpeg", 16, 12)))
+    }
+    // odd-length payloads exercise RIFF even-padding on every boundary
+    val odd = Seq(Array[Byte](1), Array[Byte](2, 3, 4), Array[Byte](5, 6, 7, 8, 9))
+    val oddAvi = AviCodec.encodeAvi(odd, 2, 2, 40L, "MJPG")
+    val oddOut = AviCodec.extractFrames(oddAvi)
+    assert(oddOut.length === 3)
+    for (t <- 0 until 3) assert(oddOut(t).sameElements(odd(t)), s"odd frame $t")
+  }
+
+  test("AviCodec: hostile and malformed containers are empty, never a crash or overrun") {
+    import Multimodal.AviCodec
+    val clip = AviCodec.encodeAviPngSeq(6, 4, 2, 40L, 3L)
+    // hostile chunk size near u32 max: must compare as unsigned in Long
+    // arithmetic, not wrap negative past the bounds check into a ~4GB copy
+    def withChunkSize(src: Array[Byte], at: Int, size: Long): Array[Byte] = {
+      val b = src.clone()
+      b(at) = (size & 0xff).toByte; b(at + 1) = ((size >> 8) & 0xff).toByte
+      b(at + 2) = ((size >> 16) & 0xff).toByte; b(at + 3) = ((size >> 24) & 0xff).toByte
+      b
+    }
+    // find the movi list and poison its first frame chunk's size field
+    val moviAt = clip.sliding(4).indexWhere(_.sameElements("movi".getBytes))
+    assert(moviAt > 0, "precondition: movi present")
+    val frameSizeAt = moviAt + 4 + 4 // movi fourcc, then 00dc fourcc, then size
+    assert(AviCodec.extractFrames(withChunkSize(clip, frameSizeAt, 0xFFFFFFFFL)) === Seq.empty)
+    assert(AviCodec.extractFrames(withChunkSize(clip, frameSizeAt, 0x7FFFFFFFL)) === Seq.empty)
+    // a RIFF size overrunning the actual byte count = truncated container
+    assert(AviCodec.extractFrames(withChunkSize(clip, 4, clip.length.toLong)) === Seq.empty)
+    // truncation INSIDE a chunk header (mid size field) is all-or-nothing
+    assert(AviCodec.extractFrames(
+      withChunkSize(clip.take(moviAt + 10), 4, (moviAt + 2).toLong)) === Seq.empty)
+    // frames grouped in a 'rec ' list (real multiplexers do this) demux too
+    val frames = AviCodec.extractFrames(clip)
+    val rec = {
+      // rebuild: movi containing one rec list with both frames
+      val inner = frames.map { f =>
+        val bb = java.nio.ByteBuffer.allocate(8 + f.length + (f.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("00dc".getBytes, 0, 4); bb.putInt(f.length); bb.put(f); bb.array()
+      }
+      val recBody = inner.flatten.toArray
+      val recList = {
+        val bb = java.nio.ByteBuffer.allocate(12 + recBody.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes, 0, 4); bb.putInt(4 + recBody.length)
+        bb.put("rec ".getBytes, 0, 4); bb.put(recBody); bb.array()
+      }
+      val movi = {
+        val bb = java.nio.ByteBuffer.allocate(12 + recList.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes, 0, 4); bb.putInt(4 + recList.length)
+        bb.put("movi".getBytes, 0, 4); bb.put(recList); bb.array()
+      }
+      val bb = java.nio.ByteBuffer.allocate(12 + movi.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes, 0, 4); bb.putInt(4 + movi.length)
+      bb.put("AVI ".getBytes, 0, 4); bb.put(movi); bb.array()
+    }
+    val recOut = AviCodec.extractFrames(rec)
+    assert(recOut.length === frames.length)
+    for (t <- frames.indices) assert(recOut(t).sameElements(frames(t)), s"rec frame $t")
   }
 }
