@@ -59,6 +59,27 @@ class JdbcSpec extends SparkSpec {
     assert(perPartition.forall(_ > 0) && perPartition.sum === 100)
   }
 
+  test("predicate and projection push down into the JDBC scan itself") {
+    seeded
+    import org.apache.spark.sql.functions.col
+    val df = Jdbc.read(spark, Jdbc.JdbcScan(
+        url = url, table = "persdata", partitionColumn = "lObjId",
+        lowerBound = 1L, upperBound = 101L, numPartitions = 4, properties = props))
+      .filter(col("LOBJID") > 50L)
+      .select(col("LOBJID"), col("STRLNAME"))
+    // the filter must reach the JDBC relation's scan metadata — i.e. be
+    // executed database-side in the generated WHERE clause, not in Spark
+    // after a full-table fetch (the 100 TB story: ship predicates to the
+    // store, pull only matching rows over the wire)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters"), s"no pushdown metadata in scan:\n$scan")
+    assert(scan.contains("GreaterThan(LOBJID,50)"), s"partition-column filter not pushed:\n$scan")
+    // projection pruning: unreferenced columns never leave the database
+    assert(!scan.contains("STRGNAME"), s"unreferenced column fetched:\n$scan")
+    // and the pushed plan still computes the right answer
+    assert(df.count() === 50)
+  }
+
   test("S7 scans over JDBC-backed views match the reference shapes") {
     seeded
     def view(table: String): Unit =
