@@ -774,6 +774,44 @@ object LlmData {
       |GROUP BY doc_id, t, w, h
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Video METADATA at corpus scale: the header-only triage path a real
+    * pipeline runs before committing to any frame decode (drop clips by
+    * dimensions/duration/frame count first — decoding is orders of
+    * magnitude dearer than header parsing). Each doc_id's AVI clip is
+    * built by the real muxer, and `aviMetadata` walks `hdrl` —
+    * `avih` for dimensions/frame count/duration, the first `strl`'s
+    * `strh` for the codec handler — WITHOUT touching `movi`. Every
+    * field is closed-form in doc_id, so the oracle re-derives all five
+    * from the generator parameters: a misparsed offset, a wrong
+    * scale/rate unit, or a handler read from the wrong fourcc all
+    * break the hash.
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Multimodal
+    val encodeUdf = udf { (id: Long) =>
+      Multimodal.AviCodec.encodeAviPngSeq(
+        (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
+    }
+    val metaUdf = udf { (b: Array[Byte]) => Multimodal.AviCodec.aviMetadata(b) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), metaUdf(encodeUdf(col("doc_id"))).as("m"))
+      .select(col("doc_id"),
+        col("m._1").as("handler"),
+        col("m._2").as("width"),
+        col("m._3").as("height"),
+        col("m._4").as("n_frames"),
+        col("m._5").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+  private val q49Sql =
+    """SELECT doc_id, 'mpng' AS handler,
+      |  CAST(doc_id % 7 + 4 AS INTEGER) AS width,
+      |  CAST(doc_id % 5 + 3 AS INTEGER) AS height,
+      |  CAST(doc_id % 5 + 2 AS BIGINT) AS n_frames,
+      |  CAST((doc_id % 5 + 2) * 40 AS BIGINT) AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** IVF ANN driver-visible with an exact oracle: at nProbe = nList every
     * cell is probed, so assign → probe → rescore → rank MUST equal the
     * brute-force top-k whatever the centroid sample — which pins the
@@ -812,5 +850,6 @@ object LlmData {
     Q("q45_audio_quality", q45, Some(q45Sql)),
     Q("q46_image_resize", q46, Some(q46Sql)),
     Q("q47_audio_resample", q47, Some(q47Sql)),
-    Q("q48_image_quality", q48, Some(q48Sql)))
+    Q("q48_image_quality", q48, Some(q48Sql)),
+    Q("q49_video_metadata", q49, Some(q49Sql)))
 }

@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     // documents scan must not read the text payload
     for (q <- Seq("q42_audio_decode", "q44_video_frame_decode",
         "q45_audio_quality", "q46_image_resize", "q47_audio_resample",
-        "q48_image_quality")) {
+        "q48_image_quality", "q49_video_metadata")) {
       val p = plan(q)
       assert(!p.split("ReadSchema").last.contains("text"),
         s"$q reads text bytes it never uses")
