@@ -231,12 +231,7 @@ object Bench {
             }
             def atFrac(frac: Double): Double = {
               if (frac < 1.0) sys.props(graft.core.ScaleKnob.Prop) = frac.toString
-              try {
-                val t = timeIt()
-                if (name == "q22_person_match_self")
-                  lastCandidateCount().foreach(q22Pairs(frac) = _)
-                t
-              } finally sys.props.remove(graft.core.ScaleKnob.Prop)
+              try timeIt() finally sys.props.remove(graft.core.ScaleKnob.Prop)
             }
             try {
               if (liftCap) sys.props(graft.core.ScaleKnob.DocsCapProp) = "5000"
@@ -249,6 +244,21 @@ object Bench {
                 // Interleaving spreads each window across all three
                 // points, so min-per-point discards it.
                 val passes = Seq.fill(2)(Seq(0.25, 0.5, 1.0).map(atFrac))
+                // q22 attribution: one UNTIMED run per scale point with
+                // the candidate counter enabled — counts are
+                // deterministic per frac, and keeping the counter out of
+                // the timed runs keeps those the exact production plan
+                if (name == "q22_person_match_self") {
+                  sys.props(graft.linkage.PersonMatching.CountCandidatesProp) = "1"
+                  try Seq(0.25, 0.5, 1.0).foreach { frac =>
+                    if (frac < 1.0) sys.props(graft.core.ScaleKnob.Prop) = frac.toString
+                    try {
+                      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                      lastCandidateCount().foreach(q22Pairs(frac) = _)
+                    } finally sys.props.remove(graft.core.ScaleKnob.Prop)
+                  } finally
+                    sys.props.remove(graft.linkage.PersonMatching.CountCandidatesProp)
+                }
                 passes.transpose.map(_.min) match {
                   case Seq(q, h, f) => Some((name, q, h, f))
                 }

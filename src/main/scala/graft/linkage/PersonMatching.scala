@@ -61,22 +61,31 @@ object PersonMatching {
     }
     val s = exploded(src, "srcID")
     val t = exploded(trg, "trgID")
-    val obs = org.apache.spark.sql.Observation()
-    lastCandidateObservation = obs
     // the pair predicate runs BEFORE the dedup aggregation: a row-level
     // filter commutes with distinct, and pruning first (e.g. the
     // self-join's srcID <= trgID) halves what the distinct shuffles
-    s.join(t, Seq("fb", "lb")).select("srcID", "trgID")
+    val pairs = s.join(t, Seq("fb", "lb")).select("srcID", "trgID")
       .filter(pairPredicate).distinct()
-      // piggybacked per-partition count (CollectMetrics, no extra
-      // shuffle): how many candidate pairs survive blocking — the
-      // number that explains the scoring stage's cost at any scale
-      .observe(obs, count(lit(1)).as("candidate_pairs"))
+    // candidate counting is OPT-IN (CountCandidatesProp): CollectMetrics
+    // is "free" plan-wise (no shuffle) but not run-wise — an un-consumed
+    // Observation leaks its listener on the session, and the metrics
+    // projection sits on the distinct output for every downstream run.
+    // The bench's scaling pass flips this on for dedicated, untimed
+    // count runs; the hot path stays exactly the measured plan.
+    if (sys.props.get(CountCandidatesProp).contains("1")) {
+      val obs = org.apache.spark.sql.Observation()
+      lastCandidateObservation = obs
+      pairs.observe(obs, count(lit(1)).as("candidate_pairs"))
+    } else pairs
   }
 
+  /** Opt-in switch for the candidate-pair counter in [[candidatePairs]]. */
+  private[graft] val CountCandidatesProp = "graft.match.countCandidates"
+
   /** Most recent surviving-candidate counter (bench/test observability;
-    * set once per [[candidatePairs]] call). `Observation.get` blocks
-    * until the first action over the plan completes.
+    * set once per [[candidatePairs]] call when [[CountCandidatesProp]]
+    * is "1"). `Observation.get` blocks until the first action over the
+    * plan completes.
     */
   @volatile private[graft] var lastCandidateObservation: org.apache.spark.sql.Observation = _
 
