@@ -208,7 +208,10 @@ object Bench {
     // SPARK_GRAFT_ONLY or SPARK_GRAFT_SCALING=0.
     val scalingTargets = Seq("q22_person_match_self", "q23_person_clustering",
       "q25_minhash_dedup", "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
-      "q34_minhash_preclustering", "q35_cosine_near_dup")
+      "q34_minhash_preclustering", "q35_cosine_near_dup",
+      // media representative: per-row demux+decode should read ~linear
+      // (exponent ≈ 1), the contrast class to the join-shaped families
+      "q44_video_frame_decode")
     val liftedCapTargets = Seq("q24_exact_dedup", "q26_simhash_dedup")
     val doScaling = cfg("SPARK_GRAFT_SCALING", "1") != "0" && only.isEmpty
     // candidate-pair counts per frac for q22 (deterministic per frac, so

@@ -743,7 +743,10 @@ object LlmData {
     }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
     val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
-    val clips = Tables.documents(spark, dir)
+    // ScaleKnob is identity at the default frac=1.0 (oracle unchanged);
+    // the bench scaling pass shrinks the corpus to show the media
+    // family's per-row linearity alongside the similarity exponents
+    val clips = graft.core.ScaleKnob.sample(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
     Multimodal.sampleAviFrames(clips, "content", stride = 2)
       .select(col("doc_id"), col("frame_idx"), metaUdf(col("frame")).as("m"),

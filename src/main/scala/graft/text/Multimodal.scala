@@ -101,7 +101,10 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Header-only (format, width, height) — no pixel decode. */
+    /** Header-only (format, width, height) — no pixel decode. None for
+      * unrecognized input AND for recognized-but-corrupt headers
+      * (`getWidth` throws `IIOException` there).
+      */
     def imageMetadata(bytes: Array[Byte]): Option[(String, Int, Int)] = {
       if (bytes == null || bytes.length == 0) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -114,19 +117,36 @@ object Multimodal {
           try {
             r.setInput(iis)
             Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
-          } finally r.dispose()
+          }
+          catch { case _: java.io.IOException => None }
+          finally r.dispose()
         }
       } finally iis.close()
     }
 
+    /** Decompression-bomb ceiling for full pixel decodes: a hostile
+      * header can declare any dimensions in a few bytes and
+      * `ImageIO.read` will obligingly allocate and grind through them —
+      * unbounded CPU + a multi-GB buffer from inside a per-row UDF
+      * (found by mutation fuzzing: one flipped IHDR byte turned an 8×6
+      * fixture into a minutes-long decode). 64M pixels passes any sane
+      * training image (8192×8192) and caps the buffer at ~256 MB.
+      */
+    val MaxDecodePixels: Long = 64L * 1024 * 1024
+
     /** Full pixel decode with the codec-wide failure contract: None for
       * null/empty input, unrecognized formats (`ImageIO.read` returns
-      * null), AND corrupt-but-recognized bytes (valid PNG signature,
+      * null), corrupt-but-recognized bytes (valid PNG signature,
       * truncated body — `ImageIO.read` throws `IIOException` there, and
-      * a per-row UDF must not let that fail the job).
+      * a per-row UDF must not let that fail the job), AND
+      * hostile-dimension headers (pre-checked via the header-only parse
+      * BEFORE any pixel allocation — see [[MaxDecodePixels]]).
       */
     private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-      if (bytes == null || bytes.length == 0) return None
+      val ok = imageMetadata(bytes).exists { case (_, w, h) =>
+        w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels
+      }
+      if (!ok) return None
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => None }
     }
@@ -292,7 +312,19 @@ object Multimodal {
           if (fmt.getSampleSizeInBits != 16 ||
               fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
             return None
-          val raw = ais.readAllBytes()
+          // NOT readAllBytes: AudioInputStream.read returns 0 (not -1)
+          // when fewer than one frame's bytes remain (e.g. a corrupt
+          // block-align), and readAllBytes spins forever on a 0-return —
+          // a mutation-fuzz-found infinite loop inside a per-row UDF.
+          // Also bound the total by the container size: PCM16 payload
+          // can never exceed the bytes that hold it, so a header
+          // claiming more is corrupt input.
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0 && bos.size <= bytes.length) { bos.write(buf, 0, n); n = ais.read(buf) }
+          if (bos.size > bytes.length) return None
+          val raw = bos.toByteArray
           val out = new Array[Short](raw.length / 2)
           var i = 0
           if (fmt.isBigEndian)
@@ -333,7 +365,12 @@ object Multimodal {
       decodeSamplesWithFormat(bytes).collect {
         // mono only: the NN index walks the interleaved sample array, so
         // multi-channel input would mix channels; rate 0 is corrupt input
-        case (s, fmt) if fmt.getChannels == 1 && fmt.getSampleRate > 0 =>
+        case (s, fmt) if fmt.getChannels == 1 && fmt.getSampleRate > 0 &&
+            // overflow guard: a mutated header can declare srcRate=1 and
+            // make outLen wrap negative through toInt, crashing the
+            // buffer allocation from inside a per-row UDF — bound the
+            // output like the image path bounds pixels (64M samples)
+            s.length.toLong * dstRate / fmt.getSampleRate.toInt <= 64L * 1024 * 1024 =>
           val srcRate = fmt.getSampleRate.toInt
           val outLen = (s.length.toLong * dstRate / srcRate).toInt
           val bb = wavBuffer(outLen, dstRate)

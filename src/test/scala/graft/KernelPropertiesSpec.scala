@@ -155,6 +155,62 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("AviCodec mux→demux is bit-exact for arbitrary payloads (seeded sweep)") {
+    import graft.text.Multimodal.AviCodec
+    val rnd = new Random(4202L)
+    for (trial <- 1 to 300) {
+      val nFrames = rnd.nextInt(7) // 0..6, incl. the empty clip
+      // arbitrary byte payloads, 0..200 bytes, odd lengths included —
+      // the demuxer never decodes, so container fidelity is testable
+      // independent of image validity
+      val frames = Seq.fill(nFrames) {
+        val f = new Array[Byte](rnd.nextInt(201)); rnd.nextBytes(f); f
+      }
+      val w = 1 + rnd.nextInt(64); val h = 1 + rnd.nextInt(64)
+      val frameMs = 1L + rnd.nextInt(100)
+      val avi = AviCodec.encodeAvi(frames, w, h, frameMs, "MJPG")
+      val out = AviCodec.extractFrames(avi)
+      assert(out.length === nFrames, s"trial $trial frame count")
+      for (t <- frames.indices)
+        assert(out(t).sameElements(frames(t)), s"trial $trial frame $t bytes")
+      assert(AviCodec.aviMetadata(avi) ===
+        Some(("mjpg", w, h, nFrames.toLong, nFrames * frameMs)), s"trial $trial metadata")
+    }
+  }
+
+  test("AviCodec and WavCodec parsers never throw on mutated or truncated containers") {
+    import graft.text.Multimodal.{AviCodec, ImageIoCodec, WavCodec}
+    val rnd = new Random(999L)
+    val avi = AviCodec.encodeAviPngSeq(8, 6, 3, 40L, 5L)
+    val wav = WavCodec.encodeWav(200, 8000, 5L)
+    // single- and multi-byte flips anywhere in the container: results may
+    // be empty/None or even still parse, but must NEVER escape the
+    // None/empty failure contract as an exception from a per-row UDF
+    for (_ <- 1 to 2000) {
+      val target = if (rnd.nextBoolean()) avi.clone() else wav.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        target(rnd.nextInt(target.length)) = rnd.nextInt(256).toByte
+      if (target.length == avi.length) {
+        AviCodec.extractFrames(target).foreach(f => ImageIoCodec.pixelLumaSum(f))
+        AviCodec.aviMetadata(target)
+      } else {
+        WavCodec.audioMetadata(target)
+        WavCodec.sampleSum(target)
+        WavCodec.audioStats(target)
+        WavCodec.resampleNearest(target, 5000)
+      }
+    }
+    // truncation at every possible cut point, both containers
+    for (cut <- 0 until avi.length) {
+      val t = avi.take(cut)
+      AviCodec.extractFrames(t); AviCodec.aviMetadata(t)
+    }
+    for (cut <- 0 until wav.length by 7) {
+      val t = wav.take(cut)
+      WavCodec.audioMetadata(t); WavCodec.sampleSum(t)
+    }
+  }
+
   test("preprocess_name double-letter collapse is single-pass (reference semantics)") {
     // re.sub's non-overlapping matching leaves "aaa" as "aa" — the chain
     // is deliberately NOT idempotent, matching the reference exactly

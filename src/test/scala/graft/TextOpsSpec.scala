@@ -330,6 +330,25 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.resizeNearest(truncated, 4, 4) === None)
   }
 
+  test("hostile-dimension image headers fail fast, before any pixel allocation") {
+    import Multimodal.ImageIoCodec
+    // decompression bomb: a few flipped IHDR bytes declare a ~2G-pixel
+    // image; without the header-gated ceiling, ImageIO.read grinds for
+    // minutes allocating gigabytes inside a per-row UDF (found by
+    // mutation fuzzing). IHDR width lives at bytes 16-19 big-endian.
+    val bomb = ImageIoCodec.encodePng(8, 6, 1L).clone()
+    bomb(16) = 0x7f.toByte; bomb(17) = 0xff.toByte
+    bomb(18) = 0xff.toByte; bomb(19) = 0xff.toByte
+    val t0 = System.nanoTime()
+    assert(ImageIoCodec.pixelLumaSum(bomb) === None)
+    assert(ImageIoCodec.imageStats(bomb) === None)
+    assert(ImageIoCodec.resizeNearest(bomb, 4, 4) === None)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "hostile header must fail fast")
+    // the ceiling gates FULL decodes only - header-only metadata on a
+    // huge-but-wellformed declaration still reports (or rejects) cheaply
+    assert(ImageIoCodec.imageMetadata(bomb).forall(_._2 > 0))
+  }
+
   test("WavCodec.audioMetadata: unknown-length streaming container is None, not n_frames=-1") {
     import Multimodal.WavCodec
     // AU container with data size 0xFFFFFFFF (the spec's "unknown length"
