@@ -554,8 +554,13 @@ object Multimodal {
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.substring(2) == "dc" || id.substring(2) == "db")
       // walk one chunk run [i, limit); inMovi flags whether video chunks
-      // and rec-lists are expected here. Returns false on any malformation.
-      def walk(start: Long, limit: Long, inMovi: Boolean): Boolean = {
+      // and rec-lists are expected here. Returns false on any
+      // malformation. depth caps list nesting: real AVIs are 2 deep
+      // (movi → rec), and unbounded recursion on a crafted
+      // thousands-deep rec chain would overflow the stack in a
+      // per-row UDF — the same class of hostile input as the u32 sizes.
+      def walk(start: Long, limit: Long, inMovi: Boolean, depth: Int): Boolean = {
+        if (depth > 16) return false
         var i = start
         while (i < limit) {
           if (i + 8 > limit) return false // truncated chunk header
@@ -567,7 +572,7 @@ object Multimodal {
             if (size < 4) return false
             val typ = fcc(bytes, i.toInt + 8)
             if (typ == "movi" || (inMovi && typ == "rec "))
-              { if (!walk(i + 12, dataEnd, inMovi = true)) return false }
+              { if (!walk(i + 12, dataEnd, inMovi = true, depth + 1)) return false }
             // other lists (hdrl, strl, odml…) carry no frames: skip whole
           } else if (inMovi && isVideoChunk(id)) {
             out += java.util.Arrays.copyOfRange(bytes, i.toInt + 8, dataEnd.toInt)
@@ -576,7 +581,7 @@ object Multimodal {
         }
         true
       }
-      if (walk(12, end, inMovi = false)) out.result() else Seq.empty
+      if (walk(12, end, inMovi = false, depth = 0)) out.result() else Seq.empty
     }
 
     /** Header-only metadata from `hdrl` — (handler, width, height,

@@ -519,5 +519,29 @@ class TextOpsSpec extends SparkSpec {
     val recOut = AviCodec.extractFrames(rec)
     assert(recOut.length === frames.length)
     for (t <- frames.indices) assert(recOut(t).sameElements(frames(t)), s"rec frame $t")
+
+    // a crafted thousands-deep rec-list chain must hit the depth cap and
+    // return empty, not overflow the stack in a per-row UDF
+    val deep = {
+      val levels = 5000
+      val innermost = Array.empty[Byte]
+      val body = (1 to levels).foldLeft(innermost) { (inner, _) =>
+        val bb = java.nio.ByteBuffer.allocate(12 + inner.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes, 0, 4); bb.putInt(4 + inner.length)
+        bb.put("rec ".getBytes, 0, 4); bb.put(inner); bb.array()
+      }
+      val movi = {
+        val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("LIST".getBytes, 0, 4); bb.putInt(4 + body.length)
+        bb.put("movi".getBytes, 0, 4); bb.put(body); bb.array()
+      }
+      val bb = java.nio.ByteBuffer.allocate(12 + movi.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes, 0, 4); bb.putInt(4 + movi.length)
+      bb.put("AVI ".getBytes, 0, 4); bb.put(movi); bb.array()
+    }
+    assert(AviCodec.extractFrames(deep) === Seq.empty)
   }
 }
