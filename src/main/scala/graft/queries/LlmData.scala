@@ -735,19 +735,25 @@ object LlmData {
     * real end-to-end: a wrong chunk boundary, a missed pad byte, or a
     * misread frame order all break the hash.
     */
+  /** Shared q44/q49 clip generator — ONE definition of the closed-form
+    * fixture parameters `(w, h, nFrames, frameMs) = f(doc_id)` so the
+    * two queries (and both oracles, which re-derive these) can never
+    * silently diverge on the clip shape.
+    */
+  private val aviClipUdf = udf { (id: Long) =>
+    graft.text.Multimodal.AviCodec.encodeAviPngSeq(
+      (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
+  }
+
   private def q44(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.AviCodec.encodeAviPngSeq(
-        (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
-    }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
     val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
     // ScaleKnob is identity at the default frac=1.0 (oracle unchanged);
     // the bench scaling pass shrinks the corpus to show the media
     // family's per-row linearity alongside the similarity exponents
     val clips = graft.core.ScaleKnob.sample(Tables.documents(spark, dir), "doc_id")
-      .select(col("doc_id"), encodeUdf(col("doc_id")).as("content"))
+      .select(col("doc_id"), aviClipUdf(col("doc_id")).as("content"))
     Multimodal.sampleAviFrames(clips, "content", stride = 2)
       .select(col("doc_id"), col("frame_idx"), metaUdf(col("frame")).as("m"),
         lumaUdf(col("frame")).as("frame_luma_sum"))
@@ -791,13 +797,9 @@ object LlmData {
     */
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val encodeUdf = udf { (id: Long) =>
-      Multimodal.AviCodec.encodeAviPngSeq(
-        (id % 7 + 4).toInt, (id % 5 + 3).toInt, (id % 5 + 2).toInt, 40L, id)
-    }
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.AviCodec.aviMetadata(b) }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), metaUdf(encodeUdf(col("doc_id"))).as("m"))
+      .select(col("doc_id"), metaUdf(aviClipUdf(col("doc_id"))).as("m"))
       .select(col("doc_id"),
         col("m._1").as("handler"),
         col("m._2").as("width"),

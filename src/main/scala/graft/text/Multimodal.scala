@@ -280,8 +280,11 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         val fmt = aff.getFormat
         // the JDK parser accepts a fmt chunk with sample rate 0 — that is
-        // corrupt input, not a divide-by-zero crash in a per-row UDF
-        if (fmt.getSampleRate <= 0) return None
+        // corrupt input, not a divide-by-zero crash in a per-row UDF.
+        // Compare against 1, not 0: AIFF's COMM rate is an extended
+        // FLOAT, so a crafted 0.5 Hz passes a > 0 float check but
+        // truncates to 0 in the integer division below
+        if (fmt.getSampleRate < 1) return None
         // getFrameLength is NOT_SPECIFIED (-1) for containers with
         // unknown data size (e.g. streaming AU with 0xFFFFFFFF length);
         // that would flow through as n_frames=-1 and a negative duration
@@ -323,7 +326,11 @@ object Multimodal {
           val buf = new Array[Byte](8192)
           var n = ais.read(buf)
           while (n > 0 && bos.size <= bytes.length) { bos.write(buf, 0, n); n = ais.read(buf) }
-          if (bos.size > bytes.length) return None
+          // a 0-return is CORRUPT FRAMING (clean EOF is -1), whether on
+          // the first read (block-align > buffer) or mid-stream (payload
+          // truncated inside a frame) — all-or-nothing, same as the
+          // container size bound: never a silently shorter clip
+          if (n == 0 || bos.size > bytes.length) return None
           val raw = bos.toByteArray
           val out = new Array[Short](raw.length / 2)
           var i = 0
@@ -364,12 +371,14 @@ object Multimodal {
       if (dstRate <= 0) return None
       decodeSamplesWithFormat(bytes).collect {
         // mono only: the NN index walks the interleaved sample array, so
-        // multi-channel input would mix channels; rate 0 is corrupt input
-        case (s, fmt) if fmt.getChannels == 1 && fmt.getSampleRate > 0 &&
-            // overflow guard: a mutated header can declare srcRate=1 and
-            // make outLen wrap negative through toInt, crashing the
-            // buffer allocation from inside a per-row UDF — bound the
-            // output like the image path bounds pixels (64M samples)
+        // multi-channel input would mix channels. Rate < 1 is corrupt
+        // input (a crafted fractional AIFF rate truncates to 0 in the
+        // integer math — the > 0 float check alone would still divide by
+        // zero); the length bound keeps a mutated 1 Hz header from
+        // wrapping outLen negative through toInt and crashing the buffer
+        // allocation from inside a per-row UDF — bounded like the image
+        // path bounds pixels (64M samples)
+        case (s, fmt) if fmt.getChannels == 1 && fmt.getSampleRate >= 1 &&
             s.length.toLong * dstRate / fmt.getSampleRate.toInt <= 64L * 1024 * 1024 =>
           val srcRate = fmt.getSampleRate.toInt
           val outLen = (s.length.toLong * dstRate / srcRate).toInt
@@ -600,23 +609,34 @@ object Multimodal {
         if (dataEnd > end) return None
         if (fcc(bytes, i.toInt) == "LIST" && size >= 4 &&
             fcc(bytes, i.toInt + 8) == "hdrl") {
-          // avih (fixed offset right after the list type) + strh handler
-          if (i + 12 + 8 + 56 > dataEnd || fcc(bytes, i.toInt + 12) != "avih") return None
+          // avih sits right after the list type; honor its DECLARED size
+          // (the field exists so writers may extend the header past the
+          // canonical 56 bytes) — we only require the fields we read
+          if (i + 12 + 8 > dataEnd || fcc(bytes, i.toInt + 12) != "avih") return None
+          val avihSize = u32(bytes, i.toInt + 16)
+          if (avihSize < 56 || i + 20 + avihSize > dataEnd) return None
           val a = i.toInt + 20 // avih body
           val usPerFrame = u32(bytes, a)
           val nFrames = u32(bytes, a + 16)
           val w = u32(bytes, a + 32).toInt
           val h = u32(bytes, a + 36).toInt
-          // first strl's strh carries the fccHandler
-          var j = i + 12 + 8 + 56 + (56 & 1) // after the (even-sized) avih chunk
+          // two hostile u32-max values multiply past Long.MaxValue and
+          // wrap the duration negative — corrupt header, not metadata
+          if (nFrames > 0 && usPerFrame > Long.MaxValue / nFrames) return None
+          val durMs = nFrames * usPerFrame / 1000L
+          // the VIDEO stream's strh carries the fccHandler: scan strl
+          // lists for fccType 'vids' (stream order is not mandated, so
+          // an audio-first AVI must not report its audio codec here)
+          var j = i + 20 + avihSize + (avihSize & 1)
           while (j + 12 <= dataEnd) {
             val s = u32(bytes, j.toInt + 4)
             if (j + 8 + s > dataEnd) return None
             if (fcc(bytes, j.toInt) == "LIST" && s >= 4 &&
                 fcc(bytes, j.toInt + 8) == "strl" &&
-                j + 12 + 8 + 8 <= dataEnd && fcc(bytes, j.toInt + 12) == "strh")
+                j + 12 + 8 + 8 <= dataEnd && fcc(bytes, j.toInt + 12) == "strh" &&
+                fcc(bytes, j.toInt + 20) == "vids")
               return Some((fcc(bytes, j.toInt + 24).trim.toLowerCase, w, h,
-                nFrames, nFrames * usPerFrame / 1000L))
+                nFrames, durMs))
             j += 8 + s + (s & 1)
           }
           return None

@@ -349,6 +349,41 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.imageMetadata(bomb).forall(_._2 > 0))
   }
 
+  test("WavCodec: fractional AIFF sample rate is None, not a divide-by-zero") {
+    import Multimodal.WavCodec
+    // AIFF's COMM rate is an 80-bit extended FLOAT: a crafted 0.5 Hz
+    // passes a `> 0` float check but truncates to 0 in integer division
+    // — the metadata and resample paths must reject rate < 1 up front
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 24) // big-endian by default
+    bb.put("FORM".getBytes, 0, 4); bb.putInt(8 + 26 + 24); bb.put("AIFF".getBytes, 0, 4)
+    bb.put("COMM".getBytes, 0, 4); bb.putInt(18)
+    bb.putShort(1)     // channels
+    bb.putInt(4)       // numSampleFrames
+    bb.putShort(16)    // bits
+    // extended-precision 0.5: sign 0, exponent 16382, mantissa msb set
+    bb.putShort(0x3FFE.toShort); bb.putLong(0x8000000000000000L)
+    bb.put("SSND".getBytes, 0, 4); bb.putInt(16)
+    bb.putInt(0); bb.putInt(0) // offset, block size
+    for (i <- 0 until 4) bb.putShort((i * 50).toShort)
+    val aiff = bb.array()
+    assert(WavCodec.audioMetadata(aiff) === None)
+    assert(WavCodec.resampleNearest(aiff, 5000) === None)
+  }
+
+  test("WavCodec: corrupt channel count is None, not a hang or a silent empty decode") {
+    import Multimodal.WavCodec
+    // channels=0 gives the stream a degenerate frame size, putting
+    // AudioInputStream.read into its 0-return mode (0 is not EOF; EOF is
+    // -1) — readAllBytes spins forever on that (the mutation-fuzz hang),
+    // and the bounded replacement must report corrupt framing as None,
+    // not accept an empty/truncated sample array as a valid silent clip
+    val wav = WavCodec.encodeWav(200, 8000, 5L).clone()
+    wav(22) = 0x00; wav(23) = 0x00 // channels -> 0, little-endian
+    assert(WavCodec.sampleSum(wav) === None)
+    assert(WavCodec.audioStats(wav) === None)
+    assert(WavCodec.audioMetadata(wav) === None)
+  }
+
   test("WavCodec.audioMetadata: unknown-length streaming container is None, not n_frames=-1") {
     import Multimodal.WavCodec
     // AU container with data size 0xFFFFFFFF (the spec's "unknown length"
@@ -519,6 +554,47 @@ class TextOpsSpec extends SparkSpec {
     val recOut = AviCodec.extractFrames(rec)
     assert(recOut.length === frames.length)
     for (t <- frames.indices) assert(recOut(t).sameElements(frames(t)), s"rec frame $t")
+
+    // hostile avih values: u32-max microSecPerFrame x u32-max frames
+    // multiplies past Long.MaxValue — must be None, not a negative
+    // duration presented as valid metadata (avih body starts at 32;
+    // usPerFrame at +0, totalFrames at +16)
+    val bomb = clip.clone()
+    for (off <- Seq(32, 48); k <- 0 until 4) bomb(off + k) = 0xff.toByte
+    assert(AviCodec.aviMetadata(bomb) === None)
+
+    // the handler must come from the VIDEO stream's strh: with the only
+    // strl re-typed 'auds' there is no vids stream to report
+    val audsOnly = clip.clone()
+    System.arraycopy("auds".getBytes, 0, audsOnly, 108, 4) // strh fccType
+    assert(AviCodec.aviMetadata(audsOnly) === None)
+    // frames still demux fine - metadata strictness is about labeling,
+    // not about refusing the container
+    assert(AviCodec.extractFrames(audsOnly).length === 2)
+
+    // an EXTENDED avih (declared size > 56) must still parse: the size
+    // field exists precisely so writers can grow the header, and the
+    // strl scan must start after the declared size, not after 56
+    val le = (n: Int) => { val b = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN); b }
+    def chunkB(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = le(8 + body.length + (body.length & 1))
+      b.put(id.getBytes, 0, 4); b.putInt(body.length); b.put(body); b.array()
+    }
+    val avih64 = clip.slice(32, 88) ++ Array.fill(8)(0.toByte) // +8 reserved-ish bytes
+    val strl = clip.slice(88, 212)                             // the whole LIST strl verbatim
+    val hdrlBody = chunkB("avih", avih64) ++ strl
+    val hdrl = {
+      val b = le(12 + hdrlBody.length)
+      b.put("LIST".getBytes, 0, 4); b.putInt(4 + hdrlBody.length)
+      b.put("hdrl".getBytes, 0, 4); b.put(hdrlBody); b.array()
+    }
+    val extRiff = {
+      val b = le(12 + hdrl.length)
+      b.put("RIFF".getBytes, 0, 4); b.putInt(4 + hdrl.length)
+      b.put("AVI ".getBytes, 0, 4); b.put(hdrl); b.array()
+    }
+    assert(AviCodec.aviMetadata(extRiff) === Some(("mpng", 6, 4, 2L, 80L)))
 
     // a crafted thousands-deep rec-list chain must hit the depth cap and
     // return empty, not overflow the stack in a per-row UDF
