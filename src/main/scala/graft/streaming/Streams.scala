@@ -99,6 +99,33 @@ object Streams {
       }
   }
 
+  /** Streaming media triage: header-only AVI metadata per row — the
+    * cheap gate a training-data ingest runs on an unbounded clip feed
+    * BEFORE committing to any frame decode (decode is orders of
+    * magnitude dearer than header parsing, and the corrupt/unwanted
+    * fraction of a crawl is large). Corrupt or non-AVI containers are
+    * dropped via the codec's None contract, never an exception that
+    * kills the stream. Stateless row-wise transform, so it composes
+    * with any watermark/window/dedup downstream and needs no state
+    * store of its own.
+    */
+  def aviTriage(clips: DataFrame, binaryCol: String): DataFrame = {
+    val metaUdf = udf { (b: Array[Byte]) =>
+      graft.text.Multimodal.AviCodec.aviMetadata(b)
+    }
+    clips
+      .withColumn("m", metaUdf(col(binaryCol)))
+      .filter(col("m").isNotNull)
+      .select(col("*"),
+        col("m._1").as("handler"),
+        col("m._2").as("width"),
+        col("m._3").as("height"),
+        col("m._4").as("n_frames"),
+        col("m._5").as("duration_ms"))
+      .drop("m")
+      .drop(binaryCol)
+  }
+
   /** The reference's batch loop as a stream: process whatever is
     * available, one bounded run (`Trigger.AvailableNow`), each micro-
     * batch handed to `fn` — e.g. a per-batch person-matching pass.

@@ -79,6 +79,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media triage parses AVI headers and drops corrupt clips in-flight") {
+    implicit val sqlCtx = session.sqlContext
+    import graft.text.Multimodal.AviCodec
+    val input = MemoryStream[(Long, Array[Byte])]
+    val clips = input.toDF().toDF("media_id", "content")
+    val q = Streams.aviTriage(clips, "content")
+      .writeStream.format("memory").queryName("triage_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, AviCodec.encodeAviPngSeq(8, 6, 3, 40L, 1L)),
+        (2L, AviCodec.encodeAviPngSeq(4, 4, 5, 20L, 2L)),
+        (3L, "definitely not a video".getBytes),      // corrupt: dropped
+        (4L, Array.empty[Byte]))                      // corrupt: dropped
+      q.processAllAvailable()
+      val got = session.table("triage_out")
+        .select("media_id", "handler", "width", "height", "n_frames", "duration_ms")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got === Set(
+        (1L, "mpng", 8, 6, 3L, 120L),
+        (2L, "mpng", 4, 4, 5L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = session.sqlContext
     val input = MemoryStream[(Timestamp, String)]
