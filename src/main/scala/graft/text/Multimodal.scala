@@ -663,8 +663,10 @@ object Multimodal {
       .drop("f")
   }
 
-  /** Decode the metadata struct from a binary media column (stub
-    * container: video and pre-round-5 image fixtures).
+  /** Decode the metadata struct from a binary media column in the
+    * GFT0 demo container (q37's decoder-swap round trip; every real
+    * container now has its own codec — images [[ImageIoCodec]], audio
+    * [[WavCodec]], video [[AviCodec]]).
     */
   val decodeMetadataUdf = udf { (bytes: Array[Byte]) =>
     StubCodec.decodeMetadata(bytes).map { case (mt, fm, w, h, d, sz) =>
