@@ -85,6 +85,28 @@ class ExcelSpec extends SparkSpec {
     for (i <- 0 until 100) assert(Excel.colIndex(Excel.colRef(i) + "1") === i)
   }
 
+  test("parseRows terminates on mutated workbooks: bounded failures, never a hang or an Error") {
+    // Excel is a DRIVER-side source whose contract is throw-on-malformed
+    // (named-limit guards), unlike the per-row media codecs' None
+    // contract — so the fuzz property here is termination and failure
+    // class: every mutation either parses or throws an Exception;
+    // StackOverflowError / OutOfMemoryError (parser bombs) never escape.
+    val rnd = new scala.util.Random(777L)
+    val base = workbook()
+    def attempt(bytes: Array[Byte]): Unit =
+      try { Excel.parseRows(bytes, 0); () }
+      catch {
+        case _: Exception => () // the documented driver-boundary contract
+        case e: Error => fail(s"parser bomb escaped as ${e.getClass.getName}")
+      }
+    for (_ <- 1 to 600) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(6)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      attempt(b)
+    }
+    for (cut <- 0 until base.length by 3) attempt(base.take(cut))
+  }
+
   test("XLSX sink round-trips through the reader (S6 to_excel twin)") {
     val session = spark
     import session.implicits._
