@@ -96,6 +96,34 @@ class AuxOperatorsSpec extends SparkSpec {
     assert(parsed("T1: Category") === "POW")
   }
 
+  test("X2 zooniverse parser terminates on mutated exports: Exception contract, no Errors") {
+    // same discipline as the media/XLSX fuzz, adapted to this parser's
+    // throw-on-malformed contract: every mutation either parses or
+    // throws an Exception (MalformedAnnotationException or Jackson's
+    // own), and parser bombs (StackOverflowError from unbounded
+    // recursion) never escape a per-row UDF
+    val rnd = new scala.util.Random(321L)
+    val base = """[{"task":"T0","task_label":"Language","value":"de"},""" +
+      """{"task":"T1","value":[{"task_label":"Source","value":"x"},""" +
+      """{"value":[{"select_label":"none"}]},{"value":"discard"},""" +
+      """{"value":[{"label":"Camp","select_label":"Camp"}]},{"value":"tok"}]},null]"""
+    def attempt(s: String): Unit =
+      try { Zooniverse.parseAnnotations(s); () }
+      catch {
+        case _: Exception => ()
+        case e: Error => fail(s"parser bomb escaped as ${e.getClass.getName}")
+      }
+    for (_ <- 1 to 800) {
+      val chars = base.toCharArray
+      for (_ <- 0 to rnd.nextInt(4)) chars(rnd.nextInt(chars.length)) = rnd.nextPrintableChar()
+      attempt(new String(chars))
+    }
+    for (cut <- 0 until base.length by 2) attempt(base.take(cut))
+    // hostile nesting: 60k-deep arrays must surface as an Exception
+    // (Jackson's stream constraints), never a StackOverflowError
+    attempt("[" * 60000 + "]" * 60000)
+  }
+
   test("X2 zooniverse schema validation: malformed exports fail explicitly") {
     import Zooniverse.MalformedAnnotationException
     // single-select_label "empty" task consumes its following value task
