@@ -57,7 +57,7 @@ object PersonMatching {
           col(cfg.lnameCol))
         .select(col(id), col("fb"),
           explode(bucketKeys(col(cfg.lnameCol), cfg.idxChars, cfg.lenUnits)).as("lb"))
-      capBuckets(e, id, cfg.maxBucketSize)
+      capBuckets(e, id, effectiveMaxBucketSize(cfg))
     }
     val s = exploded(src, "srcID")
     val t = exploded(trg, "trgID")
@@ -82,6 +82,17 @@ object PersonMatching {
   /** Opt-in switch for the candidate-pair counter in [[candidatePairs]]. */
   private[graft] val CountCandidatesProp = "graft.match.countCandidates"
 
+  /** Bench-only override of `MatchConfig.maxBucketSize` — lets the
+    * scaling pass tighten the hot-bucket cap on the REAL corpus (untimed
+    * demo runs) without touching any query's production config. Never
+    * set outside `graft.Bench`; Verify's correctness runs see the config
+    * value untouched.
+    */
+  private[graft] val MaxBucketSizeOverrideProp = "graft.match.maxBucketSize"
+
+  private def effectiveMaxBucketSize(cfg: MatchConfig): Int =
+    sys.props.get(MaxBucketSizeOverrideProp).map(_.toInt).getOrElse(cfg.maxBucketSize)
+
   /** Most recent surviving-candidate counter (bench/test observability;
     * set once per [[candidatePairs]] call when [[CountCandidatesProp]]
     * is "1"). `Observation.get` blocks until the first action over the
@@ -94,6 +105,14 @@ object PersonMatching {
     * completes, then returns `Map("dropped_bucket_rows" -> count)`.
     */
   @volatile private[graft] var lastDropObservation: org.apache.spark.sql.Observation = _
+
+  /** Drop counters of the most recent [[candidatePairs]] call, keyed by
+    * side ("srcID"/"trgID") — the bench's cap-engagement demo sums both
+    * sides. [[lastDropObservation]] keeps its last-write-wins contract
+    * for the single-side spec assertions.
+    */
+  @volatile private[graft] var lastDropObservationsBySide:
+      Map[String, org.apache.spark.sql.Observation] = Map.empty
 
   /** Hard per-bucket membership cap — the 100 TB safety valve. Candidate
     * pairs per composite bucket grow with |src|·|trg| of the bucket; on a
@@ -114,6 +133,7 @@ object PersonMatching {
     if (maxBucketSize <= 0) return exploded
     val obs = org.apache.spark.sql.Observation(s"graft.match.dropped.$id")
     lastDropObservation = obs
+    lastDropObservationsBySide = lastDropObservationsBySide + (id -> obs)
     val w = Window.partitionBy(col("fb"), col("lb"))
       .orderBy(hash(col(id)), col(id))
     exploded

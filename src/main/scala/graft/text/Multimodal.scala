@@ -434,9 +434,9 @@ object Multimodal {
     * boundary: such a chunk demuxes fine and fails frame decode with
     * the shared None/empty contract.
     *
-    * Reference for the container semantics: the frame-sampling contract
-    * it feeds is `etl/media.py` (see q44); the AVI layout itself is the
-    * public RIFF/AVI spec.
+    * Reference for the contract: the q44 frame-sampling oracle
+    * (`queries/LlmData.scala`) pins the sampling semantics; the AVI
+    * layout itself is the public RIFF/AVI spec.
     */
   object AviCodec {
     private val Keyframe = 0x10 // AVIIF_KEYFRAME / AVIF_HASINDEX share the bit value
@@ -549,18 +549,23 @@ object Multimodal {
 
     /** Demux: full RIFF walk to every video chunk (`##dc` compressed /
       * `##db` uncompressed, `rec ` grouping lists included), returning
-      * payload byte-arrays in stream order. Truncated, overrunning, or
-      * non-AVI input → empty: the all-or-nothing per-row failure
-      * contract every codec here shares — never a silently shorter clip.
+      * payload byte-arrays in stream order. Stream numbers are two HEX
+      * digits (streams ≥ 10 write `0Adc` etc.), and a file whose video
+      * chunks span MORE than one stream is rejected whole rather than
+      * demuxed to an interleaved mash of both streams' frames.
+      * Truncated, overrunning, or non-AVI input → empty: the
+      * all-or-nothing per-row failure contract every codec here shares —
+      * never a silently shorter or mixed clip.
       */
     def extractFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
       if (bytes == null || bytes.length < 12 ||
           fcc(bytes, 0) != "RIFF" || fcc(bytes, 8) != "AVI ") return Seq.empty
       val end = 8L + u32(bytes, 4)
       if (end < 12 || end > bytes.length) return Seq.empty // truncated container
-      val out = Seq.newBuilder[Array[Byte]]
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      def isHex(c: Char) = "0123456789abcdefABCDEF".indexOf(c.toInt) >= 0
       def isVideoChunk(id: String) =
-        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id.length == 4 && isHex(id(0)) && isHex(id(1)) &&
           (id.substring(2) == "dc" || id.substring(2) == "db")
       // walk one chunk run [i, limit); inMovi flags whether video chunks
       // and rec-lists are expected here. Returns false on any
@@ -584,13 +589,21 @@ object Multimodal {
               { if (!walk(i + 12, dataEnd, inMovi = true, depth + 1)) return false }
             // other lists (hdrl, strl, odml…) carry no frames: skip whole
           } else if (inMovi && isVideoChunk(id)) {
-            out += java.util.Arrays.copyOfRange(bytes, i.toInt + 8, dataEnd.toInt)
+            out += ((id.substring(0, 2).toUpperCase,
+              java.util.Arrays.copyOfRange(bytes, i.toInt + 8, dataEnd.toInt)))
           }
           i = dataEnd + (size & 1) // RIFF even-padding
         }
         true
       }
-      if (walk(12, end, inMovi = false, depth = 0)) out.result() else Seq.empty
+      if (!walk(12, end, inMovi = false, depth = 0)) Seq.empty
+      else {
+        val frames = out.result()
+        // all-or-nothing across streams: frames from a single video
+        // stream or nothing — never a merged multi-stream sequence
+        if (frames.iterator.map(_._1).toSet.size > 1) Seq.empty
+        else frames.map(_._2)
+      }
     }
 
     /** Header-only metadata from `hdrl` — (handler, width, height,
@@ -618,8 +631,14 @@ object Multimodal {
           val a = i.toInt + 20 // avih body
           val usPerFrame = u32(bytes, a)
           val nFrames = u32(bytes, a + 16)
-          val w = u32(bytes, a + 32).toInt
-          val h = u32(bytes, a + 36).toInt
+          val wL = u32(bytes, a + 32)
+          val hL = u32(bytes, a + 36)
+          // same corrupt-header-is-None policy as the duration overflow:
+          // a u32 width/height of 0 or past Int.MaxValue would present a
+          // degenerate or negative geometry as valid metadata
+          if (wL <= 0 || wL > Int.MaxValue || hL <= 0 || hL > Int.MaxValue) return None
+          val w = wL.toInt
+          val h = hL.toInt
           // two hostile u32-max values multiply past Long.MaxValue and
           // wrap the duration negative — corrupt header, not metadata
           if (nFrames > 0 && usPerFrame > Long.MaxValue / nFrames) return None

@@ -116,6 +116,17 @@ class PersonMatchingSpec extends SparkSpec {
     val uncapped = PersonMatching.scoredPairs(src, trg,
       MatchConfig(minScore = 0.0), lit(true)).count()
     assert(uncapped === 1600L)
+
+    // the bench-only override prop tightens the cap without touching the
+    // config (the scaling pass's cap-engagement demo depends on this)
+    sys.props(PersonMatching.MaxBucketSizeOverrideProp) = "5"
+    try {
+      val overridden = PersonMatching.scoredPairs(src, trg,
+        MatchConfig(minScore = 0.0), lit(true)).count()
+      assert(overridden === 25L)
+    } finally sys.props.remove(PersonMatching.MaxBucketSizeOverrideProp)
+    // and both sides' drop counters are retrievable for the demo
+    assert(PersonMatching.lastDropObservationsBySide.keySet === Set("srcID", "trgID"))
   }
 
   test("expression scorer path agrees with the UDF path end to end") {

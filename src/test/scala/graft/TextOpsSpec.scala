@@ -620,4 +620,50 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(AviCodec.extractFrames(deep) === Seq.empty)
   }
+
+  test("AviCodec: hex stream numbers demux; multi-video-stream and hostile geometry rejected") {
+    import Multimodal.AviCodec
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = le(8 + body.length + (body.length & 1))
+      b.put(id.getBytes, 0, 4); b.putInt(body.length); b.put(body); b.array()
+    }
+    def riffMovi(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val movi = {
+        val b = le(12 + body.length)
+        b.put("LIST".getBytes, 0, 4); b.putInt(4 + body.length)
+        b.put("movi".getBytes, 0, 4); b.put(body); b.array()
+      }
+      val b = le(12 + movi.length)
+      b.put("RIFF".getBytes, 0, 4); b.putInt(4 + movi.length)
+      b.put("AVI ".getBytes, 0, 4); b.put(movi); b.array()
+    }
+    // AVI stream numbers are two HEX digits: stream 10's chunks are
+    // '0Adc' and must demux (the decimal-only check dropped them)
+    val f10 = Array[Byte](1, 2, 3)
+    val hexStream = riffMovi(chunk("0Adc", f10))
+    val hexOut = AviCodec.extractFrames(hexStream)
+    assert(hexOut.length === 1)
+    assert(hexOut.head.sameElements(f10))
+    // video chunks across TWO streams: all-or-nothing reject, never a
+    // merged frame sequence from both
+    val twoStreams = riffMovi(chunk("00dc", Array[Byte](1)), chunk("01dc", Array[Byte](2)))
+    assert(AviCodec.extractFrames(twoStreams) === Seq.empty)
+    // audio chunks of OTHER streams do not trip the single-stream rule
+    val withAudio = riffMovi(chunk("00dc", f10), chunk("01wb", Array[Byte](9, 9)))
+    assert(AviCodec.extractFrames(withAudio).length === 1)
+
+    // hostile avih geometry: u32 width past Int.MaxValue (or a zero
+    // dimension) is a corrupt header -> None, same policy as the
+    // duration overflow (avih body at 32: width +32, height +36)
+    val clip = AviCodec.encodeAviPngSeq(6, 4, 2, 40L, 3L)
+    val wideW = clip.clone()
+    for (k <- 0 until 4) wideW(64 + k) = 0xff.toByte
+    assert(AviCodec.aviMetadata(wideW) === None)
+    val zeroH = clip.clone()
+    for (k <- 0 until 4) zeroH(68 + k) = 0.toByte
+    assert(AviCodec.aviMetadata(zeroH) === None)
+  }
 }

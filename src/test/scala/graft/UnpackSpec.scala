@@ -63,4 +63,59 @@ class UnpackSpec extends SparkSpec {
     assert(Unpack.filterNa(Seq("", "")) === Seq(""))
     assert(Unpack.filterNa(Seq("None")) === Seq("None"))
   }
+
+  test("X1 unpack terminates on mutated/truncated JSON: parse-or-Exception, never an Error") {
+    // same discipline as the media/XLSX/Zooniverse fuzz. The JSON decode
+    // itself is Spark's from_json (malformed blob -> null group, the
+    // flatten UDF handles null), so the end-to-end contract under
+    // mutation is: the whole unpack either completes or fails with an
+    // Exception (e.g. the non-'_repeat' group guard's require), and it
+    // always terminates. Mutations are BATCHED into one unpack call per
+    // slice — the per-row exposure at 100 TB is exactly "one hostile
+    // blob among many", and one bad row must not hang the job.
+    val base =
+      """{"first_name_repeat":[{"first_name":"Dr.Alice"},{"first_name":"Bob, Carl"}],""" +
+        """"category_repeat":[{"category":"a|b"},{"category":null}],""" +
+        """"last_name_repeat":[{"last_name":"(Mu, ller)"}]}"""
+    val rnd = new scala.util.Random(909L)
+    val mutated = (1 to 400).map { _ =>
+      val chars = base.toCharArray
+      for (_ <- 0 to rnd.nextInt(4)) chars(rnd.nextInt(chars.length)) = rnd.nextPrintableChar()
+      new String(chars)
+    } ++ (0 until base.length by 7).map(base.take)
+    val session = spark
+    import session.implicits._
+    mutated.grouped(120).foreach { batch =>
+      try {
+        Unpack.unpack(batch.toDF("json_data"), "json_data",
+          additionalSplitsOn = _.contains("category")).count()
+        ()
+      } catch { case _: Exception => () }
+    }
+  }
+
+  test("X1/X3/F22 scalar kernels terminate on hostile values: no Error ever escapes") {
+    // the kernels run inside per-row UDFs where a StackOverflowError or
+    // runaway regex would kill the executor — fuzz them JVM-local, where
+    // Error propagation is observable (Spark would wrap it)
+    def attempt(body: => Any): Unit =
+      try { body; () }
+      catch {
+        case _: Exception => ()
+        case e: Error => fail(s"kernel bomb escaped as ${e.getClass.getName}")
+      }
+    val rnd = new scala.util.Random(910L)
+    for (_ <- 1 to 800) {
+      val s = new String(Array.fill(rnd.nextInt(40))(rnd.nextPrintableChar()))
+      attempt(Unpack.reSubExcludeParenthesis(s, "[\\|;,\\s]", "|"))
+      attempt(Unpack.additionalSplits(Seq(s, s.reverse), "[\\|;,\\s]"))
+      attempt(Unpack.filterNa(Seq(s, "", s)))
+    }
+    // deep unbalanced bracket nesting: the walk is iterative, must not
+    // recurse, and unmatched closers must not corrupt the segment scan
+    attempt(Unpack.reSubExcludeParenthesis("(" * 100000, ",", "|"))
+    attempt(Unpack.reSubExcludeParenthesis(")" * 100000 + "a,b", ",", "|"))
+    // a 5000-dict repeat cell flattens without stack or quadratic blowup
+    attempt(Unpack.flattenRepeatCell(Seq.fill(5000)(Map("k" -> null))))
+  }
 }
