@@ -132,6 +132,16 @@ object Clustering {
     * components, so the loop is short; `localCheckpoint` caps lineage.
     * (A 100 TB general graph would swap in large-star/small-star; the
     * interface stays the same.)
+    *
+    * Checkpoint lifecycle: each round's labels are checkpointed (the
+    * plan would otherwise nest one join deeper per round), and the
+    * PREVIOUS round's blocks are released as soon as the new round is
+    * materialized — without that the loop pins every round's label
+    * table in the block manager simultaneously (at 100 TB:
+    * O(iterations × |V|) storage instead of O(|V|)), and the dead
+    * blocks linger past the call (see [[graft.core.SessionHygiene]]).
+    * The edge table stays pinned for the whole loop — every round
+    * joins it — and is released before return.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
@@ -156,13 +166,32 @@ object Clustering {
       // an unchanged label sum IS convergence — one aggregate per round
       // instead of a join + count
       val nextSum = labelSum(next)
+      // `next` is materialized (localCheckpoint is eager + the sum above
+      // read it), so the previous round's blocks are dead — release now,
+      // blocking, so the removal never competes with the next round
+      releaseCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    releaseCheckpoint(sym)
     labels
   }
+
+  /** Release the persisted blocks behind a `localCheckpoint`'ed frame
+    * (no-op for any other plan). The checkpointed RDD sits behind the
+    * plan's `LogicalRDD` leaf; `Dataset.unpersist` cannot reach it (it
+    * only drops InMemoryRelation caches). Blocking by design — see
+    * [[graft.core.SessionHygiene]] for why async release just moves the
+    * cost into whatever runs next. The frame must never be re-executed
+    * afterwards: a localCheckpoint's lineage is truncated, so its blocks
+    * are the only copy.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = true))
 
   private val personFields = Seq("strGName_processed", "strLName_processed",
     "strDoB_processed", "strPoB_processed", "prisoner_number")

@@ -129,4 +129,24 @@ class ClusteringSpec extends SparkSpec {
     assert(q("c1").getAs[Int]("size") === 1)
     assert(q("c1").getAs[Double]("single_link") === 100.0) // lone member
   }
+
+  test("connectedComponents releases per-iteration checkpoints: only the result stays resident") {
+    // a 12-vertex path graph needs several min-propagation rounds
+    // (diameter 11), so the loop checkpoints repeatedly; eager release
+    // must leave exactly ONE resident checkpoint — the returned labels —
+    // not one per round plus the edge table
+    graft.core.SessionHygiene.releaseLeftovers(spark)
+    val vertices = (0L to 11L).toDF("id")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Clustering.connectedComponents(vertices, edges)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(0L)) // one path = one component
+    assert(comps.size === 12)
+    val resident = spark.sparkContext.getPersistentRDDs
+    assert(resident.size === 1,
+      s"expected only the final labels checkpoint, found ${resident.size}")
+    // and the survivor IS the result: re-reading labels still works
+    assert(labels.count() === 12L)
+    graft.core.SessionHygiene.releaseLeftovers(spark)
+  }
 }
