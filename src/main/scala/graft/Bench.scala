@@ -270,6 +270,11 @@ object Bench {
     val scaling: Seq[(String, Double, Double, Double)] =
       if (!doScaling) Seq.empty
       else (scalingTargets.map((_, false)) ++ liftedCapTargets.map((_, true)))
+        // under force+ONLY, scale just the filtered queries — the whole
+        // point of the combination is focused iteration on one query
+        .filter { case (name, _) =>
+          only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+        }
         .flatMap { case (name, liftCap) =>
           SparkEntry.queries.get(name).flatMap { fn =>
             def timeIt(): Double = {

@@ -35,6 +35,13 @@ object Verify {
         // captured output for these lines to fail the crashed query
         println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // job-boundary hygiene: checkpoint blocks from one query are dead
+      // weight for the next (see core.SessionHygiene) — without this the
+      // 49-query dump accumulates them for the whole pass
+      try graft.core.SessionHygiene.releaseLeftovers(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] leftover release failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -149,8 +149,14 @@ object Clustering {
       .distinct()
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    // Option: an EMPTY vertex set sums to SQL NULL (getDecimal returns
+    // null), and a raw BigDecimal compareTo would NPE on round 1 —
+    // None == None instead reads as converged, returning the empty frame.
+    // Option equality uses BigDecimal.equals, which is scale-sensitive;
+    // the cast to decimal(38,0) pins both sides to scale 0, so it
+    // coincides with compareTo here.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -171,7 +177,7 @@ object Clustering {
       // blocking, so the removal never competes with the next round
       releaseCheckpoint(labels)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }

@@ -130,6 +130,15 @@ class ClusteringSpec extends SparkSpec {
     assert(q("c1").getAs[Double]("single_link") === 100.0) // lone member
   }
 
+  test("connectedComponents on an empty graph returns empty without NPE") {
+    // an empty vertex set sums to SQL NULL; the convergence compare must
+    // treat NULL == NULL as converged, not dereference it (a 100 TB
+    // pipeline hits this whenever blocking filters everything out)
+    val vertices = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Clustering.connectedComponents(vertices, edges).count() === 0L)
+  }
+
   test("connectedComponents releases per-iteration checkpoints: only the result stays resident") {
     // a 12-vertex path graph needs several min-propagation rounds
     // (diameter 11), so the loop checkpoints repeatedly; eager release
