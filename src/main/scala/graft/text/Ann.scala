@@ -188,11 +188,26 @@ object Ann {
       .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
     def withBuckets(df: DataFrame, id: String) = vecs(df, id)
       .select(col(id), explode(sigUdf(col(s"__v_$id"))).as("bucket"))
+    // SELF-JOIN fast path (cosineNearDuplicates passes the SAME frame on
+    // both sides, by reference): the signature UDF — tables×bits dot
+    // products per row — is the dominant per-row cost, and both join
+    // sides need the identical (id, bucket) table. Materialize it once
+    // (ids only, narrow — same discipline as the MinHash band join)
+    // instead of running the UDF over the corpus twice; the differing
+    // column aliases would otherwise defeat Spark's exchange reuse. The
+    // checkpoint lives until the caller's job boundary
+    // (core.SessionHygiene), like Dedup's shingled base.
+    val (bucketsQ, bucketsC) =
+      if (queries eq corpus) {
+        val b = withBuckets(queries, "query_id").localCheckpoint()
+        (b, b.toDF("id", "bucket"))
+      } else
+        (withBuckets(queries, "query_id"), withBuckets(corpus, "id"))
     // candidatePredicate prunes pairs before the distinct AND before the
     // vector rejoins — a self-join caller passes query_id < id here so
     // each pair is rescored in one orientation only
-    val candidates = withBuckets(queries, "query_id")
-      .join(withBuckets(corpus, "id"), "bucket")
+    val candidates = bucketsQ
+      .join(bucketsC, "bucket")
       .filter(candidatePredicate)
       .select(col("query_id"), col("id")).distinct()
     val scored = candidates
