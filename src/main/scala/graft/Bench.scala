@@ -81,6 +81,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the blocking releases in run() unpersist localCheckpoint'ed RDDs at
+    // job boundaries by design; Spark warns once per RDD ("cannot be
+    // recomputed after unpersisting") — ~180 lines per bench run that
+    // would crowd the driver's captured log tail. Recompute is impossible
+    // by contract at those sites (nothing re-executes a released frame),
+    // so the warning carries no signal here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     val result = run(spark, sfDir, fullPath)
     result match {
       case Left(err) =>

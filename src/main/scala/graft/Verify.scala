@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence the per-RDD unpersist warning from the job-boundary
+    // hygiene below — same rationale as Bench.main
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (same semantics as Bench): tokens match a
     // query when they equal its name or its qNN prefix. The driver never
