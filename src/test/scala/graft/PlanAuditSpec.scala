@@ -66,6 +66,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q35 self-join reads buckets from one materialized pass, parquet only for rescore") {
+    // the (id, bucket) table is checkpointed once (the bucket join
+    // broadcasts, so exchange reuse cannot dedupe it — measured 4.05 s
+    // vs 2.40 s at sf0.1); parquet is then re-scanned only for the exact
+    // rescore: q35's corpus is a 2-branch union, so 2 branches × 2
+    // rescore sides = 4 scans. Without the materialized bucket table the
+    // bucketing side re-scans the same union per side — 8 scans — and
+    // runs the signature UDF over the corpus twice.
+    val p = plan("q35_cosine_near_dup")
+    assert(p.contains("Scan ExistingRDD"), "bucket table should come from the checkpoint")
+    val parquetScans = "Scan parquet".r.findAllIn(p).length
+    assert(parquetScans === 4, s"expected 4 rescore scans, found $parquetScans")
+  }
+
   test("candidate generation is bounded: degenerate buckets cannot go quadratic") {
     // a corpus where EVERY row lands in one composite bucket — with the
     // cap at k, the candidate set must be ≤ k², never n²
