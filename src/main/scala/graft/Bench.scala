@@ -435,7 +435,11 @@ object Bench {
       "collisions concentrate in the first doubling (reproducibly ~1.4 then flattening " +
       "to ~0.4 for q27) - the DECREASING second exponent is the signal that the " +
       "prefix/band filters hold as the corpus grows, which is what the third scale " +
-      "point exists to show"
+      "point exists to show. q23/q34 exponents read near ZERO at this SF: their " +
+      "wall time is dominated by fixed per-job overhead (the connected-components " +
+      "iterations each launch a join+aggregate round regardless of corpus size), " +
+      "not by the kernels - the kernel cost scales with edges and the fixed " +
+      "overhead amortizes at production scale"
     val caps = """{"documents_corpus":"doc_id < 2500 in the main pass (q18c/q24-q27 demo corpus); scaling pass lifts to 5000 for q24/q26 (q34's corpus is frac-sampled, the docs cap does not apply to it)"}"""
     val qsFull = results.map { r =>
       val retryPart =
