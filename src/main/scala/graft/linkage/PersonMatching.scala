@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * Tie-break note: the reference resolves equal scores by its sequential
   * iteration order, which has no distributed meaning; this engine breaks
   * ties by target id for determinism.
+  *
+  * The mirrored self-match path `localCheckpoint`s its scored half; in a
+  * long-lived session, release it at job boundaries with
+  * [[graft.core.SessionHygiene.releaseLeftovers]].
   */
 object PersonMatching {
 

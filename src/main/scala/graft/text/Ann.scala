@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
+  * The self-join near-dup path `localCheckpoint`s its bucket table; in a
+  * long-lived session, release it at job boundaries with
+  * [[graft.core.SessionHygiene.releaseLeftovers]].
+  *
   * Two paths:
   *  - [[cosineTopK]]: exact brute force for a SMALL query set — the
   *    queries are broadcast, the corpus is scanned once, the dot product

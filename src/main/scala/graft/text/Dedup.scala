@@ -12,6 +12,10 @@ import scala.util.hashing.MurmurHash3
   * scoring anywhere. At 100 TB the shuffle keys are band hashes whose
   * fan-in is bounded by collision width, and AQE's skew handling covers
   * hot buckets (boilerplate documents).
+  *
+  * The shingled bases are `localCheckpoint`ed (they feed banding plus
+  * both rescore joins); in a long-lived session, release them at job
+  * boundaries with [[graft.core.SessionHygiene.releaseLeftovers]].
   */
 object Dedup {
 
