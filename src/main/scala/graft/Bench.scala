@@ -61,6 +61,14 @@ object Bench {
   private[graft] def cfg(key: String, default: String): String =
     sys.props.get(key).orElse(sys.env.get(key)).getOrElse(default)
 
+  /** 3-decimal formatting for JSON output. Locale.ROOT, NOT the f""
+    * interpolator: f"%.3f" uses the JVM default locale, and under a
+    * comma-decimal locale (de_DE…) the artifact would print `0,259`
+    * and stop being valid JSON.
+    */
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   /** One query's main-pass outcome: best + every run and probe, both
     * attempts when the probe gate forced a retry.
     */
@@ -156,8 +164,12 @@ object Bench {
     // vs a stable 6.2 s without); blocking pays the whole removal cost
     // here, untimed, so every timed run starts from an empty block
     // manager.
+    // releaseAll, not the scoped releaseLeftovers: the bench owns this
+    // session, and run-to-run isolation wants the block manager EMPTY —
+    // including anything a future operator might persist outside the
+    // tracked-checkpoint path.
     def releaseLeftovers(): Unit = try {
-      graft.core.SessionHygiene.releaseLeftovers(spark)
+      graft.core.SessionHygiene.releaseAll(spark)
       ()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] leftover release failed: ${e.getMessage}")
@@ -452,7 +464,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // full probe SERIES (order of observation): lets a judge see the
     // contention timeline of the whole run, not just min/median/max
-    val probeSeries = probesSeen.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val probeSeries = probesSeen.map(f3).mkString("[", ",", "]")
     val probeFull =
       s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point)","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
     def q22PairsJson: String = {
@@ -485,7 +497,6 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"sf":"$sfDir"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
-    def f3(d: Double): String = f"$d%.3f"
     val qsCompact = results.map { r => "\"" + r.name + "\":" + f3(r.bestSec) }
       .mkString("{", ",", "}")
     val scalingCompact =

@@ -27,4 +27,35 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Run one logical job, then release graft's leftover checkpoint
+    * blocks — the long-lived-session wrapper (notebook, query server,
+    * any loop driving [[queries]] in one SparkSession). The similarity
+    * family `localCheckpoint`s intermediates whose blocks outlive the
+    * returned DataFrame; across many queries in one session they
+    * accumulate until later jobs pay block-manager eviction churn
+    * (measured ~2× on an identical run at the end of a 49-query
+    * session — [[graft.core.SessionHygiene]] has the numbers, including
+    * why the release is blocking rather than async: an async unpersist
+    * made q27's next runs swing 9.0–19.0 s vs a stable 6.2 s). The
+    * release is scoped to graft-created blocks; session state the
+    * caller persisted is untouched.
+    *
+    * `body` must CONSUME its result (write/collect/count) before
+    * returning: a lazy DataFrame escaping the block would re-execute
+    * after its checkpoints are gone — the one contract violation
+    * SessionHygiene cannot survive.
+    *
+    * {{{
+    * val n = SparkEntry.withHygiene(spark) {
+    *   SparkEntry.queries("q22_person_match_self")(spark, dir).count()
+    * }
+    * }}}
+    */
+  def withHygiene[A](spark: SparkSession)(body: => A): A =
+    try body
+    finally {
+      graft.core.SessionHygiene.releaseLeftovers(spark)
+      ()
+    }
 }

@@ -42,8 +42,9 @@ object Verify {
       }
       // job-boundary hygiene: checkpoint blocks from one query are dead
       // weight for the next (see core.SessionHygiene) — without this the
-      // 49-query dump accumulates them for the whole pass
-      try graft.core.SessionHygiene.releaseLeftovers(spark)
+      // 49-query dump accumulates them for the whole pass. releaseAll:
+      // Verify owns this session, same rationale as Bench.
+      try graft.core.SessionHygiene.releaseAll(spark)
       catch { case e: Throwable =>
         System.err.println(s"[verify] leftover release failed: ${e.getMessage}")
       }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.similarity.Similarity
 import graft.similarity.Similarity.Person
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Person entity clustering (SURVEY E8–E15; reference
   * `src/aroa_etl/person_matching/person_clustering.py` and
@@ -86,7 +87,7 @@ object Clustering {
     val banded = persons.select(col("id"),
       explode(bandsUdf(shingleUdf(col("strGName_processed"), col("strLName_processed"))))
         .as("band"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     banded.select(col("band"), col("id").as("a"))
       .join(banded.select(col("band"), col("id").as("b")), "band")
       .filter(col("a") < col("b"))
@@ -147,8 +148,8 @@ object Clustering {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+      .trackedCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component")).trackedCheckpoint()
     // Option: an EMPTY vertex set sums to SQL NULL (getDecimal returns
     // null), and a raw BigDecimal compareTo would NPE on round 1 —
     // None == None instead reads as converged, returning the empty frame.
@@ -167,7 +168,7 @@ object Clustering {
         .agg(min(col("component")).as("nmin"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
+        .trackedCheckpoint()
       // min-propagation strictly decreases a label or leaves it alone, so
       // an unchanged label sum IS convergence — one aggregate per round
       // instead of a join + count
@@ -186,18 +187,16 @@ object Clustering {
   }
 
   /** Release the persisted blocks behind a `localCheckpoint`'ed frame
-    * (no-op for any other plan). The checkpointed RDD sits behind the
-    * plan's `LogicalRDD` leaf; `Dataset.unpersist` cannot reach it (it
-    * only drops InMemoryRelation caches). Blocking by design — see
-    * [[graft.core.SessionHygiene]] for why async release just moves the
-    * cost into whatever runs next. The frame must never be re-executed
-    * afterwards: a localCheckpoint's lineage is truncated, so its blocks
-    * are the only copy.
+    * (no-op for any other plan). Delegates to
+    * [[graft.core.SessionHygiene.release]] — one home for the
+    * Spark-version-coupled `LogicalRDD` reach-in and for the tracked-id
+    * bookkeeping behind the scoped `releaseLeftovers`. Blocking by
+    * design; the frame must never be re-executed afterwards: a
+    * localCheckpoint's lineage is truncated, so its blocks are the only
+    * copy.
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = true))
+    graft.core.SessionHygiene.release(df)
 
   private val personFields = Seq("strGName_processed", "strLName_processed",
     "strDoB_processed", "strPoB_processed", "prisoner_number")
@@ -361,7 +360,7 @@ object Clustering {
     // across recomputations — localCheckpoint pins one assignment so both
     // edge-endpoint joins and the final label join see the same mapping
     val mapping = verticesStr
-      .withColumn("nid", monotonically_increasing_id()).localCheckpoint()
+      .withColumn("nid", monotonically_increasing_id()).trackedCheckpoint()
     val edgesNum = edgesStr
       .join(mapping.select(col("vid").as("a"), col("nid").as("na")), "a")
       .join(mapping.select(col("vid").as("b"), col("nid").as("nb")), "b")

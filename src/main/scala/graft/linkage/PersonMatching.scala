@@ -3,6 +3,7 @@ package graft.linkage
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Blocked fuzzy similarity join + top-k person matching (SURVEY
   * J5/A7/E9/W1/J4; reference `src/aroa_etl/person_matching/matching.py`).
@@ -94,8 +95,21 @@ object PersonMatching {
     */
   private[graft] val MaxBucketSizeOverrideProp = "graft.match.maxBucketSize"
 
+  /** The override parses defensively: this runs on every production
+    * candidate build, and a malformed or leaked property value must not
+    * throw (or silently change matching semantics) in a non-bench caller
+    * sharing the JVM — warn and fall back to the config value instead.
+    */
   private def effectiveMaxBucketSize(cfg: MatchConfig): Int =
-    sys.props.get(MaxBucketSizeOverrideProp).map(_.toInt).getOrElse(cfg.maxBucketSize)
+    sys.props.get(MaxBucketSizeOverrideProp) match {
+      case None => cfg.maxBucketSize
+      case Some(raw) =>
+        scala.util.Try(raw.trim.toInt).toOption.filter(_ > 0).getOrElse {
+          System.err.println(s"[graft] ignoring invalid $MaxBucketSizeOverrideProp='$raw' " +
+            s"(not a positive integer); using MatchConfig.maxBucketSize=${cfg.maxBucketSize}")
+          cfg.maxBucketSize
+        }
+    }
 
   /** Most recent surviving-candidate counter (bench/test observability;
     * set once per [[candidatePairs]] call when [[CountCandidatesProp]]
@@ -364,7 +378,7 @@ object PersonMatching {
         // localCheckpoint: the scored half feeds both union branches and
         // would otherwise be recomputed (kernels included) for the mirror
         val half = scoredPairs(src, trg, cfg, col("srcID") <= col("trgID"))
-          .localCheckpoint()
+          .trackedCheckpoint()
         half.unionByName(half.filter(col("srcID") =!= col("trgID"))
           .select(col("trgID").as("srcID"), col("score"), col("srcID").as("trgID")))
       }

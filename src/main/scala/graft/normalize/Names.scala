@@ -2,6 +2,7 @@ package graft.normalize
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Last/first-name normalization (SURVEY F3–F14; reference
   * `src/aroa_etl/attribute_processing/column_processing.py:48-342`).
@@ -82,7 +83,7 @@ object Names {
       .withColumn("__parts", parts)
       .withColumn("__birth", birthName)
       .withColumn("__qa0", qa)
-      .localCheckpoint()
+      .trackedCheckpoint()
     val k = maxParts(df1, col("__parts"))
 
     // length-cap QA on all split columns but the last (F10), then digit
@@ -151,7 +152,7 @@ object Names {
     val parts = split(pyTitleUdf(c), ";", 5)
     // same two-consumer materialization as the last-name family
     val df1 = input.withColumn("__parts", parts).withColumn("__qa0", qa)
-      .localCheckpoint()
+      .trackedCheckpoint()
     val k = maxParts(df1, col("__parts"))
 
     val splitCols = (0 until k).map(i => get(col("__parts"), lit(i)))

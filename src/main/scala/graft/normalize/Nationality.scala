@@ -2,6 +2,7 @@ package graft.normalize
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Nationality standardization (SURVEY F21; reference
   * `column_processing.py:1217-1331`, helpers `aux_functions.py:525-604`).
@@ -73,7 +74,7 @@ object Nationality {
     // same two-consumer materialization as the name chains: the arity
     // aggregation and the output select otherwise both run the UDF pass
     val with0 = df.withColumn("__nat", stdUdf(coalesce(col(natCol).cast("string"), lit(""))))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val k = math.max(1, with0.agg(max(size(col("__nat._1")))).head().getInt(0))
     var out = with0
     for (i <- 0 until k) {

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -203,7 +204,7 @@ object Ann {
     // (core.SessionHygiene), like Dedup's shingled base.
     val (bucketsQ, bucketsC) =
       if (queries eq corpus) {
-        val b = withBuckets(queries, "query_id").localCheckpoint()
+        val b = withBuckets(queries, "query_id").trackedCheckpoint()
         (b, b.toDF("id", "bucket"))
       } else
         (withBuckets(queries, "query_id"), withBuckets(corpus, "id"))

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Document deduplication at training-data scale: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
@@ -115,7 +116,7 @@ object Dedup {
     // re-run per consumer (at scale: three full passes instead of one)
     val shingled = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), cfg.shingleSize).as("shingles"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     // band join carries IDS ONLY: shuffling each document's shingle set
     // once per band (×bands) is the classic LSH scale mistake — the
     // payload rejoins exactly once per surviving candidate below, the
@@ -195,7 +196,7 @@ object Dedup {
     require(maxDistance <= 3, "4-band pigeonhole covers Hamming distance <= 3")
     // one materialized pass for the signature UDF; both join sides reuse it
     val hashed = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sim"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val bandUdf = udf { (h: Long) =>
       (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xffffL}")
     }
@@ -233,7 +234,7 @@ object Dedup {
     // wall time at sf0.1 was that recomputation)
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), k)).as("sh"))
-      .localCheckpoint()
+      .trackedCheckpoint()
     val inv = shingled.select(col("id"), explode(col("sh")).as("g"))
     // global rarest-first gram order
     val gramDf = inv.groupBy("g").agg(count(lit(1)).as("df"))

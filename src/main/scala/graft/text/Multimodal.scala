@@ -549,13 +549,17 @@ object Multimodal {
 
     /** Demux: full RIFF walk to every video chunk (`##dc` compressed /
       * `##db` uncompressed, `rec ` grouping lists included), returning
-      * payload byte-arrays in stream order. Stream numbers are two HEX
-      * digits (streams ≥ 10 write `0Adc` etc.), and a file whose video
-      * chunks span MORE than one stream is rejected whole rather than
-      * demuxed to an interleaved mash of both streams' frames.
-      * Truncated, overrunning, or non-AVI input → empty: the
-      * all-or-nothing per-row failure contract every codec here shares —
-      * never a silently shorter or mixed clip.
+      * payload byte-arrays in stream order. Stream numbers are two
+      * DECIMAL digits — `MAKEAVICKID` and ffmpeg's avienc both write
+      * `'0'+n/10, '0'+n%10`, so stream 10 is `10dc`, never `0Adc` — and
+      * a nonstandard hex-looking id is SKIPPED like any non-video chunk
+      * rather than counted as a stream (one stray `0Adc` must not trip
+      * the multi-stream rejection and void a file's valid `00dc`
+      * frames). A file whose video chunks span MORE than one (decimal)
+      * stream is rejected whole rather than demuxed to an interleaved
+      * mash of both streams' frames. Truncated, overrunning, or non-AVI
+      * input → empty: the all-or-nothing per-row failure contract every
+      * codec here shares — never a silently shorter or mixed clip.
       */
     def extractFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
       if (bytes == null || bytes.length < 12 ||
@@ -563,9 +567,8 @@ object Multimodal {
       val end = 8L + u32(bytes, 4)
       if (end < 12 || end > bytes.length) return Seq.empty // truncated container
       val out = Seq.newBuilder[(String, Array[Byte])]
-      def isHex(c: Char) = "0123456789abcdefABCDEF".indexOf(c.toInt) >= 0
       def isVideoChunk(id: String) =
-        id.length == 4 && isHex(id(0)) && isHex(id(1)) &&
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.substring(2) == "dc" || id.substring(2) == "db")
       // walk one chunk run [i, limit); inMovi flags whether video chunks
       // and rec-lists are expected here. Returns false on any

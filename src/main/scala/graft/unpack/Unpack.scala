@@ -3,6 +3,7 @@ package graft.unpack
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** JSON repeat-group unpacking (SURVEY X1/X3/X4; reference
   * `src/aroa_etl/enc/unpacking.py`).
@@ -131,7 +132,7 @@ object Unpack {
     val flat = parsed.select(
       df0.columns.filterNot(_ == jsonColumn).map(col).toSeq ++
         keyOrder.map(k => flattenUdf(col("__parsed")(k)).as(s"__flat_$k")): _*)
-      .localCheckpoint()
+      .trackedCheckpoint()
 
     // ---- pass 1b: inner field order + max arity per group --------------
     final case class Field(group: String, name: String, maxLen: Int)

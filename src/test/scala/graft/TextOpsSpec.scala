@@ -621,7 +621,7 @@ class TextOpsSpec extends SparkSpec {
     assert(AviCodec.extractFrames(deep) === Seq.empty)
   }
 
-  test("AviCodec: hex stream numbers demux; multi-video-stream and hostile geometry rejected") {
+  test("AviCodec: decimal stream numbers demux; multi-video-stream and hostile geometry rejected") {
     import Multimodal.AviCodec
     def le(n: Int) = java.nio.ByteBuffer.allocate(n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -640,13 +640,21 @@ class TextOpsSpec extends SparkSpec {
       b.put("RIFF".getBytes, 0, 4); b.putInt(4 + movi.length)
       b.put("AVI ".getBytes, 0, 4); b.put(movi); b.array()
     }
-    // AVI stream numbers are two HEX digits: stream 10's chunks are
-    // '0Adc' and must demux (the decimal-only check dropped them)
+    // AVI stream numbers are two DECIMAL digits (MAKEAVICKID / ffmpeg
+    // write '0'+n/10, '0'+n%10): stream 10's chunks are '10dc' and must
+    // demux
     val f10 = Array[Byte](1, 2, 3)
-    val hexStream = riffMovi(chunk("0Adc", f10))
-    val hexOut = AviCodec.extractFrames(hexStream)
-    assert(hexOut.length === 1)
-    assert(hexOut.head.sameElements(f10))
+    val tenStream = riffMovi(chunk("10dc", f10))
+    val tenOut = AviCodec.extractFrames(tenStream)
+    assert(tenOut.length === 1)
+    assert(tenOut.head.sameElements(f10))
+    // a nonstandard hex-looking id ('0Adc') is skipped like any
+    // non-video chunk — it must NOT count as a second stream and void
+    // the file's valid 00dc frames through the all-or-nothing rule
+    val strayHex = riffMovi(chunk("00dc", f10), chunk("0Adc", Array[Byte](7)))
+    val strayOut = AviCodec.extractFrames(strayHex)
+    assert(strayOut.length === 1)
+    assert(strayOut.head.sameElements(f10))
     // video chunks across TWO streams: all-or-nothing reject, never a
     // merged frame sequence from both
     val twoStreams = riffMovi(chunk("00dc", Array[Byte](1)), chunk("01dc", Array[Byte](2)))
