@@ -26,6 +26,34 @@ object ScaleKnob {
   val Prop = "graft.bench.scale.frac"
   val DocsCapProp = "graft.bench.docs.cap"
 
+  /** Bench-only UP-scaling (property `graft.bench.scale.replicate`,
+    * default 1 = identity): replicate the corpus `n`× as n DISJOINT
+    * SHARDS, so growth exponents can be measured past the biggest
+    * on-disk scale factor. Construction per copy k:
+    *
+    *   - ids remap to `id·n + k` (globally unique, order-preserving);
+    *   - string columns pass through a per-copy Caesar rotation of the
+    *     LETTERS (`a..z`/`A..Z` shifted by k; digits, spaces and
+    *     punctuation untouched);
+    *   - float/double array columns (embeddings) rotate by k positions.
+    *
+    * Why this exact construction: each perturbation is a BIJECTION
+    * applied uniformly within a copy, so every shard is isomorphic to
+    * the base corpus — equal strings stay equal, n-gram/shingle
+    * equality is preserved, array inner products are unchanged — and
+    * the within-shard candidate structure of every blocked similarity
+    * operator replicates exactly. ACROSS shards, name prefixes, grams
+    * and LSH bands diverge (shifted letters / rotated vectors ≈
+    * unrelated content), so shards behave like genuinely new data
+    * rather than near-duplicates of the base: candidate pairs grow
+    * ~n×, not n²×, which is how real corpora grow (new data is new
+    * content — the near-dup RATE stays constant, the match graph does
+    * not densify). Digit-only fields (dates, id numbers) stay valid
+    * and identical across shards; cross-shard rows still never pair
+    * unless they first meet in a (now-disjoint) letter/vector bucket.
+    */
+  val ReplicateProp = "graft.bench.scale.replicate"
+
   def frac: Double = sys.props.get(Prop) match {
     case None => 1.0
     case Some(raw) =>
@@ -54,10 +82,66 @@ object ScaleKnob {
       v
   }
 
+  def replicate: Int = sys.props.get(ReplicateProp) match {
+    case None => 1
+    case Some(raw) =>
+      val v =
+        try raw.toInt
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$ReplicateProp must be an integer in [1, 100], got '$raw'")
+        }
+      require(v >= 1 && v <= 100, s"$ReplicateProp must be in [1, 100], got $raw")
+      v
+  }
+
   /** Deterministic uniform sample: keeps rows with `id % 1000` below
-    * `frac * 1000`. Identity when frac ≥ 1.
+    * `frac * 1000`. Identity when frac ≥ 1. When [[replicate]] is n > 1,
+    * the (possibly sampled) corpus is expanded to n disjoint shards —
+    * see [[ReplicateProp]] for the construction and why growth is ~n×.
     */
-  def sample(df: DataFrame, idCol: String): DataFrame =
-    if (frac >= 1.0) df
-    else df.filter(pmod(col(idCol), lit(1000)) < math.round(frac * 1000).toInt)
+  def sample(df: DataFrame, idCol: String): DataFrame = {
+    val base =
+      if (frac >= 1.0) df
+      else df.filter(pmod(col(idCol), lit(1000)) < math.round(frac * 1000).toInt)
+    val n = replicate
+    if (n <= 1) base
+    else (0 until n).map(k => shard(base, idCol, k, n)).reduce(_.unionByName(_))
+  }
+
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rotated(alphabet: String, k: Int): String = {
+    val s = k % alphabet.length
+    alphabet.drop(s) + alphabet.take(s)
+  }
+
+  /** Copy k of n: id remap + per-copy letter Caesar + per-copy array
+    * rotation, schema-driven so every table shape works unchanged.
+    * Copy 0 keeps its content bit-identical to the base corpus (only
+    * the id remap applies uniformly — ids must be globally unique and
+    * keep their relative order across all shards).
+    */
+  private def shard(df: DataFrame, idCol: String, k: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val out =
+        if (f.name == idCol) c * n + k
+        else if (k == 0) c
+        else f.dataType match {
+          case StringType =>
+            translate(c, Letters + Letters.toUpperCase,
+              rotated(Letters, k) + rotated(Letters.toUpperCase, k))
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+            // rotate by k positions; 1 << 24 ≫ any embedding dim, and
+            // slice clamps at the array end (no Int overflow at start+len)
+            concat(slice(c, k + 1, 1 << 24), slice(c, 1, k))
+          case _ => c
+        }
+      out.as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
 }

@@ -58,6 +58,20 @@ class BenchSmokeSpec extends SparkSpec {
       // list in the full artifact, a count in the compact line)
       assert(res.full.contains("\"contention_retries\":"))
       assert("""\"retried\":\d+""".r.findFirstIn(res.compact).isDefined, res.compact)
+
+      // consistency self-repair + cold-start provenance: always present;
+      // with no consistency flags total_best_known must EQUAL value
+      val tbk = """"total_best_known":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail("no total_best_known in full artifact")).group(1).toDouble
+      val tot = """"value":([0-9.E-]+)""".r.findFirstMatchIn(res.full)
+        .getOrElse(fail("no value in full artifact")).group(1).toDouble
+      assert(math.abs(tbk - tot) < 1e-9, s"no flags fired but total_best_known $tbk != value $tot")
+      assert(res.compact.contains("\"total_best_known\":"))
+      val warm = """"median_first_over_best":([0-9.]+)""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail("no warmup spread in full artifact")).group(1).toDouble
+      assert(warm > 0, s"warmup median ratio must be positive: $warm")
     }
   }
 

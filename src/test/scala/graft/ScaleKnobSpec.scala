@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.ScaleKnob
+
+class ScaleKnobSpec extends SparkSpec {
+
+  private def withProp(k: String, v: String)(body: => Unit): Unit = {
+    val saved = sys.props.get(k)
+    sys.props(k) = v
+    try body
+    finally saved match {
+      case Some(s) => sys.props(k) = s
+      case None    => sys.props.remove(k)
+    }
+  }
+
+  test("replicate default is identity: sample returns the input plan untouched") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((0L, "Anna"), (7L, "Bo")).toDF("id", "name")
+    val out = ScaleKnob.sample(df, "id")
+    assert(out.collect().toSet === df.collect().toSet)
+  }
+
+  test("replication builds disjoint isomorphic shards (ids unique, letters shifted, arrays rotated, digits kept)") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (0L, "Anna Maria", "19440101", Array(1f, 2f, 3f, 4f)),
+      (1L, "Anna Maria", "19500101", Array(2f, 1f, 0f, 0f)),
+      (2L, "Bruno Xavier", "19440101", Array(0f, 0f, 1f, 2f)))
+      .toDF("id", "name", "dob", "emb")
+    withProp(ScaleKnob.ReplicateProp, "3") {
+      val out = ScaleKnob.sample(df, "id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+      assert(out.length === 9)
+      // ids globally unique and shard-attributable: id*3 + k
+      assert(out.map(_._1).toSet.size === 9)
+      val byShard = out.groupBy(t => (t._1 % 3).toInt)
+      assert(byShard.keySet === Set(0, 1, 2))
+      // copy 0 content is bit-identical to the base corpus
+      val shard0 = byShard(0).map(t => (t._1 / 3, t._2, t._3, t._4)).sortBy(_._1)
+      assert(shard0.map(t => (t._2, t._3, t._4.toList)) ===
+        Seq(("Anna Maria", "19440101", List(1f, 2f, 3f, 4f)),
+          ("Anna Maria", "19500101", List(2f, 1f, 0f, 0f)),
+          ("Bruno Xavier", "19440101", List(0f, 0f, 1f, 2f))))
+      for (k <- 1 to 2) {
+        val shard = byShard(k).map(t => (t._1 / 3, t._2, t._3, t._4)).sortBy(_._1)
+        // ISOMORPHIC within the shard: the Caesar is one bijection per
+        // copy, so the two base rows with equal names stay equal...
+        assert(shard(0)._2 === shard(1)._2)
+        assert(shard(0)._2 !== shard(2)._2)
+        // ...and DISJOINT across shards: shifted letters never collide
+        // with the base names (this is what keeps cross-shard buckets
+        // empty and candidate growth ~n x, not n^2 x)
+        assert(shard(0)._2 !== "Anna Maria")
+        assert(shard(0)._2.length === "Anna Maria".length)
+        assert(shard(0)._2.charAt(4) === ' ') // non-letters untouched
+        // digit-only fields stay valid dates, identical across shards
+        assert(shard(0)._3 === "19440101")
+        // arrays rotate by k: inner products within a shard are the
+        // base corpus's exactly (rotation is a uniform permutation)
+        assert(shard(0)._4.toList === (List(1f, 2f, 3f, 4f).drop(k) ++ List(1f, 2f, 3f, 4f).take(k)))
+        def dot(a: Seq[Float], b: Seq[Float]) = a.zip(b).map { case (x, y) => x * y }.sum
+        assert(dot(shard(0)._4, shard(1)._4) === dot(Seq(1f, 2f, 3f, 4f), Seq(2f, 1f, 0f, 0f)))
+      }
+    }
+  }
+
+  test("replicate composes with frac: sample first, then shard the sampled base") {
+    val session = spark
+    import session.implicits._
+    val df = spark.range(1000).toDF("id").withColumn("name", org.apache.spark.sql.functions.lit("abc"))
+    withProp(ScaleKnob.Prop, "0.5") {
+      withProp(ScaleKnob.ReplicateProp, "2") {
+        val out = ScaleKnob.sample(df, "id")
+        assert(out.count() === 1000L) // 500 sampled x 2 shards
+      }
+    }
+  }
+
+  test("invalid replicate values fail loudly with the property name") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    for (bad <- Seq("zero", "0", "101")) withProp(ScaleKnob.ReplicateProp, bad) {
+      val e = intercept[IllegalArgumentException](ScaleKnob.sample(df, "id"))
+      assert(e.getMessage.contains(ScaleKnob.ReplicateProp))
+    }
+  }
+}
