@@ -78,6 +78,19 @@ object Bench {
   private def f3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Integer knob with defensive parsing: a malformed env value must
+    * not kill a multi-minute bench run with a NumberFormatException at
+    * startup (same failure class as the maxBucketSize override) — warn,
+    * fall back to the default, clamp to `min`.
+    */
+  private def cfgInt(key: String, default: Int, min: Int): Int = {
+    val raw = cfg(key, default.toString)
+    scala.util.Try(raw.trim.toInt).toOption.getOrElse {
+      System.err.println(s"[bench] ignoring invalid $key='$raw' (not an integer); using $default")
+      default
+    }.max(min)
+  }
+
   /** One query's main-pass outcome: best + every run and probe, both
     * attempts when the probe gate forced a retry.
     */
@@ -132,7 +145,7 @@ object Bench {
     */
   def run(spark: SparkSession, sfDir: String, fullPath: String): Either[String, Result] = {
     val startedMs = System.currentTimeMillis()
-    val bestOf = cfg("SPARK_GRAFT_BEST_OF", "2").toInt.max(1)
+    val bestOf = cfgInt("SPARK_GRAFT_BEST_OF", 2, min = 1)
     // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first. Goes through the typed
     // accessors — `events` is TIMESTAMP(NANOS) and a raw scan aborts,
@@ -381,7 +394,7 @@ object Bench {
                   // tightened cap, candidate pairs and per-side drop
                   // counts from the same observe() metrics either way.
                   val defaultCap = graft.linkage.PersonMatching.MatchConfig().maxBucketSize
-                  val tightCap = cfg("SPARK_GRAFT_CAP_DEMO_BUCKET", "64").toInt
+                  val tightCap = cfgInt("SPARK_GRAFT_CAP_DEMO_BUCKET", 64, min = 1)
                   def countsAtCap(cap: Int): Option[(Int, Long, Long)] = try {
                     graft.linkage.PersonMatching.lastDropObservationsBySide = Map.empty
                     sys.props(graft.linkage.PersonMatching.CountCandidatesProp) = "1"
@@ -483,7 +496,7 @@ object Bench {
     // pass's full point, same JVM) shows whether the plans really grow
     // ~linearly. Off by default: it adds minutes of single-shot runs,
     // so it is a recorded-artifact flag, not a per-round default.
-    val sf1Factor = cfg("SPARK_GRAFT_SF1_FACTOR", "10").toInt.max(2)
+    val sf1Factor = cfgInt("SPARK_GRAFT_SF1_FACTOR", 10, min = 2)
     val doSf1 = cfg("SPARK_GRAFT_SCALING_SF1", "0") != "0" && scaling.nonEmpty
     val sf1Targets = Seq("q22_person_match_self", "q23_person_clustering",
       "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",

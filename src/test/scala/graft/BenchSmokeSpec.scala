@@ -75,6 +75,18 @@ class BenchSmokeSpec extends SparkSpec {
     }
   }
 
+  test("Bench.run: malformed integer knobs fall back to defaults instead of aborting the run") {
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "two",
+      "SPARK_GRAFT_SCALING" -> "0") {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_badknob.json")
+      assert(res.isRight, s"malformed BEST_OF aborted the bench: $res")
+      assert(res.exists(_.failed.isEmpty))
+      assert(res.exists(_.full.contains("\"best_of\":2")), "did not fall back to the default best_of")
+    }
+  }
+
   test("Bench.run: unknown SPARK_GRAFT_ONLY filter is a refusal, not an empty pass") {
     withProps("SPARK_GRAFT_ONLY" -> "q99_nope", "SPARK_GRAFT_SCALING" -> "0") {
       val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke.json")
