@@ -263,8 +263,14 @@ object Bench {
     val failedJson = strArr(failed)
     val flakyJson = strArr(flaky)
     val contendedJson = strArr(contended)
-    val probeSorted = probesSeen.toSeq.sorted
-    val probeStats = (probeSorted.head, probeSorted(probeSorted.size / 2), probeSorted.last)
+    // probe min/median/max are computed AFTER every pass (main, scaling,
+    // sf1) so the stats describe the same window the series does — a
+    // snapshot here would silently exclude the later passes' probes and
+    // understate a run whose tail hit a noisy window
+    def probeStats: (Double, Double, Double) = {
+      val s = probesSeen.toSeq.sorted
+      (s.head, s(s.size / 2), s.last)
+    }
 
     // Scale-growth measurement: similarity + dedup families timed fresh
     // at quarter, half and full corpus, back to back in the same warm
