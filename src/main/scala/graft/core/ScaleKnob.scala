@@ -128,7 +128,10 @@ object ScaleKnob {
     val cols = df.schema.fields.map { f =>
       val c = col(f.name)
       val out =
-        if (f.name == idCol) c * n + k
+        // long domain before the multiply: an int id near Int.MaxValue/n
+        // must widen, not wrap (all shards agree on the type, so
+        // unionByName stays aligned)
+        if (f.name == idCol) c.cast("long") * n + k
         else if (k == 0) c
         else f.dataType match {
           case StringType =>

@@ -66,6 +66,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sf1 replication keeps the heavy plans' join shape (no cartesian, still bucket-keyed)") {
+    // the scaling_sf1 corpus is a union of perturbed shards; the whole
+    // construction is pointless if it degrades the plan — the blocked
+    // joins must stay equi-joins over the replicated input too
+    val saved = sys.props.get(graft.core.ScaleKnob.ReplicateProp)
+    sys.props(graft.core.ScaleKnob.ReplicateProp) = "3"
+    try {
+      for (q <- Seq("q22_person_match_self", "q27_ngram_jaccard_dedup",
+          "q35_cosine_near_dup")) {
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q goes cartesian under replication")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join under replication")
+        assert(p.contains("hashpartitioning"), s"$q lost its keyed shuffle under replication")
+      }
+    } finally saved match {
+      case Some(v) => sys.props(graft.core.ScaleKnob.ReplicateProp) = v
+      case None    => sys.props.remove(graft.core.ScaleKnob.ReplicateProp)
+    }
+  }
+
   test("q35 self-join reads buckets from one materialized pass, parquet only for rescore") {
     // the (id, bucket) table is checkpointed once (the bucket join
     // broadcasts, so exchange reuse cannot dedupe it — measured 4.05 s
