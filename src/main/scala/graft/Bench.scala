@@ -82,6 +82,13 @@ object Bench {
     * not kill a multi-minute bench run with a NumberFormatException at
     * startup (same failure class as the maxBucketSize override) — warn,
     * fall back to the default, clamp to `min`.
+    *
+    * Deliberately NOT shared with the other two knob parsers: the three
+    * policies differ by blast radius. Bench knobs fall back quietly (a
+    * bad value must not cost a run); PersonMatching's override falls
+    * back with a warning (production path, must never throw); ScaleKnob
+    * fails loudly at query construction (a half-applied scale factor
+    * would silently corrupt a measurement).
     */
   private def cfgInt(key: String, default: Int, min: Int): Int = {
     val raw = cfg(key, default.toString)
@@ -480,8 +487,12 @@ object Bench {
     // costs land — a judge comparing artifacts sees how much of any
     // first-query number is warmup rather than kernel (README explains
     // the q01 cold floor).
+    // failed/flaky queries are excluded: their runs mix failure
+    // durations with successes (a 0.2 s crash as "run 1" would read as
+    // a 0.04 warmup ratio and drag the median below the true cold cost)
+    val unreliable = (failed ++ flaky).toSet
     val warmRatios = results
-      .filter(r => r.runs.nonEmpty && r.bestSec > 0)
+      .filter(r => r.runs.nonEmpty && r.bestSec > 0 && !unreliable(r.name))
       .map(r => (r.name, r.runs.head / r.bestSec))
     val warmupJson =
       if (warmRatios.isEmpty) "null"
@@ -502,8 +513,18 @@ object Bench {
     // pass's full point, same JVM) shows whether the plans really grow
     // ~linearly. Off by default: it adds minutes of single-shot runs,
     // so it is a recorded-artifact flag, not a per-round default.
-    val sf1Factor = cfgInt("SPARK_GRAFT_SF1_FACTOR", 10, min = 2)
-    val doSf1 = cfg("SPARK_GRAFT_SCALING_SF1", "0") != "0" && scaling.nonEmpty
+    // min 2 (factor 1 measures nothing) and max 26, matching
+    // ScaleKnob.replicate's hard bound (26 distinct Caesar rotations) —
+    // without the clamp an out-of-range factor would pass cfgInt only to
+    // throw inside every measured() call, and the whole requested pass
+    // would record null with the config error buried in six stderr lines
+    val sf1Factor = math.min(cfgInt("SPARK_GRAFT_SF1_FACTOR", 10, min = 2), 26)
+    val sf1Requested = cfg("SPARK_GRAFT_SCALING_SF1", "0") != "0"
+    val doSf1 = sf1Requested && scaling.nonEmpty
+    if (sf1Requested && !doSf1)
+      System.err.println("[bench] SPARK_GRAFT_SCALING_SF1 requested but the scaling pass " +
+        "did not run (SPARK_GRAFT_SCALING=0 or an ONLY filter without SCALING=force) - " +
+        "skipping scaling_sf1: its exponents need the scaling pass's full points as baseline")
     val sf1Targets = Seq("q22_person_match_self", "q23_person_clustering",
       "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
       "q34_minhash_preclustering", "q35_cosine_near_dup")

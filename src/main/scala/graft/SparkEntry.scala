@@ -46,6 +46,13 @@ object SparkEntry {
     * after its checkpoints are gone — the one contract violation
     * SessionHygiene cannot survive.
     *
+    * One logical job at a time per session: the tracked-checkpoint set
+    * is session-global, so two CONCURRENT `withHygiene` blocks in one
+    * SparkSession would release each other's live checkpoints (see
+    * [[graft.core.SessionHygiene.releaseLeftovers]]'s concurrency
+    * contract). Serialize graft jobs, or give concurrent tenants their
+    * own sessions.
+    *
     * {{{
     * val n = SparkEntry.withHygiene(spark) {
     *   SparkEntry.queries("q22_person_match_self")(spark, dir).count()

@@ -82,6 +82,12 @@ object ScaleKnob {
       v
   }
 
+  /** Upper bound 26, not an arbitrary cap: the Caesar alphabet has 26
+    * rotations, so shard shifts k = 0..25 are pairwise distinct — at
+    * k = 26 the rotation would wrap to identity and that shard's
+    * strings would collide with the base shard's, quietly re-densifying
+    * the buckets the disjoint construction exists to keep apart.
+    */
   def replicate: Int = sys.props.get(ReplicateProp) match {
     case None => 1
     case Some(raw) =>
@@ -90,9 +96,10 @@ object ScaleKnob {
         catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
-              s"$ReplicateProp must be an integer in [1, 100], got '$raw'")
+              s"$ReplicateProp must be an integer in [1, 26], got '$raw'")
         }
-      require(v >= 1 && v <= 100, s"$ReplicateProp must be in [1, 100], got $raw")
+      require(v >= 1 && v <= 26,
+        s"$ReplicateProp must be in [1, 26] (26 = distinct Caesar rotations), got $raw")
       v
   }
 
@@ -138,9 +145,20 @@ object ScaleKnob {
             translate(c, Letters + Letters.toUpperCase,
               rotated(Letters, k) + rotated(Letters.toUpperCase, k))
           case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-            // rotate by k positions; 1 << 24 ≫ any embedding dim, and
-            // slice clamps at the array end (no Int overflow at start+len)
-            concat(slice(c, k + 1, 1 << 24), slice(c, 1, k))
+            // rotate by k % dim positions (a rotation by dim is identity,
+            // so the raw k would silently collapse shards k ≥ dim onto
+            // shard 0); when the rotation wraps to 0 for k > 0, negate
+            // instead — negation applied to BOTH vectors of a within-
+            // shard pair preserves their inner product (D²=I), while
+            // cross-shard cosines against unneg shards flip sign and
+            // stop matching. Residual caveat: two wrapped-AND-negated
+            // shards would collide with each other, which needs
+            // k, k' ≤ 25 with k ≡ k' ≡ 0 (mod dim) — impossible for
+            // dim ≥ 13, i.e. any real embedding width.
+            val dim = size(c)
+            val r = pmod(lit(k), dim)
+            val rot = concat(slice(c, r + 1, lit(1 << 24)), slice(c, lit(1), r))
+            when(r === 0, transform(c, x => -x)).otherwise(rot)
           case _ => c
         }
       out.as(f.name)

@@ -100,15 +100,31 @@ object SessionHygiene {
 
   /** Scoped release: drop graft-created checkpoint leftovers, and ONLY
     * those. Blocking; returns the number of RDDs released.
+    *
+    * CONCURRENCY CONTRACT: one logical job at a time per session. The
+    * tracked set is session-global, so in a session running graft jobs
+    * CONCURRENTLY (a multi-tenant query server), one request's release
+    * would unpersist another in-flight request's live checkpoints —
+    * serialize jobs, or release only at points where no graft query is
+    * mid-flight. (Caller-owned persisted state is safe either way; the
+    * scoping protects it, not concurrent graft jobs.)
     */
   def releaseLeftovers(spark: SparkSession): Int = {
+    // snapshot the tracked ids BEFORE reading the persistent map: an id
+    // registered by a concurrent checkpoint() after this point is never
+    // a stale-prune candidate (it would look "not persisted yet" and be
+    // evicted while live)
+    val knownBefore = new java.util.HashSet[Int](tracked)
     val persistent = spark.sparkContext.getPersistentRDDs
     val leftovers = persistent.values.filter(r => tracked.contains(r.id)).toSeq
     leftovers.foreach(_.unpersist(blocking = true))
     leftovers.foreach(r => tracked.remove(r.id))
     // ids already gone from the block manager (ContextCleaner beat us to
     // them) stay useless forever — drop them so the set stays bounded
-    tracked.removeIf(id => !persistent.contains(id) && !leftovers.exists(_.id == id))
+    knownBefore.forEach { id =>
+      if (!persistent.contains(id)) tracked.remove(id)
+      ()
+    }
     leftovers.size
   }
 

@@ -79,11 +79,28 @@ class ScaleKnobSpec extends SparkSpec {
     }
   }
 
+  test("array rotation wraps via modulo and negates on wrap - no shard collapses to identity") {
+    val session = spark
+    import session.implicits._
+    // dim 4 < factor 5: shard 4's raw rotation would be identity (the
+    // collapse the reviewer caught); the wrap rule negates instead,
+    // which preserves within-shard inner products (D^2 = I) while
+    // cross-shard cosines flip sign and stop matching
+    val df = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("id", "emb")
+    withProp(ScaleKnob.ReplicateProp, "5") {
+      val out = ScaleKnob.sample(df, "id").collect()
+        .map(r => ((r.getLong(0) % 5).toInt, r.getSeq[Float](1).toList)).toMap
+      assert(out(1) === List(2f, 3f, 4f, 1f)) // plain rotation
+      assert(out(4) === List(-1f, -2f, -3f, -4f)) // wrapped -> negated
+      assert(out.values.toSet.size === 5, "two shards carry identical vectors")
+    }
+  }
+
   test("invalid replicate values fail loudly with the property name") {
     val session = spark
     import session.implicits._
     val df = Seq((1L, "x")).toDF("id", "name")
-    for (bad <- Seq("zero", "0", "101")) withProp(ScaleKnob.ReplicateProp, bad) {
+    for (bad <- Seq("zero", "0", "27", "101")) withProp(ScaleKnob.ReplicateProp, bad) {
       val e = intercept[IllegalArgumentException](ScaleKnob.sample(df, "id"))
       assert(e.getMessage.contains(ScaleKnob.ReplicateProp))
     }
