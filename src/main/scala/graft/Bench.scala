@@ -197,6 +197,12 @@ object Bench {
     // session, and run-to-run isolation wants the block manager EMPTY —
     // including anything a future operator might persist outside the
     // tracked-checkpoint path.
+    // Note on the recurring q23-adjacent probe spikes (0.2-0.3 s against
+    // a 0.078 quiet median, visible in the committed artifacts): an A/B
+    // with a forced System.gc() in this hook did NOT flatten them (GC-on
+    // runs measured equal-or-slower), so they are not collectible GC
+    // debt the bench could pay untimed here — the bounded probe-gated
+    // retry remains the right mitigation.
     def releaseLeftovers(): Unit = try {
       graft.core.SessionHygiene.releaseAll(spark)
       ()
