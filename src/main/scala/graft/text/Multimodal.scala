@@ -550,9 +550,14 @@ object Multimodal {
     /** Demux: full RIFF walk to every video chunk (`##dc` compressed /
       * `##db` uncompressed, `rec ` grouping lists included), returning
       * payload byte-arrays in stream order. Stream numbers are two
-      * DECIMAL digits — `MAKEAVICKID` and ffmpeg's avienc both write
-      * `'0'+n/10, '0'+n%10`, so stream 10 is `10dc`, never `0Adc` — and
-      * a nonstandard hex-looking id is SKIPPED like any non-video chunk
+      * DECIMAL digits — the precedent is ffmpeg, whose
+      * `avi_stream2fourcc` writes `'0'+n/10, '0'+n%10` on the mux side
+      * and `get_stream_idx` reads decimal digits on the demux side, so
+      * stream 10 is `10dc`, never `0Adc`. (vfw.h's `MAKEAVICKID` is NOT
+      * decimal — it packs per-nibble `'0'+hi, '0'+lo`, encoding stream
+      * 10 as `0:`; files in the wild follow ffmpeg, not the macro's
+      * >9-stream corner.) A nonstandard hex-looking id is SKIPPED like
+      * any non-video chunk
       * rather than counted as a stream (one stray `0Adc` must not trip
       * the multi-stream rejection and void a file's valid `00dc`
       * frames). A file whose video chunks span MORE than one (decimal)
