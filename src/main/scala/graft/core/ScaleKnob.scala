@@ -151,14 +151,25 @@ object ScaleKnob {
             // instead — negation applied to BOTH vectors of a within-
             // shard pair preserves their inner product (D²=I), while
             // cross-shard cosines against unneg shards flip sign and
-            // stop matching. Residual caveat: two wrapped-AND-negated
-            // shards would collide with each other, which needs
-            // k, k' ≤ 25 with k ≡ k' ≡ 0 (mod dim) — impossible for
-            // dim ≥ 13, i.e. any real embedding width.
+            // stop matching. Two wrapped-AND-negATED shards WOULD
+            // collide with each other, which needs two distinct shards
+            // k, k' ∈ [1, n-1] with k ≡ k' ≡ 0 (mod dim) — i.e.
+            // n - 1 ≥ 2·dim. Impossible for dim ≥ 13 (any real
+            // embedding width), but a narrow test corpus could hit it
+            // silently, so the guarded raise_error below makes it fail
+            // loudly at execution instead of quietly re-densifying the
+            // cross-shard buckets the whole construction exists to keep
+            // disjoint (the same failure mode the [1,26] replicate cap
+            // prevents for strings).
             val dim = size(c)
             val r = pmod(lit(k), dim)
             val rot = concat(slice(c, r + 1, lit(1 << 24)), slice(c, lit(1), r))
-            when(r === 0, transform(c, x => -x)).otherwise(rot)
+            val shifted = when(r === 0, transform(c, x => -x)).otherwise(rot)
+            when(dim * 2 <= lit(n - 1), raise_error(concat(
+              lit(s"$ReplicateProp=$n cannot keep array shards disjoint at dim="),
+              dim.cast("string"),
+              lit(": two shards with k = 0 (mod dim) would carry identical vectors; need dim > (replicate-1)/2"))))
+              .otherwise(shifted)
           case _ => c
         }
       out.as(f.name)

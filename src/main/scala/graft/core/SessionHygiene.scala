@@ -110,13 +110,16 @@ object SessionHygiene {
     * scoping protects it, not concurrent graft jobs.)
     */
   def releaseLeftovers(spark: SparkSession): Int = {
-    // snapshot the tracked ids BEFORE reading the persistent map: an id
-    // registered by a concurrent checkpoint() after this point is never
-    // a stale-prune candidate (it would look "not persisted yet" and be
-    // evicted while live)
+    // snapshot the tracked ids BEFORE reading the persistent map, and
+    // filter BOTH paths against the snapshot: an id registered by a
+    // concurrent checkpoint() after this point is never a stale-prune
+    // candidate (it would look "not persisted yet" and be evicted while
+    // live) and never a release candidate either (filtering against the
+    // live set would unpersist a just-registered LIVE checkpoint, whose
+    // truncated lineage makes its blocks the only copy)
     val knownBefore = new java.util.HashSet[Int](tracked)
     val persistent = spark.sparkContext.getPersistentRDDs
-    val leftovers = persistent.values.filter(r => tracked.contains(r.id)).toSeq
+    val leftovers = persistent.values.filter(r => knownBefore.contains(r.id)).toSeq
     leftovers.foreach(_.unpersist(blocking = true))
     leftovers.foreach(r => tracked.remove(r.id))
     // ids already gone from the block manager (ContextCleaner beat us to

@@ -23,19 +23,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert to a microsecond
-    * timestamp (integer division keeps the full 63-bit value exact;
-    * DuckDB's TIMESTAMP is also µs, so both engines see identical values).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * generations (which Spark's vectorized reader rejects — read nanos
+    * as long and floor-convert to microseconds) and as TIMESTAMP(MICROS)
+    * in others (which reads natively as TIMESTAMP_NTZ). Dispatch on the
+    * schema actually on disk so both generations load identically:
+    * either way downstream sees a session-zone (UTC) microsecond
+    * timestamp, matching DuckDB's µs TIMESTAMP value-for-value.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Floor division (via pmod), not `div`: `div` truncates toward zero,
-    // which would round negative (pre-1970) nanos to the wrong microsecond
-    // vs DuckDB's flooring conversion.
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos generation. Floor division (via pmod), not `div`: `div`
+        // truncates toward zero, which would round negative (pre-1970)
+        // nanos to the wrong microsecond vs DuckDB's flooring conversion.
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampType => raw
+      case _ =>
+        // micros-NTZ generation: under the UTC session zone this cast
+        // reinterprets the naive value as the same UTC instant the nanos
+        // path produced, so both generations hash identically.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -332,10 +332,18 @@ object LlmData {
     * different orders (the q30 rank-compare precedent).
     */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.core.ScaleKnob.sample(Tables.embeddings(spark, dir), "vec_id")
-    val corpus = e.select("vec_id", "embedding").unionByName(
-      e.filter(col("vec_id") < 50)
+    // duplicates are injected BEFORE ScaleKnob.sample, so under bench
+    // replication the +10000 offset is shard-remapped (id·n+k) along
+    // with every other id and can never collide with a real replicated
+    // id — injecting after sample() broke the disjoint-shard invariant
+    // (base ids 1000-1004 across 10 shards land exactly on 10000-10049).
+    // Under frac-sampling the order is equivalent: vec_id+10000 keeps
+    // vec_id mod 1000, so a duplicate survives iff its base row does.
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val corpus = graft.core.ScaleKnob.sample(withDups, "vec_id")
     // near-dup detection tolerates much tighter buckets than generic
     // top-k: at cos ≥ 0.99 (θ ≈ 8°) per-bit collision is ~0.955, so 12
     // bits × 6 tables still gives ≈ 99% expected recall — while the

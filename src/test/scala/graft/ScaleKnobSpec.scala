@@ -96,6 +96,28 @@ class ScaleKnobSpec extends SparkSpec {
     }
   }
 
+  test("narrow arrays that cannot stay disjoint fail loudly instead of collapsing shards") {
+    val session = spark
+    import session.implicits._
+    // dim 4 with factor 9: shards 4 and 8 are both wrapped-and-negated
+    // (k = 0 mod dim) and would carry identical vectors — the exact
+    // silent re-densification the guard exists to surface. Fires at
+    // execution (the dim is data), with the property name in the error.
+    val df = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("id", "emb")
+    withProp(ScaleKnob.ReplicateProp, "9") {
+      val e = intercept[Throwable](ScaleKnob.sample(df, "id").collect())
+      def messages(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+      assert(messages(e).exists(_.contains(ScaleKnob.ReplicateProp)),
+        s"expected the guard's message naming ${ScaleKnob.ReplicateProp}, got: ${messages(e)}")
+    }
+    // a wide-enough array at the same factor is untouched by the guard
+    val wide = Seq((0L, Array.tabulate(16)(_.toFloat))).toDF("id", "emb")
+    withProp(ScaleKnob.ReplicateProp, "9") {
+      assert(ScaleKnob.sample(wide, "id").count() === 9L)
+    }
+  }
+
   test("invalid replicate values fail loudly with the property name") {
     val session = spark
     import session.implicits._
