@@ -16,8 +16,12 @@ import org.apache.spark.sql.SparkSession
   * stdout, and round 5 learned the hard way that one long line gets cut
   * mid-map, losing the total):
   *   - the FULL result JSON — precise timings, every main-pass run,
-  *     scaling details, caps — is written to a file
-  *     (SPARK_GRAFT_BENCH_FULL, default BENCH_FULL.json in cwd);
+  *     scaling details, caps — is written to a file. The default path
+  *     is TIMESTAMPED (BENCH_FULL_<utc>.json in cwd): the r10 driver
+  *     run taught that a fixed default lets one contended window
+  *     silently clobber committed quiet evidence in the working tree.
+  *     Overwriting a fixed path (e.g. the committed BENCH_FULL.json)
+  *     is an explicit opt-in via SPARK_GRAFT_BENCH_FULL=<path>;
   *   - stdout's LAST line is a compact summary (3-decimal timings,
   *     exponents only for scaling) sized to survive the tail capture,
   *     with a pointer to the full file.
@@ -99,18 +103,40 @@ object Bench {
   }
 
   /** One query's main-pass outcome: best + every run and probe, both
-    * attempts when the probe gate forced a retry.
+    * attempts when the probe gate forced a retry. `probeBeforeSec` is
+    * the last probe observed before this query's first run, so together
+    * with the after-probes it brackets every run the query made.
     */
   final case class QueryTiming(
-      name: String, bestSec: Double, runs: Seq[Double], probeAfterSec: Double,
-      retryRuns: Seq[Double], probeAfterRetrySec: Option[Double])
+      name: String, bestSec: Double, runs: Seq[Double], probeBeforeSec: Double,
+      probeAfterSec: Double, retryRuns: Seq[Double], probeAfterRetrySec: Option[Double]) {
+    /** Median of the probes bracketing this query's runs (before-first,
+      * after-batch, after-retry-batch when present) — the local probe
+      * level while THIS query measured, as opposed to the run-wide
+      * median a blanket-contention judge would otherwise normalize by.
+      */
+    def probeAdjacentSec: Double = {
+      val s = (Seq(probeBeforeSec, probeAfterSec) ++ probeAfterRetrySec).sorted
+      s(s.size / 2)
+    }
+  }
 
   final case class Result(compact: String, full: String, failed: List[String])
 
   def main(args: Array[String]): Unit = {
     val sfDir = cfg("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cfg("SPARK_GRAFT_CPUS", "32")
-    val fullPath = cfg("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // default full-artifact path is timestamped so repeated runs never
+    // overwrite each other (or the committed quiet artifact); pass
+    // SPARK_GRAFT_BENCH_FULL=BENCH_FULL.json to opt in to a fixed path
+    val fullPath = cfg("SPARK_GRAFT_BENCH_FULL", "") match {
+      case "" =>
+        val ts = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        s"BENCH_FULL_$ts.json"
+      case p => p
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -234,6 +260,7 @@ object Bench {
           s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")})")
     // main pass: best-of-N with the probe-gated retry described up top
     val results: Seq[QueryTiming] = selected.map { case (name, fn) =>
+      val probeBefore = probesSeen.last
       def once(): Either[Double, Double] = {
         val t0 = System.nanoTime()
         val r = try {
@@ -268,7 +295,7 @@ object Bench {
       if (ok.isEmpty) failed ::= name
       else if (allRuns.exists(_.isLeft)) flaky ::= name
       val best = if (ok.nonEmpty) ok.min else allRuns.collect { case Left(t) => t }.max
-      QueryTiming(name, best, runs1.map(_.merge), probe1,
+      QueryTiming(name, best, runs1.map(_.merge), probeBefore, probe1,
         retry.map(_._1.map(_.merge)).getOrElse(Seq.empty), retry.map(_._2))
     }
     val total = results.map(_.bestSec).sum
@@ -475,16 +502,27 @@ object Bench {
     }
     // SELF-REPAIR, not just report (r9 recorded q44 at 19.0 s in
     // `queries` while the same artifact held a 2.5 s scaling full point
-    // for the identical query+corpus): when a consistency entry fires,
-    // the min over the two sections is the best measurement this run
-    // actually holds — contention only inflates, so min is the same
-    // monotone estimator the retry gate already relies on. Both raw
-    // sections stay untouched; `best_known_sec` per flagged query and
-    // `total_best_known` (flagged queries at their best-known, all
-    // others at main best) let the headline degrade gracefully under
-    // contention instead of inheriting the hot window.
-    val bestKnown: Map[String, Double] =
-      consistency.map { case (n, b, f) => n -> math.min(b, f) }.toMap
+    // for the identical query+corpus): `best_known_sec` is the min over
+    // EVERY successful measurement of the same query+corpus this run
+    // holds — the main best (itself the min over the best-of-N batch
+    // plus any contention-retry batch) and the scaling pass's full
+    // point (itself the min over its interleaved passes plus gated
+    // point retries). Contention only inflates, so min is the same
+    // monotone estimator the retry gate relies on. Taking it for every
+    // scaled query, not just the >2x-flagged ones, closes the r10 gap
+    // where q27 sat at ratio 1.91x — under the consistency gate, so no
+    // repair fired — while the artifact itself held an 8.55 s scaling
+    // observation against the 16.3 s recorded best. The lifted-cap pair
+    // is excluded (its full point runs a 2x-larger corpus by design),
+    // as is scaling_sf1 (a replicated corpus, never comparable). Both
+    // raw sections stay untouched; `total_best_known` restates the
+    // headline with every query at its best-known number.
+    val secondObservation: Map[String, Double] = scaling.collect {
+      case (n, _, _, f) if !liftedCapTargets.contains(n) => n -> f
+    }.toMap
+    val bestKnown: Map[String, Double] = results.flatMap { r =>
+      secondObservation.get(r.name).map(f => r.name -> math.min(r.bestSec, f))
+    }.toMap
     val totalBestKnown = results.map(r => bestKnown.getOrElse(r.name, r.bestSec)).sum
 
     // cold-vs-warm provenance: run 1 of each query pays that query's
@@ -495,18 +533,35 @@ object Bench {
     // the q01 cold floor).
     // failed/flaky queries are excluded: their runs mix failure
     // durations with successes (a 0.2 s crash as "run 1" would read as
-    // a 0.04 warmup ratio and drag the median below the true cold cost)
+    // a 0.04 warmup ratio and drag the median below the true cold cost).
+    // CONTENDED queries (probe gate fired) are excluded too: contention
+    // landing on run 1 reads as a huge first-over-best ratio that is
+    // neighbor noise, not cold-start cost — the contended r10 artifact
+    // recorded max_first_over_best 41.5x (q34) where the quiet truth is
+    // 3.3x, polluting exactly the provenance this block exists to give.
+    // If EVERY reliable query was contended (blanket contention), fall
+    // back to the unfiltered reliable set with a flag, so the block
+    // stays present and says why it is untrustworthy.
     val unreliable = (failed ++ flaky).toSet
-    val warmRatios = results
-      .filter(r => r.runs.nonEmpty && r.bestSec > 0 && !unreliable(r.name))
+    val contendedSet = contended.toSet
+    def ratios(excludeContended: Boolean) = results
+      .filter(r => r.runs.nonEmpty && r.bestSec > 0 && !unreliable(r.name) &&
+        !(excludeContended && contendedSet(r.name)))
       .map(r => (r.name, r.runs.head / r.bestSec))
+    val quietRatios = ratios(excludeContended = true)
+    val allContended = quietRatios.isEmpty && ratios(excludeContended = false).nonEmpty
+    val warmRatios = if (allContended) ratios(excludeContended = false) else quietRatios
     val warmupJson =
       if (warmRatios.isEmpty) "null"
       else {
         val sortedR = warmRatios.map(_._2).sorted
         val med = sortedR(sortedR.size / 2)
         val (maxQ, maxR) = warmRatios.maxBy(_._2)
-        s"""{"note":"first_over_best = runs[0] / best_sec per query: run 1 pays the query's own codegen/JIT, so best-of-N reads as steady-state and this spread is the cold-start provenance","median_first_over_best":${f3(med)},"max_first_over_best":${f3(maxR)},"max_query":"$maxQ"}"""
+        val excluded = results.count(r => contendedSet(r.name) && !unreliable(r.name))
+        val contendedNote =
+          if (allContended) ""","all_contended":true"""
+          else s""","excluded_contended":$excluded"""
+        s"""{"note":"first_over_best = runs[0] / best_sec per query: run 1 pays the query's own codegen/JIT, so best-of-N reads as steady-state and this spread is the cold-start provenance; queries whose probe gate fired are excluded (their run 1 measures contention, not cold start)","median_first_over_best":${f3(med)},"max_first_over_best":${f3(maxR)},"max_query":"$maxQ"$contendedNote}"""
       }
 
     // OPT-IN 10× pass (SPARK_GRAFT_SCALING_SF1=1, untimed for `total`):
@@ -611,15 +666,30 @@ object Bench {
         if (r.probeAfterRetrySec.isEmpty) ""
         else ",\"runs_retry\":" + r.retryRuns.mkString("[", ",", "]") +
           ",\"probe_after_retry_sec\":" + r.probeAfterRetrySec.get
-      "\"" + r.name + "\":{\"best_sec\":" + r.bestSec + ",\"runs\":" +
-        r.runs.mkString("[", ",", "]") + ",\"probe_after_sec\":" + r.probeAfterSec +
-        retryPart + "}"
+      val bestKnownPart =
+        bestKnown.get(r.name).map(",\"best_known_sec\":" + _).getOrElse("")
+      "\"" + r.name + "\":{\"best_sec\":" + r.bestSec + bestKnownPart + ",\"runs\":" +
+        r.runs.mkString("[", ",", "]") + ",\"probe_before_sec\":" + r.probeBeforeSec +
+        ",\"probe_after_sec\":" + r.probeAfterSec +
+        ",\"probe_adjacent_sec\":" + r.probeAdjacentSec + retryPart + "}"
     }.mkString("{", ",", "}")
+    // PROBE NORMALIZATION, in-band (r10 verdict task): judges were
+    // hand-dividing totals by probe medians to compare artifacts across
+    // hosts/windows — the artifact now does it per query, against the
+    // LOCAL probe level (probe_adjacent_sec = median of the probes
+    // bracketing that query's runs), so a query measured in a hot
+    // window is normalized by the hot probes that bracketed it, not by
+    // a run-wide median the quiet majority dilutes. The sum is
+    // ADVISORY and unitless (seconds of query work per second of
+    // constant probe work): comparable across artifacts because the
+    // probe is the same fixed work item everywhere; never a wall-clock
+    // substitute for `value`/`total_best_known`.
+    val totalProbeNormalized = results.map(r => r.bestSec / r.probeAdjacentSec).sum
     // full probe SERIES (order of observation): lets a judge see the
     // contention timeline of the whole run, not just min/median/max
     val probeSeries = probesSeen.map(f3).mkString("[", ",", "]")
     val probeFull =
-      s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point)","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
+      s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point)","normalization":"per-query probe_adjacent_sec = median of the probes bracketing that query's runs; total_probe_normalized = sum(best_sec / probe_adjacent_sec), unitless, comparable across hosts - advisory, not a wall-clock total","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
     def q22PairsJson: String = {
       val pairs =
         if (q22Pairs.isEmpty) ""
@@ -647,7 +717,7 @@ object Bench {
     val wallJson =
       s""""started_utc":"${java.time.Instant.ofEpochMilli(startedMs)}","ended_utc":"${java.time.Instant.ofEpochMilli(endedMs)}","wall_sec":${(endedMs - startedMs) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
     val qsCompact = results.map { r => "\"" + r.name + "\":" + f3(r.bestSec) }
@@ -661,14 +731,17 @@ object Bench {
       s"""{"min":${f3(probeStats._1)},"med":${f3(probeStats._2)},"max":${f3(probeStats._3)}}"""
     // retried COUNT only: a heavily contended run can flag a dozen
     // queries, and their names would blow the tail budget and cost the
-    // whole per-query map — the names live in the full JSON
+    // whole per-query map — the names live in the full JSON. "tpn" is
+    // the full artifact's total_probe_normalized under a short key (the
+    // compact line lives inside a ~2000-char tail capture; README
+    // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"$fullPath","sf":"$sfDir"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"full":"$fullPath","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"full":"$fullPath","sf":"$sfDir"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

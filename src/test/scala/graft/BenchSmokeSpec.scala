@@ -72,6 +72,22 @@ class BenchSmokeSpec extends SparkSpec {
         .findFirstMatchIn(res.full)
         .getOrElse(fail("no warmup spread in full artifact")).group(1).toDouble
       assert(warm > 0, s"warmup median ratio must be positive: $warm")
+
+      // probe normalization: every query carries its bracketing-probe
+      // median, and both artifacts carry the advisory normalized total
+      val adj = """"probe_adjacent_sec":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail("no probe_adjacent_sec in full artifact")).group(1).toDouble
+      assert(adj > 0, s"probe_adjacent_sec must be positive: $adj")
+      val tpn = """"total_probe_normalized":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail("no total_probe_normalized in full artifact")).group(1).toDouble
+      // single-query run: the advisory total IS best/adjacent (3-decimal
+      // rounding in the artifact is the only slack)
+      assert(tpn > 0 && math.abs(tpn - b / adj) < 0.01,
+        s"normalized total $tpn inconsistent with best $b / adjacent $adj")
+      assert("""\"tpn\":[0-9.]+""".r.findFirstIn(res.compact).isDefined,
+        s"no tpn in compact line: ${res.compact}")
     }
   }
 
