@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `events` loader must accept BOTH corpus generations the driver
+  * has shipped — `ts` as parquet TIMESTAMP(NANOS) (reads as a long
+  * under `nanosAsLong`, floor-converted to microseconds) and as
+  * TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ, cast under the
+  * UTC session). The micros generation is what's on disk today, so the
+  * nanos branch would otherwise be dead, untested code until the
+  * corpus flips back — these fixtures pin both branches to the same
+  * UTC instants.
+  */
+class TablesSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft_tables_spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // 2001-02-03T04:05:06.007008 UTC, expressed in micros since epoch
+  private val micros = 981173106007008L
+
+  test("events: micros-NTZ generation loads as a UTC session timestamp") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.core.Tables.events(spark, dir)
+    assert(out.schema("ts").dataType === TimestampType)
+    val got = out.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got === micros)
+  }
+
+  test("events: nanos generation floor-converts to the same microsecond, pre-1970 included") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // nanosAsLong surfaces TIMESTAMP(NANOS) as a raw long; writing the
+    // long directly exercises the identical loader branch. 999 ns of
+    // sub-micro detail must FLOOR (DuckDB's conversion), also for a
+    // negative pre-1970 value where truncation toward zero would round
+    // the wrong way.
+    val nanos = Seq(
+      (1L, micros * 1000L + 999L), // floors down to `micros`
+      (2L, -1500L))                // 1969-12-31T23:59:59.999998Z, floor(-1.5 us) = -2
+    nanos.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.core.Tables.events(spark, dir)
+    assert(out.schema("ts").dataType === TimestampType)
+    val got = out.orderBy("event_id").select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(micros, -2L))
+  }
+
+  test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
+    val out = graft.core.Tables.events(spark, sf)
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.limit(1).count() === 1L)
+  }
+}
