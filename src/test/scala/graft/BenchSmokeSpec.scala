@@ -73,6 +73,12 @@ class BenchSmokeSpec extends SparkSpec {
         .getOrElse(fail("no warmup spread in full artifact")).group(1).toDouble
       assert(warm > 0, s"warmup median ratio must be positive: $warm")
 
+      // settle probe: recorded per query, positive (it runs real work)
+      val settle = """"probe_settle_sec":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail("no probe_settle_sec in full artifact")).group(1).toDouble
+      assert(settle > 0, s"probe_settle_sec must be positive: $settle")
+
       // probe normalization: every query carries its bracketing-probe
       // median, and both artifacts carry the advisory normalized total
       val adj = """"probe_adjacent_sec":([0-9.E-]+)""".r
