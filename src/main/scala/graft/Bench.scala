@@ -119,16 +119,21 @@ object Bench {
     */
   final case class QueryTiming(
       name: String, bestSec: Double, runs: Seq[Double], probeBeforeSec: Double,
-      settleProbeSec: Double, probeAfterSec: Double,
-      retryRuns: Seq[Double], probeAfterRetrySec: Option[Double]) {
+      settleProbeSec: Double, probeAfterSec: Double, retryRuns: Seq[Double],
+      retrySettleSec: Option[Double], probeAfterRetrySec: Option[Double]) {
     /** Median of the probes bracketing this query's runs (before-first,
       * after-batch, after-retry-batch when present) — the local probe
       * level while THIS query measured, as opposed to the run-wide
       * median a blanket-contention judge would otherwise normalize by.
+      * True median: the common two-probe case averages the pair (the
+      * upper-index shortcut used elsewhere on odd-sized pools would
+      * systematically pick the HOTTER bracket here and understate every
+      * normalized contribution).
       */
     def probeAdjacentSec: Double = {
       val s = (Seq(probeBeforeSec, probeAfterSec) ++ probeAfterRetrySec).sorted
-      s(s.size / 2)
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
   }
 
@@ -142,8 +147,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_FULL=BENCH_FULL.json to opt in to a fixed path
     val fullPath = cfg("SPARK_GRAFT_BENCH_FULL", "") match {
       case "" =>
+        // millisecond precision: scripted back-to-back runs in the same
+        // wall-clock second must not overwrite each other either
         val ts = java.time.format.DateTimeFormatter
-          .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+          .ofPattern("yyyyMMdd'T'HHmmssSSS'Z'").withZone(java.time.ZoneOffset.UTC)
           .format(java.time.Instant.now())
         s"BENCH_FULL_$ts.json"
       case p => p
@@ -320,7 +327,8 @@ object Bench {
       else if (allRuns.exists(_.isLeft)) flaky ::= name
       val best = if (ok.nonEmpty) ok.min else allRuns.collect { case Left(t) => t }.max
       QueryTiming(name, best, runs1.map(_.merge), probeBefore, settle1, probe1,
-        retry.map(_._1.map(_.merge)).getOrElse(Seq.empty), retry.map(_._3))
+        retry.map(_._1.map(_.merge)).getOrElse(Seq.empty),
+        retry.map(_._2), retry.map(_._3))
     }
     val total = results.map(_.bestSec).sum
     def strArr(xs: List[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -546,7 +554,12 @@ object Bench {
     val secondObservation: Map[String, Double] = scaling.collect {
       case (n, _, _, f) if !liftedCapTargets.contains(n) => n -> f
     }.toMap
-    val bestKnown: Map[String, Double] = results.flatMap { r =>
+    // failed/flaky queries are NOT repaired: their bestSec can be a
+    // failure duration, and folding a later scaling success into
+    // total_best_known would restate the headline with a time for a
+    // query the same artifact reports as broken
+    val repairEligible = results.filterNot(r => (failed ++ flaky).contains(r.name))
+    val bestKnown: Map[String, Double] = repairEligible.flatMap { r =>
       secondObservation.get(r.name).map(f => r.name -> math.min(r.bestSec, f))
     }.toMap
     val totalBestKnown = results.map(r => bestKnown.getOrElse(r.name, r.bestSec)).sum
@@ -693,6 +706,7 @@ object Bench {
       val retryPart =
         if (r.probeAfterRetrySec.isEmpty) ""
         else ",\"runs_retry\":" + r.retryRuns.mkString("[", ",", "]") +
+          r.retrySettleSec.map(",\"probe_settle_retry_sec\":" + _).getOrElse("") +
           ",\"probe_after_retry_sec\":" + r.probeAfterRetrySec.get
       val bestKnownPart =
         bestKnown.get(r.name).map(",\"best_known_sec\":" + _).getOrElse("")

@@ -151,24 +151,27 @@ object ScaleKnob {
             // instead — negation applied to BOTH vectors of a within-
             // shard pair preserves their inner product (D²=I), while
             // cross-shard cosines against unneg shards flip sign and
-            // stop matching. Two wrapped-AND-negATED shards WOULD
-            // collide with each other, which needs two distinct shards
-            // k, k' ∈ [1, n-1] with k ≡ k' ≡ 0 (mod dim) — i.e.
-            // n - 1 ≥ 2·dim. Impossible for dim ≥ 13 (any real
-            // embedding width), but a narrow test corpus could hit it
-            // silently, so the guarded raise_error below makes it fail
-            // loudly at execution instead of quietly re-densifying the
-            // cross-shard buckets the whole construction exists to keep
-            // disjoint (the same failure mode the [1,26] replicate cap
-            // prevents for strings).
+            // stop matching. The construction stays pairwise-disjoint
+            // ONLY while every shard k ∈ [1, n-1] gets a distinct
+            // (rotation, negated) signature: ANY two shards with
+            // k ≡ k' (mod dim) apply the identical transform and carry
+            // identical vectors (not just the wrapped-negated pair —
+            // dim 4 at n = 6 collides shards 1 and 5 by plain
+            // rotation). Distinctness needs n - 1 ≤ dim, so the guarded
+            // raise_error fires on dim ≤ n - 2: a too-narrow corpus
+            // fails loudly at execution instead of quietly
+            // re-densifying the cross-shard buckets the construction
+            // exists to keep disjoint (the same failure mode the
+            // [1,26] replicate cap prevents for strings). Real
+            // embedding widths (≥ 25 = max factor − 1) never fire it.
             val dim = size(c)
             val r = pmod(lit(k), dim)
             val rot = concat(slice(c, r + 1, lit(1 << 24)), slice(c, lit(1), r))
             val shifted = when(r === 0, transform(c, x => -x)).otherwise(rot)
-            when(dim * 2 <= lit(n - 1), raise_error(concat(
+            when(dim <= lit(n - 2), raise_error(concat(
               lit(s"$ReplicateProp=$n cannot keep array shards disjoint at dim="),
               dim.cast("string"),
-              lit(": two shards with k = 0 (mod dim) would carry identical vectors; need dim > (replicate-1)/2"))))
+              lit(": shards k = k' (mod dim) carry identical vectors; need dim >= replicate - 1"))))
               .otherwise(shifted)
           case _ => c
         }

@@ -33,7 +33,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
@@ -43,11 +43,19 @@ object Tables {
         // nanos to the wrong microsecond vs DuckDB's flooring conversion.
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampType => raw
-      case _ =>
+      case TimestampNTZType =>
         // micros-NTZ generation: under the UTC session zone this cast
         // reinterprets the naive value as the same UTC instant the nanos
         // path produced, so both generations hash identically.
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        // a THIRD corpus generation would land here; an unconditional
+        // cast would silently misinterpret it (e.g. an integer-seconds
+        // column casts as seconds-since-epoch, off by 1e6 with no
+        // error) — fail at load where the cause is visible
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected TIMESTAMP nanos-as-long, " +
+            "TIMESTAMP, or TIMESTAMP_NTZ); teach Tables.events this corpus generation")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")

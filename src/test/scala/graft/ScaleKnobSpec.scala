@@ -99,19 +99,25 @@ class ScaleKnobSpec extends SparkSpec {
   test("narrow arrays that cannot stay disjoint fail loudly instead of collapsing shards") {
     val session = spark
     import session.implicits._
-    // dim 4 with factor 9: shards 4 and 8 are both wrapped-and-negated
-    // (k = 0 mod dim) and would carry identical vectors — the exact
-    // silent re-densification the guard exists to surface. Fires at
-    // execution (the dim is data), with the property name in the error.
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
     val df = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("id", "emb")
-    withProp(ScaleKnob.ReplicateProp, "9") {
+    // dim 4: ANY factor with two shards k = k' (mod 4) collides —
+    // factor 6 by plain rotation (shards 1 and 5 both rotate by 1),
+    // factor 9 also by the wrapped-negated pair (shards 4 and 8). Both
+    // must fire at execution (the dim is data), naming the property.
+    for (factor <- Seq("6", "9")) withProp(ScaleKnob.ReplicateProp, factor) {
       val e = intercept[Throwable](ScaleKnob.sample(df, "id").collect())
-      def messages(t: Throwable): List[String] =
-        if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
       assert(messages(e).exists(_.contains(ScaleKnob.ReplicateProp)),
-        s"expected the guard's message naming ${ScaleKnob.ReplicateProp}, got: ${messages(e)}")
+        s"factor $factor: expected the guard naming ${ScaleKnob.ReplicateProp}, got: ${messages(e)}")
     }
-    // a wide-enough array at the same factor is untouched by the guard
+    // factor 5 on dim 4 is the widest legal case (signatures
+    // rot1/rot2/rot3/negated all distinct) — the wrap test above
+    // depends on it staying legal
+    withProp(ScaleKnob.ReplicateProp, "5") {
+      assert(ScaleKnob.sample(df, "id").count() === 5L)
+    }
+    // a wide-enough array is untouched by the guard (dim >= n - 1)
     val wide = Seq((0L, Array.tabulate(16)(_.toFloat))).toDF("id", "emb")
     withProp(ScaleKnob.ReplicateProp, "9") {
       assert(ScaleKnob.sample(wide, "id").count() === 9L)
