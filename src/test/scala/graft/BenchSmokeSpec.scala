@@ -97,6 +97,16 @@ class BenchSmokeSpec extends SparkSpec {
     }
   }
 
+  test("probeAdjacentSec is a true median: averages the two-probe case, middles three") {
+    def qt(before: Double, after: Double, retry: Option[Double]) =
+      Bench.QueryTiming("q", 1.0, Seq(1.0), before, 0.1, after, Seq.empty, None, retry)
+    // two probes: the mean, NOT the hotter bracket (the committed-r11
+    // review finding: s(size/2) on two elements silently takes the max)
+    assert(qt(0.16, 0.08, None).probeAdjacentSec === 0.12)
+    // three probes (retry fired): the middle value
+    assert(qt(0.30, 0.08, Some(0.10)).probeAdjacentSec === 0.10)
+  }
+
   test("Bench.run: malformed integer knobs fall back to defaults instead of aborting the run") {
     withProps(
       "SPARK_GRAFT_ONLY" -> "q01",

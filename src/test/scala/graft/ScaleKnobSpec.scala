@@ -124,6 +124,25 @@ class ScaleKnobSpec extends SparkSpec {
     }
   }
 
+  test("every legal (dim, factor) combination yields pairwise-distinct shard vectors") {
+    val session = spark
+    import session.implicits._
+    // sweep the legal boundary the guard enforces (dim >= factor - 1):
+    // for each combination, the n shards of one base vector must carry
+    // n DISTINCT arrays — any collision is exactly the densification
+    // the guard exists to prevent, so this is the guard's contrapositive
+    for (dim <- Seq(4, 5, 8); factor <- 2 to math.min(dim + 1, 8)) {
+      val base = Array.tabulate(dim)(i => (i + 1).toFloat)
+      val df = Seq((0L, base)).toDF("id", "emb")
+      withProp(ScaleKnob.ReplicateProp, factor.toString) {
+        val shards = ScaleKnob.sample(df, "id").collect()
+          .map(_.getSeq[Float](1).toList).toSet
+        assert(shards.size === factor,
+          s"dim=$dim factor=$factor: expected $factor distinct shard vectors, got ${shards.size}")
+      }
+    }
+  }
+
   test("invalid replicate values fail loudly with the property name") {
     val session = spark
     import session.implicits._
