@@ -70,7 +70,15 @@ import org.apache.spark.sql.SparkSession
   * the bench's own one-shot post-release wake (first post-release
   * probe 0.28-0.29 s, quiet from the second, reproducible) — precedes
   * every gate probe with an untimed settle probe so the gate measures
-  * the machine, not the bench.
+  * the machine, not the bench. Round 12 closes the last self-audit
+  * blind spot: queries outside the scaled heavy-six hold one
+  * measurement batch per artifact, so a probe-INVISIBLE slow window
+  * (IO/page cache — r11's q40 at 3.60 s vs 1.08 s same-code evidence,
+  * quiet probes both times) had no in-artifact cross-check; the
+  * advisory `drift_vs_committed` block compares every query
+  * probe-normalized against the committed quiet artifact (same-corpus
+  * only), flagging >=2x movement in-band without folding a foreign
+  * JVM's numbers into any headline.
   *
   * Note on best-of-N in one JVM: run 1 of each query pays that query's
   * codegen/JIT even after the table warmup, so it systematically loses
@@ -702,6 +710,80 @@ object Bench {
       "not by the kernels - the kernel cost scales with edges and the fixed " +
       "overhead amortizes at production scale"
     val caps = """{"documents_corpus":"doc_id < 2500 in the main pass (q18c/q24-q27 demo corpus); scaling pass lifts to 5000 for q24/q26 (q34's corpus is frac-sampled, the docs cap does not apply to it)"}"""
+    // DRIFT vs the committed quiet artifact (r11 verdict task 2): a query
+    // outside the scaled heavy-six holds exactly ONE measurement batch
+    // per artifact, so a probe-invisible slow window (IO/page-cache —
+    // the r11 q40 case: 3.60 s committed against 1.08 s same-code driver
+    // evidence, quiet probes both times) has no second observation for
+    // best_known to repair from. The committed artifact IS that second
+    // observation: for every non-failed query present in both files and
+    // measured on the SAME corpus, report
+    //   (best_sec / probe_adjacent_sec) / (committed best_sec / committed probe_adjacent_sec)
+    // — probe-normalized on BOTH sides, so a uniformly hotter host reads
+    // ~1.0 across the board rather than uniformly "slower". Advisory
+    // bookkeeping over data the two files already hold (no new
+    // measurement, never folded into value/total_best_known: the
+    // committed number is a different JVM and code revision, so unlike
+    // the within-run consistency repair it can only FLAG, not restate).
+    // SPARK_GRAFT_BENCH_COMMITTED retargets the reference ("" disables);
+    // the default is the committed quiet artifact at the repo root.
+    val committedPath = cfg("SPARK_GRAFT_BENCH_COMMITTED", "BENCH_FULL.json")
+    val committedRef: Map[String, Double] =
+      if (committedPath.isEmpty || !new java.io.File(committedPath).isFile) Map.empty
+      else try {
+        import org.json4s._
+        val root = org.json4s.jackson.JsonMethods.parse(new java.io.File(committedPath))
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d)  => Some(d)
+          case JDecimal(d) => Some(d.toDouble)
+          case JInt(i)     => Some(i.toDouble)
+          case JLong(l)    => Some(l.toDouble)
+          case _           => None
+        }
+        root \ "sf" match {
+          case JString(committedSf) if committedSf == sfDir =>
+            root \ "queries" match {
+              case JObject(fields) => fields.flatMap { case (n, q) =>
+                for {
+                  b <- num(q \ "best_sec")
+                  p <- num(q \ "probe_adjacent_sec")
+                  if b > 0 && p > 0
+                } yield n -> b / p
+              }.toMap
+              case _ => Map.empty
+            }
+          case _ =>
+            // a committed artifact for a DIFFERENT corpus is not a
+            // reference — q01 at sf0.001 vs sf0.1 would read as pure
+            // drift (this is the BenchSmokeSpec/local-iteration case)
+            Map.empty
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cannot parse $committedPath for drift_vs_committed: ${e.getMessage}")
+        Map.empty
+      }
+    // failed/flaky excluded: their bestSec can be a failure duration,
+    // and "crash-fast vs committed-correct" is not drift
+    val driftByName: Map[String, Double] = repairEligible.flatMap { r =>
+      committedRef.get(r.name).map(c => r.name -> (r.bestSec / r.probeAdjacentSec) / c)
+    }.toMap
+    // same 2x threshold as the within-run consistency gate, same
+    // rationale: quiet-machine run-to-run spread on sub-2s queries
+    // reaches ~1.6x, and the real incidents read 2.4x (q40) and 3.75x
+    // (r8 q22)
+    val driftOutliers = driftByName.filter { case (_, d) => d >= 2.0 || d <= 0.5 }
+      .toSeq.sortBy { case (_, d) => -math.max(d, 1.0 / d) }
+    val driftJson =
+      if (driftByName.isEmpty) "null"
+      else {
+        val ds = driftByName.values.toSeq.sorted
+        val med =
+          if (ds.size % 2 == 1) ds(ds.size / 2)
+          else (ds(ds.size / 2 - 1) + ds(ds.size / 2)) / 2.0
+        val outliersJson = driftOutliers
+          .map { case (n, d) => s""""$n":${f3(d)}""" }.mkString("{", ",", "}")
+        s"""{"note":"per-query (best_sec/probe_adjacent_sec) / committed same - probe-normalized drift vs the committed quiet artifact, the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); advisory only, never folded into value/total_best_known (different JVM and code revision). outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"$committedPath","median":${f3(med)},"outliers":$outliersJson}"""
+      }
     val qsFull = results.map { r =>
       val retryPart =
         if (r.probeAfterRetrySec.isEmpty) ""
@@ -710,11 +792,13 @@ object Bench {
           ",\"probe_after_retry_sec\":" + r.probeAfterRetrySec.get
       val bestKnownPart =
         bestKnown.get(r.name).map(",\"best_known_sec\":" + _).getOrElse("")
+      val driftPart =
+        driftByName.get(r.name).map(d => ",\"drift_vs_committed\":" + f3(d)).getOrElse("")
       "\"" + r.name + "\":{\"best_sec\":" + r.bestSec + bestKnownPart + ",\"runs\":" +
         r.runs.mkString("[", ",", "]") + ",\"probe_before_sec\":" + r.probeBeforeSec +
         ",\"probe_settle_sec\":" + r.settleProbeSec +
         ",\"probe_after_sec\":" + r.probeAfterSec +
-        ",\"probe_adjacent_sec\":" + r.probeAdjacentSec + retryPart + "}"
+        ",\"probe_adjacent_sec\":" + r.probeAdjacentSec + driftPart + retryPart + "}"
     }.mkString("{", ",", "}")
     // PROBE NORMALIZATION, in-band (r10 verdict task): judges were
     // hand-dividing totals by probe medians to compare artifacts across
@@ -726,13 +810,17 @@ object Bench {
     // ADVISORY and unitless (seconds of query work per second of
     // constant probe work): comparable across artifacts because the
     // probe is the same fixed work item everywhere; never a wall-clock
-    // substitute for `value`/`total_best_known`.
-    val totalProbeNormalized = results.map(r => r.bestSec / r.probeAdjacentSec).sum
+    // substitute for `value`/`total_best_known`. Failed/flaky queries
+    // are EXCLUDED (their bestSec is the max failure duration — folding
+    // it in would silently shift the cross-host metric by crash times),
+    // unlike the headline `value`, which keeps them so a broken run
+    // can never read faster than a working one.
+    val totalProbeNormalized = repairEligible.map(r => r.bestSec / r.probeAdjacentSec).sum
     // full probe SERIES (order of observation): lets a judge see the
     // contention timeline of the whole run, not just min/median/max
     val probeSeries = probesSeen.map(f3).mkString("[", ",", "]")
     val probeFull =
-      s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point); every gate probe is preceded by an untimed settle probe (recorded per query as probe_settle_sec, excluded from the pool/series) that absorbs the bench's own one-shot post-release wake - measured 0.28-0.29 s on the first post-release probe after iterative queries, quiet from the second, which is what the q23-adjacent series spikes in pre-r11 artifacts were","normalization":"per-query probe_adjacent_sec = median of the probes bracketing that query's runs; total_probe_normalized = sum(best_sec / probe_adjacent_sec), unitless, comparable across hosts - advisory, not a wall-clock total","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
+      s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point); every gate probe is preceded by an untimed settle probe (recorded per query as probe_settle_sec, excluded from the pool/series) that absorbs the bench's own one-shot post-release wake - measured 0.28-0.29 s on the first post-release probe after iterative queries, quiet from the second, which is what the q23-adjacent series spikes in pre-r11 artifacts were","normalization":"per-query probe_adjacent_sec = median of the probes bracketing that query's runs; total_probe_normalized = sum(best_sec / probe_adjacent_sec) over non-failed, non-flaky queries (a failure duration must not shift the cross-host metric), unitless, comparable across hosts - advisory, not a wall-clock total","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
     def q22PairsJson: String = {
       val pairs =
         if (q22Pairs.isEmpty) ""
@@ -760,7 +848,7 @@ object Bench {
     val wallJson =
       s""""started_utc":"${java.time.Instant.ofEpochMilli(startedMs)}","ended_utc":"${java.time.Instant.ofEpochMilli(endedMs)}","wall_sec":${(endedMs - startedMs) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
     val qsCompact = results.map { r => "\"" + r.name + "\":" + f3(r.bestSec) }
@@ -779,12 +867,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":${driftOutliers.size},"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"$fullPath","sf":"$sfDir"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"probe":$probeCompact,"full":"$fullPath","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":${driftOutliers.size},"probe":$probeCompact,"full":"$fullPath","sf":"$sfDir"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

@@ -164,15 +164,28 @@ object ScaleKnob {
             // exists to keep disjoint (the same failure mode the
             // [1,26] replicate cap prevents for strings). Real
             // embedding widths (≥ 25 = max factor − 1) never fire it.
+            // The guard covers TRANSFORM-level collisions only: distinct
+            // signatures are necessary, not sufficient — a vector whose
+            // CONTENT is itself rotation-symmetric (e.g. all-constant
+            // values) yields identical shard vectors under distinct
+            // rotations. That is a data property, not a construction
+            // property, and stays unguarded (checking it would cost a
+            // per-row O(dim²) symmetry test on a bench-only path).
             val dim = size(c)
             val r = pmod(lit(k), dim)
             val rot = concat(slice(c, r + 1, lit(1 << 24)), slice(c, lit(1), r))
             val shifted = when(r === 0, transform(c, x => -x)).otherwise(rot)
-            when(dim <= lit(n - 2), raise_error(concat(
+            val guarded = when(dim <= lit(n - 2), raise_error(concat(
               lit(s"$ReplicateProp=$n cannot keep array shards disjoint at dim="),
               dim.cast("string"),
               lit(": shards k = k' (mod dim) carry identical vectors; need dim >= replicate - 1"))))
               .otherwise(shifted)
+            // NULL/empty arrays carry nothing to rotate and pass through
+            // unchanged, as they did before the guard existed — without
+            // the short-circuit, size(NULL)/size([]) would feed the dim
+            // guard null/0 and raise a misleading "disjoint at dim=-1"-
+            // style error instead of replicating the row
+            when(c.isNull || size(c) === 0, c).otherwise(guarded)
           case _ => c
         }
       out.as(f.name)

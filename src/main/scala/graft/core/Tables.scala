@@ -38,7 +38,14 @@ object Tables {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // nanos generation. Floor division (via pmod), not `div`: `div`
+        // nanos generation — by ASSUMPTION: any int64 `ts` surfaces as
+        // LongType under nanosAsLong, including a hypothetical corpus
+        // that wrote plain INT64 micros, which this branch would
+        // silently divide 1000x wrong. assertNanosMagnitude (one
+        // column-max job, memoized per corpus path) turns that silent
+        // corruption into a loud load failure.
+        assertNanosMagnitude(raw, dir)
+        // Floor division (via pmod), not `div`: `div`
         // truncates toward zero, which would round negative (pre-1970)
         // nanos to the wrong microsecond vs DuckDB's flooring conversion.
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
@@ -58,6 +65,34 @@ object Tables {
             "TIMESTAMP, or TIMESTAMP_NTZ); teach Tables.events this corpus generation")
     }
   }
+  /** Corpus paths whose int64 `ts` passed the nanosecond-magnitude
+    * check. Populated on success only, so a failed corpus re-checks
+    * (and re-fails loudly) on every load attempt.
+    */
+  private val nanosVerified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Distinguishes a nanos int64 `ts` from a plain-INT64-micros one by
+    * magnitude: nanos for any post-1971 instant exceed 3.15e16, while a
+    * micros corpus would need dates past year ~2969 to reach that. One
+    * `max(abs(ts))` job per corpus path per JVM (memoized); an
+    * all-pre-1971 corpus would false-trip, but the error names the
+    * heuristic so that corpus is a quick diagnosis, where silent
+    * 1000x-off timestamps are not. Empty/all-NULL corpora skip (nothing
+    * to misinterpret).
+    */
+  private def assertNanosMagnitude(raw: DataFrame, dir: String): Unit =
+    if (!nanosVerified.contains(dir)) {
+      import org.apache.spark.sql.functions.{abs, col, max}
+      val m = raw.agg(max(abs(col("ts")))).head()
+      if (!m.isNullAt(0) && m.getLong(0) < 31536000000000000L)
+        throw new IllegalStateException(
+          s"events.ts in $dir is int64 with max(abs(ts)) = ${m.getLong(0)} < 3.15e16: " +
+            "values are too small to be nanoseconds (every post-1971 instant exceeds that) - " +
+            "likely a plain INT64 micros corpus generation, which the nanos floor-division " +
+            "would corrupt 1000x; teach Tables.events this corpus generation")
+      nanosVerified.add(dir)
+    }
+
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

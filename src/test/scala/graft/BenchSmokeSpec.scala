@@ -97,6 +97,59 @@ class BenchSmokeSpec extends SparkSpec {
     }
   }
 
+  test("Bench.run: drift_vs_committed flags same-corpus movement and gates on corpus identity") {
+    // hand-written "committed" artifact: q01's probe-normalized ratio is
+    // pinned microscopic (best 0.001 s at probe level 1.0), so any real
+    // measurement must read as a >=2x outlier — exercising the parse,
+    // the per-query ratio, and the outlier list in one pass
+    def committed(sfField: String): String = {
+      val f = java.io.File.createTempFile("graft_committed_", ".json")
+      f.deleteOnExit()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(s"""{"metric":"total","queries":{"q01_pricing_summary":{"best_sec":0.001,"probe_adjacent_sec":1.0}},"sf":"$sfField"}""")
+      finally w.close()
+      f.getAbsolutePath
+    }
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "0",
+      "SPARK_GRAFT_BENCH_COMMITTED" -> committed(sf)) {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_drift.json")
+        .fold(err => fail(s"Bench.run refused: $err"), identity)
+      val b = """"q01_pricing_summary":\{"best_sec":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full).getOrElse(fail("no best_sec")).group(1).toDouble
+      val adj = """"probe_adjacent_sec":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full).getOrElse(fail("no probe_adjacent_sec")).group(1).toDouble
+      val drift = """"drift_vs_committed":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full).getOrElse(fail(s"no per-query drift in: ${res.full}"))
+        .group(1).toDouble
+      // committed ratio is 0.001/1.0; 3-decimal artifact rounding is the
+      // only slack. Relative tolerance: drift here is in the hundreds
+      assert(math.abs(drift - (b / adj) / 0.001) < 0.01 * drift,
+        s"drift $drift inconsistent with best $b / adjacent $adj over committed 0.001")
+      assert(drift >= 2.0, s"pinned-microscopic committed ratio must flag: $drift")
+      assert(res.full.contains(""""outliers":{"q01_pricing_summary":"""),
+        s"outlier list missing the flagged query: ${res.full}")
+      assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined,
+        s"compact line must carry the outlier count: ${res.compact}")
+    }
+    // corpus-identity gate: a committed artifact recorded at a DIFFERENT
+    // sf is not a reference (q01 at sf0.001 vs sf0.1 would read as pure
+    // drift) — the whole block must be null, not a bogus comparison
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "0",
+      "SPARK_GRAFT_BENCH_COMMITTED" -> committed("/root/testdata/sf0.1")) {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_drift2.json")
+        .fold(err => fail(s"Bench.run refused: $err"), identity)
+      assert(res.full.contains(""""drift_vs_committed":null"""),
+        s"sf mismatch must disable drift: ${res.full}")
+      assert("""\"drift_outliers\":0""".r.findFirstIn(res.compact).isDefined, res.compact)
+    }
+  }
+
   test("probeAdjacentSec is a true median: averages the two-probe case, middles three") {
     def qt(before: Double, after: Double, retry: Option[Double]) =
       Bench.QueryTiming("q", 1.0, Seq(1.0), before, 0.1, after, Seq.empty, None, retry)

@@ -124,6 +124,33 @@ class ScaleKnobSpec extends SparkSpec {
     }
   }
 
+  test("NULL and empty arrays replicate as pass-through instead of tripping the dim guard") {
+    val session = spark
+    import session.implicits._
+    // pre-guard behavior: a NULL embedding replicated as NULL. The dim
+    // guard must not change that — size(NULL)/size(array()) would feed
+    // it null/0 and raise a misleading "disjoint at dim=..." error for
+    // rows that carry nothing to rotate in the first place
+    val df = Seq(
+      (0L, Option(Array(1f, 2f, 3f, 4f))),
+      (1L, Option.empty[Array[Float]]),
+      (2L, Option(Array.empty[Float])))
+      .toDF("id", "emb")
+    withProp(ScaleKnob.ReplicateProp, "3") {
+      val out = ScaleKnob.sample(df, "id").collect()
+        .map(r => (r.getLong(0), Option(r.getSeq[Float](1)).map(_.toList)))
+      assert(out.length === 9)
+      val byBase = out.groupBy(_._1 / 3) // ids remap to id*n + k, so id/n recovers the base row
+      assert(byBase(1L).forall(_._2.isEmpty), "NULL arrays must stay NULL in every shard")
+      assert(byBase(2L).forall(_._2.contains(Nil)), "empty arrays must stay empty in every shard")
+      // the guard still fires for real rows: non-degenerate vectors at
+      // dim 4 under factor 6 collide and must keep raising
+      withProp(ScaleKnob.ReplicateProp, "6") {
+        intercept[Throwable](ScaleKnob.sample(df, "id").collect())
+      }
+    }
+  }
+
   test("every legal (dim, factor) combination yields pairwise-distinct shard vectors") {
     val session = spark
     import session.implicits._

@@ -58,6 +58,22 @@ class TablesSpec extends SparkSpec {
     assert(got === Seq(micros, -2L))
   }
 
+  test("events: a plain-INT64-micros corpus fails loudly instead of floor-dividing 1000x wrong") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // a third corpus generation writing raw micros as un-annotated
+    // int64 surfaces as LongType exactly like the nanos generation;
+    // magnitude is the only tell (micros for 2001 ~ 9.8e14, nanos
+    // ~ 9.8e17), and the loader must refuse rather than guess
+    Seq((1L, micros)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](graft.core.Tables.events(spark, dir))
+    assert(e.getMessage.contains("too small to be nanoseconds"))
+    // failure must NOT memoize: a second load attempt re-fails loudly
+    intercept[IllegalStateException](graft.core.Tables.events(spark, dir))
+  }
+
   test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
     val out = graft.core.Tables.events(spark, sf)
     assert(out.schema("ts").dataType === TimestampType)
