@@ -100,6 +100,19 @@ object Bench {
   private def f3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** Minimal JSON string escape for interpolated free-form values
+    * (paths, timestamps from a parsed file): a quote or backslash in a
+    * configured path must corrupt at worst its own field, never the
+    * whole artifact.
+    */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
+
   /** Integer knob with defensive parsing: a malformed env value must
     * not kill a multi-minute bench run with a NumberFormatException at
     * startup (same failure class as the maxBucketSize override) — warn,
@@ -716,21 +729,38 @@ object Bench {
     // the r11 q40 case: 3.60 s committed against 1.08 s same-code driver
     // evidence, quiet probes both times) has no second observation for
     // best_known to repair from. The committed artifact IS that second
-    // observation: for every non-failed query present in both files and
-    // measured on the SAME corpus, report
-    //   (best_sec / probe_adjacent_sec) / (committed best_sec / committed probe_adjacent_sec)
-    // — probe-normalized on BOTH sides, so a uniformly hotter host reads
-    // ~1.0 across the board rather than uniformly "slower". Advisory
-    // bookkeeping over data the two files already hold (no new
-    // measurement, never folded into value/total_best_known: the
-    // committed number is a different JVM and code revision, so unlike
-    // the within-run consistency repair it can only FLAG, not restate).
-    // SPARK_GRAFT_BENCH_COMMITTED retargets the reference ("" disables);
-    // the default is the committed quiet artifact at the repo root.
+    // observation: for every query healthy in both files and measured on
+    // the SAME corpus, report
+    //   (best_sec / run probe median) / (committed best_sec / committed probe median)
+    // Normalization uses the RUN-WIDE probe medians (49+ samples each),
+    // NOT per-query probe_adjacent_sec: the 2-3-sample adjacent median
+    // swings 1.7-3.5x between back-to-back quiet runs, and dividing by
+    // it injected that noise straight into the ratio (measured: 3/49
+    // false outliers between two same-session quiet recordings, e.g.
+    // q18 best 3.52->3.33 s read as drift 0.27 purely because its
+    // bracketing probes differed 3.5x). The run-wide median still
+    // cancels host speed — which is the cross-host property drift needs
+    // — while a per-query hot window is ALREADY the retry gate's job,
+    // not drift's. Advisory bookkeeping over data the two files hold
+    // (no new measurement, never folded into value/total_best_known:
+    // the committed number is a different JVM and code revision, so
+    // unlike the within-run consistency repair it can only FLAG, not
+    // restate). SPARK_GRAFT_BENCH_COMMITTED retargets the reference
+    // ("" disables); the default is the committed artifact at the repo
+    // root.
     val committedPath = cfg("SPARK_GRAFT_BENCH_COMMITTED", "BENCH_FULL.json")
-    val committedRef: Map[String, Double] =
-      if (committedPath.isEmpty || !new java.io.File(committedPath).isFile) Map.empty
-      else try {
+    val committedPathExplicit = cfg("SPARK_GRAFT_BENCH_COMMITTED", "") == committedPath
+    // (bestSec map, committed probe median, committed started_utc)
+    val committedRef: Option[(Map[String, Double], Double, String)] =
+      if (committedPath.isEmpty) None
+      else if (!new java.io.File(committedPath).isFile) {
+        // silent only for the missing DEFAULT (a fresh checkout has no
+        // committed artifact); a path someone typed must not vanish
+        // into a "drift ran clean"-shaped null
+        if (committedPathExplicit)
+          System.err.println(s"[bench] SPARK_GRAFT_BENCH_COMMITTED=$committedPath does not exist - drift_vs_committed skipped")
+        None
+      } else try {
         import org.json4s._
         val root = org.json4s.jackson.JsonMethods.parse(new java.io.File(committedPath))
         def num(v: JValue): Option[Double] = v match {
@@ -740,33 +770,50 @@ object Bench {
           case JLong(l)    => Some(l.toDouble)
           case _           => None
         }
+        def strs(v: JValue): Set[String] = v match {
+          case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+          case _          => Set.empty
+        }
         root \ "sf" match {
           case JString(committedSf) if committedSf == sfDir =>
-            root \ "queries" match {
-              case JObject(fields) => fields.flatMap { case (n, q) =>
-                for {
-                  b <- num(q \ "best_sec")
-                  p <- num(q \ "probe_adjacent_sec")
-                  if b > 0 && p > 0
-                } yield n -> b / p
-              }.toMap
-              case _ => Map.empty
+            val cMedian = num(root \ "probe" \ "median")
+            val cStarted = root \ "started_utc" match {
+              case JString(s) => s
+              case _          => "unknown"
             }
+            // the committed side's failed/flaky entries are excluded
+            // symmetrically with the current run's: a fast-crash
+            // duration must not serve as a drift reference either
+            val cBroken = strs(root \ "failed") ++ strs(root \ "flaky")
+            val cBest = root \ "queries" match {
+              case JObject(fields) => fields.flatMap { case (n, q) =>
+                if (cBroken(n)) None
+                else num(q \ "best_sec").filter(_ > 0).map(n -> _)
+              }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            cMedian.filter(_ > 0).map(m => (cBest, m, cStarted))
           case _ =>
             // a committed artifact for a DIFFERENT corpus is not a
             // reference — q01 at sf0.001 vs sf0.1 would read as pure
             // drift (this is the BenchSmokeSpec/local-iteration case)
-            Map.empty
+            System.err.println(s"[bench] $committedPath records a different corpus than $sfDir - drift_vs_committed skipped")
+            None
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cannot parse $committedPath for drift_vs_committed: ${e.getMessage}")
-        Map.empty
+        None
       }
     // failed/flaky excluded: their bestSec can be a failure duration,
     // and "crash-fast vs committed-correct" is not drift
-    val driftByName: Map[String, Double] = repairEligible.flatMap { r =>
-      committedRef.get(r.name).map(c => r.name -> (r.bestSec / r.probeAdjacentSec) / c)
-    }.toMap
+    val runMedian = probeStats._2
+    val driftByName: Map[String, Double] = committedRef match {
+      case Some((cBest, cMedian, _)) if runMedian > 0 =>
+        repairEligible.flatMap { r =>
+          cBest.get(r.name).map(c => r.name -> (r.bestSec / runMedian) / (c / cMedian))
+        }.toMap
+      case _ => Map.empty
+    }
     // same 2x threshold as the within-run consistency gate, same
     // rationale: quiet-machine run-to-run spread on sub-2s queries
     // reaches ~1.6x, and the real incidents read 2.4x (q40) and 3.75x
@@ -782,7 +829,10 @@ object Bench {
           else (ds(ds.size / 2 - 1) + ds(ds.size / 2)) / 2.0
         val outliersJson = driftOutliers
           .map { case (n, d) => s""""$n":${f3(d)}""" }.mkString("{", ",", "}")
-        s"""{"note":"per-query (best_sec/probe_adjacent_sec) / committed same - probe-normalized drift vs the committed quiet artifact, the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); advisory only, never folded into value/total_best_known (different JVM and code revision). outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"$committedPath","median":${f3(med)},"outliers":$outliersJson}"""
+        // started_utc identifies WHICH recording the ratios reference —
+        // the path alone goes stale the moment a re-record overwrites it
+        val cStarted = committedRef.map(_._3).getOrElse("unknown")
+        s"""{"note":"per-query (best_sec / run probe median) / (committed best_sec / committed probe median) - run-wide medians on both sides, so host speed cancels but per-query probe noise does not enter; the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); advisory only, never folded into value/total_best_known (different JVM and code revision). outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"${jstr(committedPath)}","committed_started_utc":"${jstr(cStarted)}","median":${f3(med)},"outliers":$outliersJson}"""
       }
     val qsFull = results.map { r =>
       val retryPart =
@@ -853,6 +903,10 @@ object Bench {
     // ---- compact summary sized for the driver's ~2000-char tail ----
     val qsCompact = results.map { r => "\"" + r.name + "\":" + f3(r.bestSec) }
       .mkString("{", ",", "}")
+    // null, not 0, when the cross-check never ran (no committed
+    // reference / different corpus): "didn't check" must stay
+    // distinguishable from "checked, clean" in the compact line too
+    val driftOutliersCompact = if (driftByName.isEmpty) "null" else driftOutliers.size.toString
     val scalingCompact =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
@@ -867,12 +921,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":${driftOutliers.size},"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":${driftOutliers.size},"probe":$probeCompact,"full":"$fullPath","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

@@ -99,14 +99,16 @@ class BenchSmokeSpec extends SparkSpec {
 
   test("Bench.run: drift_vs_committed flags same-corpus movement and gates on corpus identity") {
     // hand-written "committed" artifact: q01's probe-normalized ratio is
-    // pinned microscopic (best 0.001 s at probe level 1.0), so any real
+    // pinned microscopic (best 0.001 s at probe median 1.0), so any real
     // measurement must read as a >=2x outlier — exercising the parse,
-    // the per-query ratio, and the outlier list in one pass
+    // the per-query ratio, the provenance stamp, and the outlier list.
+    // q99 is listed failed: a committed-side failure duration must be
+    // refused as a reference, not just a current-side one
     def committed(sfField: String): String = {
       val f = java.io.File.createTempFile("graft_committed_", ".json")
       f.deleteOnExit()
       val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.println(s"""{"metric":"total","queries":{"q01_pricing_summary":{"best_sec":0.001,"probe_adjacent_sec":1.0}},"sf":"$sfField"}""")
+      try w.println(s"""{"metric":"total","queries":{"q01_pricing_summary":{"best_sec":0.001},"q99_broken":{"best_sec":0.2}},"failed":["q99_broken"],"probe":{"median":1.0},"started_utc":"2026-01-02T03:04:05Z","sf":"$sfField"}""")
       finally w.close()
       f.getAbsolutePath
     }
@@ -119,24 +121,30 @@ class BenchSmokeSpec extends SparkSpec {
         .fold(err => fail(s"Bench.run refused: $err"), identity)
       val b = """"q01_pricing_summary":\{"best_sec":([0-9.E-]+)""".r
         .findFirstMatchIn(res.full).getOrElse(fail("no best_sec")).group(1).toDouble
-      val adj = """"probe_adjacent_sec":([0-9.E-]+)""".r
-        .findFirstMatchIn(res.full).getOrElse(fail("no probe_adjacent_sec")).group(1).toDouble
+      // anchored on the min/median/max triple so it reads the PROBE
+      // block's median, not the drift block's
+      val med = """"min":[0-9.E-]+,"median":([0-9.E-]+),"max":""".r
+        .findFirstMatchIn(res.full).getOrElse(fail("no probe median")).group(1).toDouble
       val drift = """"drift_vs_committed":([0-9.E-]+)""".r
         .findFirstMatchIn(res.full).getOrElse(fail(s"no per-query drift in: ${res.full}"))
         .group(1).toDouble
-      // committed ratio is 0.001/1.0; 3-decimal artifact rounding is the
-      // only slack. Relative tolerance: drift here is in the hundreds
-      assert(math.abs(drift - (b / adj) / 0.001) < 0.01 * drift,
-        s"drift $drift inconsistent with best $b / adjacent $adj over committed 0.001")
+      // committed ratio is 0.001/1.0; run-wide medians normalize, and
+      // 3-decimal artifact rounding is the only slack. Relative
+      // tolerance: drift here is in the thousands
+      assert(math.abs(drift - (b / med) / 0.001) < 0.01 * drift,
+        s"drift $drift inconsistent with best $b / run median $med over committed 0.001")
       assert(drift >= 2.0, s"pinned-microscopic committed ratio must flag: $drift")
       assert(res.full.contains(""""outliers":{"q01_pricing_summary":"""),
         s"outlier list missing the flagged query: ${res.full}")
+      assert(res.full.contains(""""committed_started_utc":"2026-01-02T03:04:05Z""""),
+        s"drift block must stamp WHICH recording it referenced: ${res.full}")
       assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined,
         s"compact line must carry the outlier count: ${res.compact}")
     }
     // corpus-identity gate: a committed artifact recorded at a DIFFERENT
     // sf is not a reference (q01 at sf0.001 vs sf0.1 would read as pure
-    // drift) — the whole block must be null, not a bogus comparison
+    // drift) — the whole block must be null, and the compact count null
+    // too ("didn't check" must never read as "checked, clean")
     withProps(
       "SPARK_GRAFT_ONLY" -> "q01",
       "SPARK_GRAFT_BEST_OF" -> "1",
@@ -146,7 +154,7 @@ class BenchSmokeSpec extends SparkSpec {
         .fold(err => fail(s"Bench.run refused: $err"), identity)
       assert(res.full.contains(""""drift_vs_committed":null"""),
         s"sf mismatch must disable drift: ${res.full}")
-      assert("""\"drift_outliers\":0""".r.findFirstIn(res.compact).isDefined, res.compact)
+      assert("""\"drift_outliers\":null""".r.findFirstIn(res.compact).isDefined, res.compact)
     }
   }
 
