@@ -105,7 +105,7 @@ object Bench {
     * configured path must corrupt at worst its own field, never the
     * whole artifact.
     */
-  private def jstr(s: String): String =
+  private[graft] def jstr(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
       case '\\'          => "\\\\"

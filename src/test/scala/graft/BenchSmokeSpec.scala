@@ -158,6 +158,41 @@ class BenchSmokeSpec extends SparkSpec {
     }
   }
 
+  test("Bench.run: a malformed committed reference warns and disables drift, never aborts the bench") {
+    val f = java.io.File.createTempFile("graft_committed_bad_", ".json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.println("""{not json at all""") finally w.close()
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "0",
+      "SPARK_GRAFT_BENCH_COMMITTED" -> f.getAbsolutePath) {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_drift3.json")
+        .fold(err => fail(s"malformed committed reference aborted the bench: $err"), identity)
+      assert(res.failed.isEmpty)
+      assert(res.full.contains(""""drift_vs_committed":null"""),
+        s"unparseable reference must disable drift: ${res.full}")
+    }
+  }
+
+  test("jstr escapes quotes, backslashes and control chars so a hostile path cannot corrupt the artifact") {
+    assert(Bench.jstr("""/tmp/ref"v1.json""") === """/tmp/ref\"v1.json""")
+    assert(Bench.jstr("""C:\bench\ref.json""") === """C:\\bench\\ref.json""")
+    // expected spelled with escaped backslashes: Scala 2 processes
+    // \\uXXXX escapes even inside triple-quoted literals
+    assert(Bench.jstr("a\nb\tc") === "a\\u000ab\\u0009c")
+    assert(Bench.jstr("plain/path.json") === "plain/path.json")
+    // round-trip through a real JSON parser: the escaped form embedded
+    // in a document must parse back to the original string
+    import org.json4s._
+    for (s <- Seq("""/tmp/we"ird\path""", "new\nline", "plain")) {
+      val doc = s"""{"p":"${Bench.jstr(s)}"}"""
+      val parsed = org.json4s.jackson.JsonMethods.parse(doc) \ "p"
+      assert(parsed === JString(s), s"round-trip failed for: $s")
+    }
+  }
+
   test("probeAdjacentSec is a true median: averages the two-probe case, middles three") {
     def qt(before: Double, after: Double, retry: Option[Double]) =
       Bench.QueryTiming("q", 1.0, Seq(1.0), before, 0.1, after, Seq.empty, None, retry)
