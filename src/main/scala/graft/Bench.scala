@@ -78,7 +78,14 @@ import org.apache.spark.sql.SparkSession
   * advisory `drift_vs_committed` block compares every query
   * probe-normalized against the committed quiet artifact (same-corpus
   * only), flagging >=2x movement in-band without folding a foreign
-  * JVM's numbers into any headline.
+  * JVM's numbers into any headline. Round 13 makes that check
+  * SELF-REPAIRING: each >=2x (slow-direction) outlier still lacking an
+  * in-family second observation gets ONE re-measure batch (bounded to
+  * the worst SPARK_GRAFT_DRIFT_REPAIR_MAX, default 5), whose best
+  * feeds best_known_sec/total_best_known like any same-corpus
+  * observation — the r12 driver window held q17 at 9.68 s against a
+  * 1.01 s committed same-code recording and could only flag it; now
+  * the artifact re-measures and repairs in-band.
   *
   * Note on best-of-N in one JVM: run 1 of each query pays that query's
   * codegen/JIT even after the table warmup, so it systematically loses
@@ -578,12 +585,10 @@ object Bench {
     // failed/flaky queries are NOT repaired: their bestSec can be a
     // failure duration, and folding a later scaling success into
     // total_best_known would restate the headline with a time for a
-    // query the same artifact reports as broken
+    // query the same artifact reports as broken.
+    // (bestKnown/totalBestKnown are computed AFTER the drift-repair
+    // pass below, so a drift re-measure batch feeds them too.)
     val repairEligible = results.filterNot(r => (failed ++ flaky).contains(r.name))
-    val bestKnown: Map[String, Double] = repairEligible.flatMap { r =>
-      secondObservation.get(r.name).map(f => r.name -> math.min(r.bestSec, f))
-    }.toMap
-    val totalBestKnown = results.map(r => bestKnown.getOrElse(r.name, r.bestSec)).sum
 
     // cold-vs-warm provenance: run 1 of each query pays that query's
     // codegen/JIT even after the table warmup (see the best-of-N note up
@@ -796,8 +801,14 @@ object Bench {
           case _ =>
             // a committed artifact for a DIFFERENT corpus is not a
             // reference — q01 at sf0.001 vs sf0.1 would read as pure
-            // drift (this is the BenchSmokeSpec/local-iteration case)
-            System.err.println(s"[bench] $committedPath records a different corpus than $sfDir - drift_vs_committed skipped")
+            // drift (this is the BenchSmokeSpec/local-iteration case).
+            // Warn only for an EXPLICITLY configured path, matching the
+            // missing-file policy above: every gate/smoke run launched
+            // from the repo root hits the default committed artifact
+            // (sf0.1) with a small corpus, and a warning that fires on
+            // every routine run is noise, not signal
+            if (committedPathExplicit)
+              System.err.println(s"[bench] $committedPath records a different corpus than $sfDir - drift_vs_committed skipped")
             None
         }
       } catch { case e: Throwable =>
@@ -805,7 +816,12 @@ object Bench {
         None
       }
     // failed/flaky excluded: their bestSec can be a failure duration,
-    // and "crash-fast vs committed-correct" is not drift
+    // and "crash-fast vs committed-correct" is not drift.
+    // runMedian is SNAPSHOTTED here (a val, not the live probeStats):
+    // the repair pass below adds its own probes to the pool, and the
+    // flagging ratios must stay the ratios that triggered the repair —
+    // the artifact records this snapshot as `run_probe_median` so the
+    // drift arithmetic is reproducible from the file alone.
     val runMedian = probeStats._2
     val driftByName: Map[String, Double] = committedRef match {
       case Some((cBest, cMedian, _)) if runMedian > 0 =>
@@ -814,12 +830,90 @@ object Bench {
         }.toMap
       case _ => Map.empty
     }
+    // "didn't check" must be identifiable: a reference that parses and
+    // matches the corpus but shares no healthy query with this run
+    // (e.g. SPARK_GRAFT_ONLY selecting a query the committed file lists
+    // failed) renders the same null as a disabled check — say so
+    if (committedRef.isDefined && driftByName.isEmpty)
+      System.err.println(s"[bench] $committedPath parsed and matches the corpus but holds " +
+        "no healthy queries overlapping this run - drift_vs_committed is null (no-overlap, not disabled)")
     // same 2x threshold as the within-run consistency gate, same
     // rationale: quiet-machine run-to-run spread on sub-2s queries
     // reaches ~1.6x, and the real incidents read 2.4x (q40) and 3.75x
     // (r8 q22)
     val driftOutliers = driftByName.filter { case (_, d) => d >= 2.0 || d <= 0.5 }
       .toSeq.sortBy { case (_, d) => -math.max(d, 1.0 / d) }
+    // DRIFT SELF-REPAIR (r12 verdict task 1): a >=2x drift outlier means
+    // the committed artifact holds a quieter same-corpus observation
+    // than any batch THIS run holds — the r12 driver window recorded q17
+    // at 9.68 s against 1.01 s committed same-code with quiet adjacent
+    // probes (IO/page-cache, invisible to the CPU probe), and the check
+    // could flag but not repair: a single-batch query had no second
+    // same-JVM observation. Give exactly those queries one: ONE
+    // re-measure batch (same best-of-N width as the main pass), bounded
+    // to the worst SPARK_GRAFT_DRIFT_REPAIR_MAX (default 5) outliers so
+    // a genuinely slower build cannot double its own wall clock chasing
+    // ratios a re-measure cannot fix. Only the SLOW direction (>=2x)
+    // repairs: contention/IO only ever inflate a timing, so a <=0.5x
+    // "outlier" is the committed side's window, and min-over-
+    // observations would keep the fast current number anyway.
+    // Eligibility uses the best observation the run ALREADY holds (main
+    // best or the scaling pass's full point): a heavy-six query whose
+    // scaling point is in family is already repaired, and re-measuring
+    // it would spend the bounded budget on a closed case. The raw
+    // best_sec and the flagging drift ratio stay untouched; the
+    // re-measured best feeds best_known_sec/total_best_known exactly
+    // like a scaling full point, and each repair is listed in the drift
+    // block's `repairs` array with its post-repair ratio, so the
+    // artifact shows both what the window recorded and what the machine
+    // re-measured.
+    val repairMax = cfgInt("SPARK_GRAFT_DRIFT_REPAIR_MAX", 5, min = 0)
+    def bestSoFar(r: QueryTiming): Double =
+      secondObservation.get(r.name).map(math.min(r.bestSec, _)).getOrElse(r.bestSec)
+    val repairTargets: Seq[(QueryTiming, Double)] = committedRef match {
+      case Some((cBest, cMedian, _)) if runMedian > 0 =>
+        repairEligible.flatMap { r =>
+          cBest.get(r.name).map(c => (r, (bestSoFar(r) / runMedian) / (c / cMedian)))
+        }.filter(_._2 >= 2.0).sortBy(-_._2).take(repairMax)
+      case _ => Seq.empty
+    }
+    // (name, flagging drift ratio, re-measured best of the repair batch)
+    val driftRepairs: Seq[(String, Double, Double)] = repairTargets.flatMap { case (r, d) =>
+      SparkEntry.queries.get(r.name).flatMap { fn =>
+        System.err.println(f"[bench] ${r.name} drift $d%.2fx vs committed quiet artifact - " +
+          "re-measuring batch once (drift self-repair)")
+        val n = if (heavy(r.name)) bestOf.max(3) else bestOf
+        val runs = (1 to n).flatMap { _ =>
+          val t = try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] drift re-measure of ${r.name} failed: ${e.getMessage}")
+            None
+          }
+          releaseLeftovers()
+          t
+        }
+        probeOnce() // untimed settle, as everywhere
+        probesSeen += probeOnce()
+        // an all-failed repair batch records nothing: the query already
+        // succeeded in the main pass, so a transient failure here must
+        // not shadow that — the flagged ratio simply stands unrepaired
+        runs.minOption.map(t => (r.name, d, t))
+      }
+    }
+    // SELF-REPAIR bookkeeping, now over EVERY same-corpus observation
+    // this run holds: the main best-of batch (incl. contention
+    // retries), the scaling pass's full point, and the drift-repair
+    // batch. Contention only inflates, so min stays the monotone
+    // estimator the retry gate relies on.
+    val repairBest: Map[String, Double] = driftRepairs.map { case (n, _, t) => n -> t }.toMap
+    val bestKnown: Map[String, Double] = repairEligible.flatMap { r =>
+      val seconds = secondObservation.get(r.name).toSeq ++ repairBest.get(r.name)
+      if (seconds.isEmpty) None else Some(r.name -> (r.bestSec +: seconds).min)
+    }.toMap
+    val totalBestKnown = results.map(r => bestKnown.getOrElse(r.name, r.bestSec)).sum
     val driftJson =
       if (driftByName.isEmpty) "null"
       else {
@@ -829,10 +923,19 @@ object Bench {
           else (ds(ds.size / 2 - 1) + ds(ds.size / 2)) / 2.0
         val outliersJson = driftOutliers
           .map { case (n, d) => s""""$n":${f3(d)}""" }.mkString("{", ",", "}")
+        val repairsJson = driftRepairs.map { case (n, d, t) =>
+          val bk = bestKnown.getOrElse(n, t)
+          // post-repair ratio under the SAME snapshot arithmetic as the
+          // flagging ratio, so the pair is comparable within the file
+          val after = committedRef.flatMap { case (cBest, cMedian, _) =>
+            cBest.get(n).map(c => (bk / runMedian) / (c / cMedian))
+          }.getOrElse(d)
+          s"""{"query":"$n","drift":${f3(d)},"remeasured_sec":$t,"best_known_sec":$bk,"drift_after":${f3(after)}}"""
+        }.mkString("[", ",", "]")
         // started_utc identifies WHICH recording the ratios reference —
         // the path alone goes stale the moment a re-record overwrites it
         val cStarted = committedRef.map(_._3).getOrElse("unknown")
-        s"""{"note":"per-query (best_sec / run probe median) / (committed best_sec / committed probe median) - run-wide medians on both sides, so host speed cancels but per-query probe noise does not enter; the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); advisory only, never folded into value/total_best_known (different JVM and code revision). outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"${jstr(committedPath)}","committed_started_utc":"${jstr(cStarted)}","median":${f3(med)},"outliers":$outliersJson}"""
+        s"""{"note":"per-query (best_sec / run_probe_median) / (committed best_sec / committed probe median) - run-wide medians on both sides, so host speed cancels but per-query probe noise does not enter; the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); flagging ratios never fold into value (different JVM and code revision), but each >=2x outlier gets ONE re-measure batch (worst SPARK_GRAFT_DRIFT_REPAIR_MAX, default 5) whose best feeds best_known_sec/total_best_known like any same-corpus observation - see repairs[]. outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"${jstr(committedPath)}","committed_started_utc":"${jstr(cStarted)}","run_probe_median":$runMedian,"median":${f3(med)},"outliers":$outliersJson,"repairs":$repairsJson}"""
       }
     val qsFull = results.map { r =>
       val retryPart =
@@ -907,6 +1010,10 @@ object Bench {
     // reference / different corpus): "didn't check" must stay
     // distinguishable from "checked, clean" in the compact line too
     val driftOutliersCompact = if (driftByName.isEmpty) "null" else driftOutliers.size.toString
+    // repaired COUNT mirrors the outlier count's null discipline; the
+    // per-repair detail (ratios, re-measured seconds) lives in the full
+    // artifact's repairs[] — names would blow the tail budget
+    val driftRepairedCompact = if (driftByName.isEmpty) "null" else driftRepairs.size.toString
     val scalingCompact =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
@@ -921,12 +1028,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

@@ -42,8 +42,8 @@ object Tables {
         // LongType under nanosAsLong, including a hypothetical corpus
         // that wrote plain INT64 micros, which this branch would
         // silently divide 1000x wrong. assertNanosMagnitude (one
-        // column-max job, memoized per corpus path) turns that silent
-        // corruption into a loud load failure.
+        // column-max job, memoized per corpus fingerprint) turns that
+        // silent corruption into a loud load failure.
         assertNanosMagnitude(raw, dir)
         // Floor division (via pmod), not `div`: `div`
         // truncates toward zero, which would round negative (pre-1970)
@@ -65,23 +65,46 @@ object Tables {
             "TIMESTAMP, or TIMESTAMP_NTZ); teach Tables.events this corpus generation")
     }
   }
-  /** Corpus paths whose int64 `ts` passed the nanosecond-magnitude
+  /** Corpus FINGERPRINTS (path + per-file name/length/mtime of the
+    * events parquet) whose int64 `ts` passed the nanosecond-magnitude
     * check. Populated on success only, so a failed corpus re-checks
-    * (and re-fails loudly) on every load attempt.
+    * (and re-fails loudly) on every load attempt. Keyed on the
+    * fingerprint, not the path alone: a corpus REGENERATED at the same
+    * path within one JVM (a test rewriting a tmp dir from nanos to
+    * plain-INT64 micros) changes its part files' length/mtime and so
+    * re-verifies, instead of riding the stale memo into a silent
+    * 1000x floor-division.
     */
   private val nanosVerified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap identity for the on-disk events table: sorted part-file
+    * (name, length, lastModified) under `dir`/events.parquet. For a
+    * non-local URI (no java.io visibility) this degrades to the path
+    * alone, which restores the one-generation-per-path-per-JVM
+    * assumption — acceptable: the regeneration-in-place case the
+    * fingerprint exists for is a local-filesystem test pattern.
+    */
+  private def eventsFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/events.parquet")
+    val parts = if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+                else if (root.isFile) Seq(root)
+                else Seq.empty
+    dir + "|" + parts.sortBy(_.getName)
+      .map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString(",")
+  }
 
   /** Distinguishes a nanos int64 `ts` from a plain-INT64-micros one by
     * magnitude: nanos for any post-1971 instant exceed 3.15e16, while a
     * micros corpus would need dates past year ~2969 to reach that. One
-    * `max(abs(ts))` job per corpus path per JVM (memoized); an
+    * `max(abs(ts))` job per corpus fingerprint per JVM (memoized); an
     * all-pre-1971 corpus would false-trip, but the error names the
     * heuristic so that corpus is a quick diagnosis, where silent
     * 1000x-off timestamps are not. Empty/all-NULL corpora skip (nothing
     * to misinterpret).
     */
-  private def assertNanosMagnitude(raw: DataFrame, dir: String): Unit =
-    if (!nanosVerified.contains(dir)) {
+  private def assertNanosMagnitude(raw: DataFrame, dir: String): Unit = {
+    val key = eventsFingerprint(dir)
+    if (!nanosVerified.contains(key)) {
       import org.apache.spark.sql.functions.{abs, col, max}
       val m = raw.agg(max(abs(col("ts")))).head()
       if (!m.isNullAt(0) && m.getLong(0) < 31536000000000000L)
@@ -90,8 +113,9 @@ object Tables {
             "values are too small to be nanoseconds (every post-1971 instant exceeds that) - " +
             "likely a plain INT64 micros corpus generation, which the nanos floor-division " +
             "would corrupt 1000x; teach Tables.events this corpus generation")
-      nanosVerified.add(dir)
+      nanosVerified.add(key)
     }
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -121,10 +121,11 @@ class BenchSmokeSpec extends SparkSpec {
         .fold(err => fail(s"Bench.run refused: $err"), identity)
       val b = """"q01_pricing_summary":\{"best_sec":([0-9.E-]+)""".r
         .findFirstMatchIn(res.full).getOrElse(fail("no best_sec")).group(1).toDouble
-      // anchored on the min/median/max triple so it reads the PROBE
-      // block's median, not the drift block's
-      val med = """"min":[0-9.E-]+,"median":([0-9.E-]+),"max":""".r
-        .findFirstMatchIn(res.full).getOrElse(fail("no probe median")).group(1).toDouble
+      // the drift block's own recorded snapshot median — the repair
+      // pass adds probes AFTER the ratios are computed, so the probe
+      // block's final median is NOT the normalizer the ratios used
+      val med = """"run_probe_median":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full).getOrElse(fail("no run_probe_median")).group(1).toDouble
       val drift = """"drift_vs_committed":([0-9.E-]+)""".r
         .findFirstMatchIn(res.full).getOrElse(fail(s"no per-query drift in: ${res.full}"))
         .group(1).toDouble
@@ -140,6 +141,46 @@ class BenchSmokeSpec extends SparkSpec {
         s"drift block must stamp WHICH recording it referenced: ${res.full}")
       assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined,
         s"compact line must carry the outlier count: ${res.compact}")
+      // SELF-REPAIR contract (r13): the flagged query got one
+      // re-measure batch, listed in repairs[] with the flagging ratio,
+      // the re-measured seconds, and the post-repair ratio; its best
+      // feeds best_known_sec and total_best_known restates the
+      // headline with it (min can only improve or hold)
+      val rep = """"repairs":\[\{"query":"q01_pricing_summary","drift":([0-9.E-]+),"remeasured_sec":([0-9.E-]+),"best_known_sec":([0-9.E-]+),"drift_after":([0-9.E-]+)\}\]""".r
+        .findFirstMatchIn(res.full)
+        .getOrElse(fail(s"no repair entry for the flagged query: ${res.full}"))
+      val (remeasured, bk) = (rep.group(2).toDouble, rep.group(3).toDouble)
+      assert(remeasured > 0, "re-measured batch must record a positive time")
+      assert(math.abs(bk - math.min(b, remeasured)) < 1e-9,
+        s"best_known $bk must be min(best $b, remeasured $remeasured)")
+      assert(res.full.contains(""""best_known_sec":""" + bk),
+        s"repair must feed the query's best_known_sec: ${res.full}")
+      val tbk = """"total_best_known":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.full).getOrElse(fail("no total_best_known")).group(1).toDouble
+      assert(math.abs(tbk - bk) < 1e-9,
+        s"single-query run: total_best_known $tbk must equal the repaired best $bk")
+      assert("""\"drift_repaired\":1""".r.findFirstIn(res.compact).isDefined,
+        s"compact line must carry the repair count: ${res.compact}")
+    }
+    // bounded: SPARK_GRAFT_DRIFT_REPAIR_MAX=0 disables the repair pass
+    // while the flagging stays — the advisory check must never be able
+    // to spend unbounded wall clock
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q01",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "0",
+      "SPARK_GRAFT_DRIFT_REPAIR_MAX" -> "0",
+      "SPARK_GRAFT_BENCH_COMMITTED" -> committed(sf)) {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_drift0.json")
+        .fold(err => fail(s"Bench.run refused: $err"), identity)
+      assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined, res.compact)
+      assert(res.full.contains(""""repairs":[]"""),
+        s"repair cap 0 must leave the repairs array empty: ${res.full}")
+      assert("""\"drift_repaired\":0""".r.findFirstIn(res.compact).isDefined, res.compact)
+      // no repair, no scaling -> no second observation -> no best_known
+      // entry, and total_best_known falls back to value
+      assert(!res.full.contains(""""best_known_sec":"""),
+        s"no repair ran, so no best_known_sec may appear: ${res.full}")
     }
     // corpus-identity gate: a committed artifact recorded at a DIFFERENT
     // sf is not a reference (q01 at sf0.001 vs sf0.1 would read as pure

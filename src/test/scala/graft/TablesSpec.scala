@@ -74,6 +74,25 @@ class TablesSpec extends SparkSpec {
     intercept[IllegalStateException](graft.core.Tables.events(spark, dir))
   }
 
+  test("events: a corpus regenerated at the same path re-verifies instead of riding the stale memo") {
+    val session = spark
+    import session.implicits._
+    val dir = tmpDir()
+    // generation 1: genuine nanos — passes the magnitude check and
+    // memoizes its fingerprint
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.core.Tables.events(spark, dir).count() === 1L)
+    // generation 2, SAME path: plain-INT64 micros. A path-keyed memo
+    // (the pre-r13 behavior) would skip the check and floor-divide
+    // 1000x wrong silently; the fingerprint (part names/length/mtime
+    // change on rewrite) must force re-verification and fail loudly
+    Seq((1L, micros)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](graft.core.Tables.events(spark, dir))
+    assert(e.getMessage.contains("too small to be nanoseconds"))
+  }
+
   test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
     val out = graft.core.Tables.events(spark, sf)
     assert(out.schema("ts").dataType === TimestampType)
