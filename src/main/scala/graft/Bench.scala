@@ -1004,8 +1004,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
-    val qsCompact = results.map { r => "\"" + r.name + "\":" + f3(r.bestSec) }
-      .mkString("{", ",", "}")
+    // per-query keys are the qNN prefix (like growth_exponents): full
+    // names cost ~700 chars across 49 queries, and r13's +19-char
+    // drift_repaired field pushed the full-name line to 1903 — past the
+    // 1900 fallback, which silently drops the whole per-query map from
+    // the captured tail. Short keys buy ~700 chars of headroom; the
+    // full artifact keeps full names. Guarded: if two selected queries
+    // ever shared a prefix the short map would silently lose one, so
+    // fall back to full names (the fallback line still carries totals).
+    val prefixesUnique =
+      results.map(_.name.takeWhile(_ != '_')).distinct.size == results.size
+    val qsCompact = results.map { r =>
+      val key = if (prefixesUnique) r.name.takeWhile(_ != '_') else r.name
+      "\"" + key + "\":" + f3(r.bestSec)
+    }.mkString("{", ",", "}")
     // null, not 0, when the cross-check never ran (no committed
     // reference / different corpus): "didn't check" must stay
     // distinguishable from "checked, clean" in the compact line too

@@ -47,8 +47,10 @@ class BenchSmokeSpec extends SparkSpec {
       val (mn, md, mx) = (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)
       assert(mn > 0 && mn <= md && md <= mx, s"probe stats out of order: $mn/$md/$mx")
 
-      // the query's timing is recorded and positive in both artifacts
-      assert(res.compact.contains("\"q01_pricing_summary\":"))
+      // the query's timing is recorded and positive in both artifacts —
+      // compact keys are the qNN prefix (tail-budget economy, README),
+      // the full artifact keeps full names
+      assert(res.compact.contains("\"q01\":"))
       val best = """"q01_pricing_summary":\{"best_sec":([0-9.E-]+)""".r
       val b = best.findFirstMatchIn(res.full)
         .getOrElse(fail(s"no best_sec in full artifact")).group(1).toDouble
