@@ -877,7 +877,15 @@ object Bench {
         }.filter(_._2 >= 2.0).sortBy(-_._2).take(repairMax)
       case _ => Seq.empty
     }
-    // (name, flagging drift ratio, re-measured best of the repair batch)
+    // (name, pre-repair drift ratio, re-measured best of the repair
+    // batch). The pre-repair ratio is the ELIGIBILITY ratio — computed
+    // over the best observation the run already held (bestSoFar), not
+    // over the raw best_sec the outliers map uses — so for a heavy-six
+    // query whose scaling full point was quieter than its main batch,
+    // repairs[].drift can read BELOW that query's outliers value. Both
+    // are ≥2x by construction; the outliers map answers "what did the
+    // window record", repairs[].drift answers "what was still
+    // unexplained when the repair pass started".
     val driftRepairs: Seq[(String, Double, Double)] = repairTargets.flatMap { case (r, d) =>
       SparkEntry.queries.get(r.name).flatMap { fn =>
         System.err.println(f"[bench] ${r.name} drift $d%.2fx vs committed quiet artifact - " +
@@ -935,7 +943,7 @@ object Bench {
         // started_utc identifies WHICH recording the ratios reference —
         // the path alone goes stale the moment a re-record overwrites it
         val cStarted = committedRef.map(_._3).getOrElse("unknown")
-        s"""{"note":"per-query (best_sec / run_probe_median) / (committed best_sec / committed probe median) - run-wide medians on both sides, so host speed cancels but per-query probe noise does not enter; the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); flagging ratios never fold into value (different JVM and code revision), but each >=2x outlier gets ONE re-measure batch (worst SPARK_GRAFT_DRIFT_REPAIR_MAX, default 5) whose best feeds best_known_sec/total_best_known like any same-corpus observation - see repairs[]. outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"${jstr(committedPath)}","committed_started_utc":"${jstr(cStarted)}","run_probe_median":$runMedian,"median":${f3(med)},"outliers":$outliersJson,"repairs":$repairsJson}"""
+        s"""{"note":"per-query (best_sec / run_probe_median) / (committed best_sec / committed probe median) - run-wide medians on both sides, so host speed cancels but per-query probe noise does not enter; the one cross-check a single-batch query gets against probe-invisible slow windows (IO/page cache); flagging ratios never fold into value (different JVM and code revision), but each >=2x outlier gets ONE re-measure batch (worst SPARK_GRAFT_DRIFT_REPAIR_MAX, default 5, repair_max here; 0 disables the pass) whose best feeds best_known_sec/total_best_known like any same-corpus observation - see repairs[]. repairs[].drift is the pre-repair ratio over the best observation the run already held (main best or scaling full point), so it can read below the same query's outliers value, which always uses the raw main best_sec. outliers = ratio >= 2x or <= 0.5x, the consistency-gate threshold","committed":"${jstr(committedPath)}","committed_started_utc":"${jstr(cStarted)}","run_probe_median":$runMedian,"repair_max":$repairMax,"median":${f3(med)},"outliers":$outliersJson,"repairs":$repairsJson}"""
       }
     val qsFull = results.map { r =>
       val retryPart =
@@ -1014,18 +1022,30 @@ object Bench {
     // fall back to full names (the fallback line still carries totals).
     val prefixesUnique =
       results.map(_.name.takeWhile(_ != '_')).distinct.size == results.size
+    def qKey(name: String) = if (prefixesUnique) name.takeWhile(_ != '_') else name
     val qsCompact = results.map { r =>
-      val key = if (prefixesUnique) r.name.takeWhile(_ != '_') else r.name
-      "\"" + key + "\":" + f3(r.bestSec)
+      "\"" + qKey(r.name) + "\":" + f3(r.bestSec)
     }.mkString("{", ",", "}")
+    // failed/flaky share the queries map's key namespace (a tail
+    // consumer cross-references them against it) and its budget
+    // rationale: full failure names are up to ~25 chars each and erode
+    // the exact headroom the prefix keys bought. Full names stay in the
+    // full artifact's arrays.
+    val failedCompact = strArr(failed.map(qKey))
+    val flakyCompact = strArr(flaky.map(qKey))
     // null, not 0, when the cross-check never ran (no committed
     // reference / different corpus): "didn't check" must stay
     // distinguishable from "checked, clean" in the compact line too
     val driftOutliersCompact = if (driftByName.isEmpty) "null" else driftOutliers.size.toString
-    // repaired COUNT mirrors the outlier count's null discipline; the
-    // per-repair detail (ratios, re-measured seconds) lives in the full
-    // artifact's repairs[] — names would blow the tail budget
-    val driftRepairedCompact = if (driftByName.isEmpty) "null" else driftRepairs.size.toString
+    // repaired COUNT mirrors the outlier count's null discipline — and
+    // extends it: REPAIR_MAX=0 disables the repair pass entirely, so 0
+    // would be indistinguishable from "pass ran, every outlier already
+    // had an in-family observation"; a disabled pass reads null like an
+    // absent reference does. The per-repair detail (ratios, re-measured
+    // seconds) lives in the full artifact's repairs[] — names would
+    // blow the tail budget
+    val driftRepairedCompact =
+      if (driftByName.isEmpty || repairMax == 0) "null" else driftRepairs.size.toString
     val scalingCompact =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
@@ -1040,12 +1060,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedJson,"flaky":$flakyJson,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

@@ -83,14 +83,47 @@ object Tables {
     * alone, which restores the one-generation-per-path-per-JVM
     * assumption — acceptable: the regeneration-in-place case the
     * fingerprint exists for is a local-filesystem test pattern.
+    *
+    * The SINGLE-FILE shape (events.parquet as a file, a test/tool
+    * pattern — a Spark write always produces a directory of
+    * UUID-named parts, so a regeneration there always changes names)
+    * additionally folds in a CRC32 of the head+tail 8 KiB:
+    * name:length:mtime alone can collide on an in-place same-length
+    * rewrite within the filesystem's mtime granularity (1-2 s on
+    * ext3/FAT), and a parquet rewrite always moves bytes in the
+    * footer (column min/max statistics live there — a nanos→micros
+    * rewrite shifts every ts stat 1000x). Bounded 16 KiB read per
+    * events() load; the directory shape stays stat-only.
     */
-  private def eventsFingerprint(dir: String): String = {
+  private[graft] def eventsFingerprint(dir: String): String = {
     val root = new java.io.File(s"$dir/events.parquet")
-    val parts = if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-                else if (root.isFile) Seq(root)
-                else Seq.empty
-    dir + "|" + parts.sortBy(_.getName)
-      .map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString(",")
+    if (root.isFile) {
+      val crc = new java.util.zip.CRC32()
+      try {
+        val raf = new java.io.RandomAccessFile(root, "r")
+        try {
+          val headLen = math.min(8192L, raf.length()).toInt
+          val head = new Array[Byte](headLen)
+          raf.readFully(head); crc.update(head)
+          if (raf.length() > 8192L) {
+            val tailStart = math.max(8192L, raf.length() - 8192L)
+            raf.seek(tailStart)
+            val tail = new Array[Byte]((raf.length() - tailStart).toInt)
+            raf.readFully(tail); crc.update(tail)
+          }
+        } finally raf.close()
+        s"$dir|${root.getName}:${root.length}:${root.lastModified}:${crc.getValue}"
+      } catch { case _: java.io.IOException =>
+        // unreadable-as-file (raced delete etc.): stat-only identity,
+        // same degradation as the non-local case
+        s"$dir|${root.getName}:${root.length}:${root.lastModified}"
+      }
+    } else {
+      val parts = if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+                  else Seq.empty
+      dir + "|" + parts.sortBy(_.getName)
+        .map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString(",")
+    }
   }
 
   /** Distinguishes a nanos int64 `ts` from a plain-INT64-micros one by

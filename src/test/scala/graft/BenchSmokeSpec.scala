@@ -144,8 +144,10 @@ class BenchSmokeSpec extends SparkSpec {
       assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined,
         s"compact line must carry the outlier count: ${res.compact}")
       // SELF-REPAIR contract (r13): the flagged query got one
-      // re-measure batch, listed in repairs[] with the flagging ratio,
-      // the re-measured seconds, and the post-repair ratio; its best
+      // re-measure batch, listed in repairs[] with its pre-repair
+      // ratio (over the best observation the run already held — equal
+      // to the flagging ratio here, since no scaling pass ran), the
+      // re-measured seconds, and the post-repair ratio; its best
       // feeds best_known_sec and total_best_known restates the
       // headline with it (min can only improve or hold)
       val rep = """"repairs":\[\{"query":"q01_pricing_summary","drift":([0-9.E-]+),"remeasured_sec":([0-9.E-]+),"best_known_sec":([0-9.E-]+),"drift_after":([0-9.E-]+)\}\]""".r
@@ -178,7 +180,14 @@ class BenchSmokeSpec extends SparkSpec {
       assert("""\"drift_outliers\":1""".r.findFirstIn(res.compact).isDefined, res.compact)
       assert(res.full.contains(""""repairs":[]"""),
         s"repair cap 0 must leave the repairs array empty: ${res.full}")
-      assert("""\"drift_repaired\":0""".r.findFirstIn(res.compact).isDefined, res.compact)
+      // the full artifact names the cap, so empty-because-disabled is
+      // identifiable there too
+      assert(res.full.contains(""""repair_max":0"""),
+        s"drift block must record the repair cap: ${res.full}")
+      // disabled pass reads null, not 0: 0 means "pass ran, every
+      // outlier already had an in-family observation", which a
+      // REPAIR_MAX=0 run cannot claim
+      assert("""\"drift_repaired\":null""".r.findFirstIn(res.compact).isDefined, res.compact)
       // no repair, no scaling -> no second observation -> no best_known
       // entry, and total_best_known falls back to value
       assert(!res.full.contains(""""best_known_sec":"""),

@@ -93,6 +93,32 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("too small to be nanoseconds"))
   }
 
+  test("fingerprint: a single-file corpus rewritten in place with equal length and mtime still changes identity") {
+    // the directory shape is safe by construction (Spark part names are
+    // UUIDs), but a single-FILE events.parquet (test/tool pattern) can
+    // be rewritten to the same byte length within the filesystem's
+    // mtime granularity — name:length:mtime collide, and only the
+    // content CRC separates the generations. Construct that exact
+    // collision: same name, same length, mtime forced equal.
+    val dir = tmpDir()
+    val f = new java.io.File(s"$dir/events.parquet")
+    Files.write(f.toPath, Array.fill[Byte](16384)(1))
+    val mtime = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Files.setLastModifiedTime(f.toPath, mtime)
+    val fp1 = graft.core.Tables.eventsFingerprint(dir)
+    // rewrite: identical length, different bytes (head AND tail differ,
+    // as a parquet footer-stats shift would), mtime pinned back
+    Files.write(f.toPath, Array.fill[Byte](16384)(2))
+    Files.setLastModifiedTime(f.toPath, mtime)
+    val fp2 = graft.core.Tables.eventsFingerprint(dir)
+    assert(fp1 !== fp2,
+      "equal-length same-mtime rewrite must change the fingerprint (content CRC)")
+    // and identical content reproduces the identity (memo stability)
+    Files.write(f.toPath, Array.fill[Byte](16384)(2))
+    Files.setLastModifiedTime(f.toPath, mtime)
+    assert(graft.core.Tables.eventsFingerprint(dir) === fp2)
+  }
+
   test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
     val out = graft.core.Tables.events(spark, sf)
     assert(out.schema("ts").dataType === TimestampType)
