@@ -125,9 +125,9 @@ object ColMatcher {
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
         if (candidate.length >= umlautWord.length &&
-          (toAsciiWithUmlaut(umlautWord.toLowerCase) == toAsciiWithUmlaut(candidate.toLowerCase) ||
-            toAscii(umlautWord.toLowerCase) == toAscii(candidate.toLowerCase) ||
-            substituteUmlaute(umlautWord.toLowerCase) == substituteUmlaute(candidate.toLowerCase)))
+          (toAsciiWithUmlaut(umlautWord.toLowerCase(java.util.Locale.ROOT)) == toAsciiWithUmlaut(candidate.toLowerCase(java.util.Locale.ROOT)) ||
+            toAscii(umlautWord.toLowerCase(java.util.Locale.ROOT)) == toAscii(candidate.toLowerCase(java.util.Locale.ROOT)) ||
+            substituteUmlaute(umlautWord.toLowerCase(java.util.Locale.ROOT)) == substituteUmlaute(candidate.toLowerCase(java.util.Locale.ROOT))))
           subs(candidate) = umlautWord
       }
     }
@@ -172,7 +172,7 @@ object ColMatcher {
       val entryWords = findWords(entry)
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
-        if (candidate != upper && candidate.toLowerCase == upper.toLowerCase)
+        if (candidate != upper && candidate.toLowerCase(java.util.Locale.ROOT) == upper.toLowerCase(java.util.Locale.ROOT))
           subs(candidate) = upper
       }
     }

@@ -142,8 +142,8 @@ object ScaleKnob {
         else if (k == 0) c
         else f.dataType match {
           case StringType =>
-            translate(c, Letters + Letters.toUpperCase,
-              rotated(Letters, k) + rotated(Letters.toUpperCase, k))
+            translate(c, Letters + Letters.toUpperCase(java.util.Locale.ROOT),
+              rotated(Letters, k) + rotated(Letters.toUpperCase(java.util.Locale.ROOT), k))
           case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
             // rotate by k % dim positions (a rotation by dim is identity,
             // so the raw k would silently collapse shards k ≥ dim onto

@@ -88,11 +88,11 @@ object NamePreprocess {
     removeDoubleCharacters(
       replacePhoneticCharacters(
         replaceUmlautCharacters(
-          replaceSpecialCharacters(s.toLowerCase))))
+          replaceSpecialCharacters(s.toLowerCase(java.util.Locale.ROOT)))))
 
   /** `preprocess_last_name` (`string_utils.py:200-205`). */
   def preprocessLastName(s: String): String =
-    preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(s.toLowerCase)))
+    preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(s.toLowerCase(java.util.Locale.ROOT))))
 
   /** `fix_name_uppercasing` (`string_utils.py:153-159`): every word
     * ([a-zA-Zäüöß]+) → first letter upper, rest lower.
@@ -105,7 +105,7 @@ object NamePreprocess {
       sb.append(s, last, m.start())
       val w = m.group()
       sb.append(Character.toUpperCase(w.charAt(0)))
-      sb.append(w.substring(1).toLowerCase)
+      sb.append(w.substring(1).toLowerCase(java.util.Locale.ROOT))
       last = m.end()
     }
     sb.append(s.substring(last))

@@ -98,7 +98,7 @@ object Clustering {
   def bucketsForName(name: String, idxChars: Int, lenUnits: Int): Seq[(String, Int)] =
     if (name == null) Nil
     else name.split(" ").filter(_.length >= idxChars)
-      .map(s => (s.toLowerCase.take(idxChars), s.length / lenUnits)).toSeq
+      .map(s => (s.toLowerCase(java.util.Locale.ROOT).take(idxChars), s.length / lenUnits)).toSeq
 
   /** Scored candidate edges `(a, b, score)` with `a < b`: pairs sharing a
     * first-name bucket AND a last-name bucket, scored with

@@ -21,15 +21,25 @@ object LlmData {
     // scaling pass lifts it to 5000 to measure growth): covers every row
     // at the sf0.01 correctness scale (500 docs); bounds the bench-scale
     // quadratic worst case of this deliberately tiny-vocabulary corpus
-    val d = graft.core.ScaleKnob.sample(
-      Tables.documents(spark, dir).select("doc_id", "text")
-        .filter(col("doc_id") < graft.core.ScaleKnob.docsCap), "doc_id")
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("doc_id") < graft.core.ScaleKnob.docsCap)
     val exact = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val near = d.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
         concat(col("text"), lit(" appended tail token")).as("text"))
-    d.unionByName(exact).unionByName(near)
+    // duplicates are injected BEFORE ScaleKnob.sample (the q35
+    // precedent): under bench replication the injected ids are
+    // shard-remapped (id·n+k) with every other id — so +100000 can
+    // never collide with a replicated real id (docsCap·n reaches
+    // 130000 at the factor cap of 26) — and the near-copy's appended
+    // tail is Caesar-rotated per shard with the rest of the text,
+    // keeping cross-shard shingles/grams disjoint instead of sharing
+    // one literal unrotated token across all shards. Under
+    // frac-sampling the order is equivalent: +100000/+200000 preserve
+    // doc_id mod 1000, so a duplicate survives iff its base row does.
+    graft.core.ScaleKnob.sample(
+      d.unionByName(exact).unionByName(near), "doc_id")
   }
 
   /** Exact dedup over the duplicated corpus — md5 content groups. The
@@ -269,7 +279,7 @@ object LlmData {
   /** LSH-bucketed cosine top-k (the scale path), with a FULL value
     * oracle: the hyperplanes are md5-derived ±1 vectors
     * ([[graft.text.Ann]]), so DuckDB rebuilds the same projections,
-    * 4-bit band keys (12 tables), candidate buckets, exact cosine
+    * 4-bit band keys (16 tables over 64 planes), candidate buckets, exact cosine
     * rescore and ranking. Any banding or recall regression breaks the
     * hash match; TextOpsSpec separately asserts recall ≥ 0.9 vs exact.
     */
@@ -478,6 +488,20 @@ object LlmData {
     graft.text.Multimodal.WavCodec.encodeWav((id % 400 + 50).toInt, 8000, id)
   }
 
+  /** Shared decode UDFs, hoisted for the same reason as the generators
+    * above: q38/q44/q46 (image metadata + luma) and q42/q47 (audio
+    * metadata + sample sum) must decode identically — per-query local
+    * re-declarations of the same body can drift.
+    */
+  private val imageMetaUdf =
+    udf { (b: Array[Byte]) => graft.text.Multimodal.ImageIoCodec.imageMetadata(b) }
+  private val pixelLumaSumUdf =
+    udf { (b: Array[Byte]) => graft.text.Multimodal.ImageIoCodec.pixelLumaSum(b) }
+  private val audioMetaUdf =
+    udf { (b: Array[Byte]) => graft.text.Multimodal.WavCodec.audioMetadata(b) }
+  private val sampleSumUdf =
+    udf { (b: Array[Byte]) => graft.text.Multimodal.WavCodec.sampleSum(b) }
+
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
     val lumaSumUdf = udf { (b: Array[Byte]) =>
@@ -522,12 +546,10 @@ object LlmData {
     */
   private def q42(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
-    val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
     Tables.documents(spark, dir)
       .select(col("doc_id"), wavClipUdf(col("doc_id")).as("content"))
-      .select(col("doc_id"), metaUdf(col("content")).as("m"),
-        sumUdf(col("content")).as("sample_sum"))
+      .select(col("doc_id"), audioMetaUdf(col("content")).as("m"),
+        sampleSumUdf(col("content")).as("sample_sum"))
       .select(col("doc_id"),
         col("m._1").as("format"),
         col("m._2").as("channels"),
@@ -568,12 +590,10 @@ object LlmData {
     val resizeUdf = udf { (b: Array[Byte]) =>
       Multimodal.ImageIoCodec.resizeNearest(b, 8, 6)
     }
-    val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
-    val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
     Tables.documents(spark, dir)
       .select(col("doc_id"), resizeUdf(pngImageUdf(col("doc_id"))).as("thumb"))
-      .select(col("doc_id"), metaUdf(col("thumb")).as("m"),
-        lumaUdf(col("thumb")).as("thumb_luma_sum"))
+      .select(col("doc_id"), imageMetaUdf(col("thumb")).as("m"),
+        pixelLumaSumUdf(col("thumb")).as("thumb_luma_sum"))
       .select(col("doc_id"),
         col("m._2").as("width"),
         col("m._3").as("height"),
@@ -699,12 +719,10 @@ object LlmData {
     val resampleUdf = udf { (b: Array[Byte]) =>
       Multimodal.WavCodec.resampleNearest(b, 5000)
     }
-    val metaUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioMetadata(b) }
-    val sumUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.sampleSum(b) }
     Tables.documents(spark, dir)
       .select(col("doc_id"), resampleUdf(wavClipUdf(col("doc_id"))).as("clip"))
-      .select(col("doc_id"), metaUdf(col("clip")).as("m"),
-        sumUdf(col("clip")).as("sample_sum"))
+      .select(col("doc_id"), audioMetaUdf(col("clip")).as("m"),
+        sampleSumUdf(col("clip")).as("sample_sum"))
       .select(col("doc_id"),
         col("m._3").as("sample_rate"),
         col("m._4").as("n_frames"),
@@ -755,16 +773,14 @@ object LlmData {
 
   private def q44(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val metaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageMetadata(b) }
-    val lumaUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.pixelLumaSum(b) }
     // ScaleKnob is identity at the default frac=1.0 (oracle unchanged);
     // the bench scaling pass shrinks the corpus to show the media
     // family's per-row linearity alongside the similarity exponents
     val clips = graft.core.ScaleKnob.sample(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), aviClipUdf(col("doc_id")).as("content"))
     Multimodal.sampleAviFrames(clips, "content", stride = 2)
-      .select(col("doc_id"), col("frame_idx"), metaUdf(col("frame")).as("m"),
-        lumaUdf(col("frame")).as("frame_luma_sum"))
+      .select(col("doc_id"), col("frame_idx"), imageMetaUdf(col("frame")).as("m"),
+        pixelLumaSumUdf(col("frame")).as("frame_luma_sum"))
       .select(col("doc_id"), col("frame_idx"),
         col("m._1").as("format"),
         col("m._2").as("width"),

@@ -39,7 +39,7 @@ object Dedup {
 
   /** Character k-shingles on the normalized text. */
   def charShingles(text: String, k: Int): Seq[String] = {
-    val norm = if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (norm.length <= k) Seq(norm) else (0 to norm.length - k).map(i => norm.substring(i, i + k))
   }
 
@@ -165,7 +165,7 @@ object Dedup {
   def simHash(text: String): Long = {
     if (text == null) return 0L
     val weights = new Array[Int](64)
-    for (tok <- WhitespaceRe.split(text.toLowerCase) if tok.nonEmpty) {
+    for (tok <- WhitespaceRe.split(text.toLowerCase(java.util.Locale.ROOT)) if tok.nonEmpty) {
       val h = tokenHash64(tok)
       var bit = 0
       while (bit < 64) {

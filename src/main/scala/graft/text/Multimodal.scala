@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.util.control.NonFatal
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
@@ -33,7 +34,8 @@ object Multimodal {
 
   /** STUB codec: parses the deterministic fake header this module writes
     * (`"GFT0" | media_type | format | width | height | duration`) and
-    * treats everything after byte 32 as payload. A real deployment
+    * treats everything after byte 36 as payload (the header is
+    * 4+8+8+4+4+8 = 36 bytes — see `HeaderBytes`). A real deployment
     * replaces these two functions with actual decoders; signatures and
     * schemas are the contract.
     */
@@ -116,9 +118,14 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iis)
-            Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+            Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT), r.getWidth(0), r.getHeight(0)))
           }
-          catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: JDK readers throw unchecked
+          // exceptions on hostile bytes too (GIF LZW code sizes ->
+          // IndexOutOfBounds, crafted ICC profiles -> CMMException), and
+          // the per-row-UDF contract is None-on-corrupt, never a failed
+          // task. Errors (OOM &c.) still propagate.
+          catch { case NonFatal(_) => None }
           finally r.dispose()
         }
       } finally iis.close()
@@ -148,7 +155,7 @@ object Multimodal {
       }
       if (!ok) return None
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case NonFatal(_) => None } // None-on-corrupt, incl. unchecked JDK reader throws
     }
 
     /** Nearest-neighbor resize: decode → sample source pixel
@@ -160,7 +167,11 @@ object Multimodal {
       * decode → transform → re-encode plumbing is the contract.
       */
     def resizeNearest(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
-      if (tw <= 0 || th <= 0) return None
+      // the TARGET is bounded by the same ceiling as the decode side: a
+      // caller-supplied 100000x100000 would allocate a ~40 GB buffer and
+      // grind 10^10 setRGB calls inside a per-row UDF - the exact class
+      // MaxDecodePixels exists to prevent
+      if (tw <= 0 || th <= 0 || tw.toLong * th > MaxDecodePixels) return None
       val img = readImage(bytes).getOrElse(return None)
       val out = new java.awt.image.BufferedImage(
         tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -291,11 +302,14 @@ object Multimodal {
         if (aff.getFrameLength < 0) return None
         val frames = aff.getFrameLength.toLong
         val durMs = frames * 1000L / fmt.getSampleRate.toLong
-        Some((aff.getType.toString.toLowerCase, fmt.getChannels,
+        Some((aff.getType.toString.toLowerCase(java.util.Locale.ROOT), fmt.getChannels,
           fmt.getSampleRate.toInt, frames, durMs))
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // NonFatal subsumes UnsupportedAudioFileException/IOException and
+        // also the unchecked throws the JDK audio parsers produce on
+        // hostile headers (ArrayIndexOutOfBounds, NegativeArraySize) -
+        // the per-row-UDF contract is None-on-corrupt, never a failed task
+        case NonFatal(_) => None
       }
     }
 
@@ -341,8 +355,7 @@ object Multimodal {
           Some((out, fmt))
         } finally ais.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        case NonFatal(_) => None // same None-on-corrupt contract as audioMetadata
       }
     }
 
@@ -597,7 +610,7 @@ object Multimodal {
               { if (!walk(i + 12, dataEnd, inMovi = true, depth + 1)) return false }
             // other lists (hdrl, strl, odml…) carry no frames: skip whole
           } else if (inMovi && isVideoChunk(id)) {
-            out += ((id.substring(0, 2).toUpperCase,
+            out += ((id.substring(0, 2).toUpperCase(java.util.Locale.ROOT),
               java.util.Arrays.copyOfRange(bytes, i.toInt + 8, dataEnd.toInt)))
           }
           i = dataEnd + (size & 1) // RIFF even-padding
@@ -661,8 +674,15 @@ object Multimodal {
             if (fcc(bytes, j.toInt) == "LIST" && s >= 4 &&
                 fcc(bytes, j.toInt + 8) == "strl" &&
                 j + 12 + 8 + 8 <= dataEnd && fcc(bytes, j.toInt + 12) == "strh" &&
+                // honor the strh's DECLARED size like avih above: it must
+                // cover the two fields we read (fccType+fccHandler, 8
+                // bytes) and fit its list - a strh declaring size 0
+                // followed by bytes spelling 'vids' would otherwise
+                // present the NEXT chunk's bytes as a codec handler
+                u32(bytes, j.toInt + 16) >= 8 &&
+                j + 20 + u32(bytes, j.toInt + 16) <= dataEnd &&
                 fcc(bytes, j.toInt + 20) == "vids")
-              return Some((fcc(bytes, j.toInt + 24).trim.toLowerCase, w, h,
+              return Some((fcc(bytes, j.toInt + 24).trim.toLowerCase(java.util.Locale.ROOT), w, h,
                 nFrames, durMs))
             j += 8 + s + (s & 1)
           }
@@ -696,9 +716,7 @@ object Multimodal {
     * [[WavCodec]], video [[AviCodec]]).
     */
   val decodeMetadataUdf = udf { (bytes: Array[Byte]) =>
-    StubCodec.decodeMetadata(bytes).map { case (mt, fm, w, h, d, sz) =>
-      (mt, fm, w, h, d, sz)
-    }
+    StubCodec.decodeMetadata(bytes)
   }
 
   /** Real-image twin of [[decodeMetadataUdf]]: same `media_meta` struct,

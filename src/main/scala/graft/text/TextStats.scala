@@ -97,7 +97,7 @@ object TextStats {
     if (letters == 0) return "unknown"
     if (cjk.toDouble / letters > 0.3) return "zh"
     if (cyrillic.toDouble / letters > 0.3) return "ru"
-    val tokens = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
     if (tokens.isEmpty) return "unknown"
     val hits = profiles.view.mapValues(p => tokens.count(p.contains)).toMap
     val (best, n) = hits.maxBy { case (lang, c) => (c, lang) }
@@ -114,7 +114,7 @@ object TextStats {
     */
   def fingerprint(text: String): Long = {
     if (text == null) return 0L
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     var h = 1125899906842597L // large prime
     var i = 0
     while (i < norm.length) {
@@ -132,7 +132,7 @@ object TextStats {
     */
   def winnowingSketch(text: String, k: Int = 5, window: Int = 4): Seq[Long] = {
     if (text == null) return Nil
-    val norm = text.toLowerCase.replaceAll("[^a-z0-9]", "")
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
     if (norm.length < k) return Seq(fingerprint(norm))
     val grams = (0 to norm.length - k).map { i =>
       var h = 1125899906842597L

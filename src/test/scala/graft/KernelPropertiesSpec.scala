@@ -211,6 +211,45 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("AviCodec.aviMetadata rejects a strh whose declared size cannot hold the fields it reads") {
+    import graft.text.Multimodal.AviCodec
+    val avi = AviCodec.encodeAviPngSeq(8, 6, 3, 40L, 5L)
+    assert(AviCodec.aviMetadata(avi).isDefined)
+    // locate the strh chunk and declare its size 0: the fccType/handler
+    // bytes that follow still spell 'vids', but they now belong to
+    // whatever comes AFTER the (empty) strh body — a parser honoring
+    // declared sizes must treat this as a corrupt header, not metadata
+    val strhAt = avi.indices.indexWhere(i => i + 4 <= avi.length &&
+      avi(i) == 's' && avi(i + 1) == 't' && avi(i + 2) == 'r' && avi(i + 3) == 'h')
+    assert(strhAt > 0, "muxer output must contain a strh chunk")
+    val corrupt = avi.clone()
+    corrupt(strhAt + 4) = 0; corrupt(strhAt + 5) = 0
+    corrupt(strhAt + 6) = 0; corrupt(strhAt + 7) = 0
+    assert(AviCodec.aviMetadata(corrupt) === None,
+      "strh declaring size 0 must be a corrupt header (None), not a parsed handler")
+  }
+
+  test("text kernels are locale-independent: Turkish default locale must not change case folds") {
+    import graft.text.{Dedup, TextStats}
+    // Turkish dotted/dotless i is THE locale casing trap: "I".toLowerCase
+    // under tr-TR yields U+0131 (dotless), diverging from DuckDB's
+    // locale-independent lower() in the q26/q28/q29 oracles. Pin every
+    // kernel output under the Turkish default to its Locale.ROOT value.
+    val text = "The QUICK Brown FIX Jumped Over I II III"
+    val before = java.util.Locale.getDefault
+    val rootFp = TextStats.fingerprint(text)
+    val rootLang = TextStats.detectLanguage(text)
+    val rootSig = Dedup.simHash(text)
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      assert(TextStats.fingerprint(text) === rootFp,
+        "fingerprint must not move with the default locale")
+      assert(TextStats.detectLanguage(text) === rootLang)
+      assert(Dedup.simHash(text) === rootSig,
+        "SimHash tokenization must not move with the default locale")
+    } finally java.util.Locale.setDefault(before)
+  }
+
   test("preprocess_name double-letter collapse is single-pass (reference semantics)") {
     // re.sub's non-overlapping matching leaves "aaa" as "aa" — the chain
     // is deliberately NOT idempotent, matching the reference exactly

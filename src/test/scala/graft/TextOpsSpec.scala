@@ -304,6 +304,12 @@ class TextOpsSpec extends SparkSpec {
     assert(ImageIoCodec.resizeNearest("junk".getBytes, 4, 4) === None)
     assert(ImageIoCodec.resizeNearest(null, 4, 4) === None)
     assert(ImageIoCodec.resizeNearest(png, 0, 4) === None)
+    // the TARGET shares the MaxDecodePixels ceiling: a hostile caller
+    // dimension must refuse BEFORE allocating the output buffer (a
+    // 100000x100000 TYPE_INT_RGB is ~40 GB + 10^10 setRGB calls) —
+    // this returns None in microseconds or the guard is gone
+    assert(ImageIoCodec.resizeNearest(png, 100000, 100000) === None)
+    assert(ImageIoCodec.resizeNearest(png, 1, Int.MaxValue) === None)
   }
 
   test("ImageIoCodec.imageStats: integer-exact quality features off decoded pixels") {
