@@ -58,6 +58,12 @@ object ColMatcher {
 
   /** Python `[\w\.]+` with Unicode word chars. */
   private val wordRe = Pattern.compile("[\\w\\.]+", Pattern.UNICODE_CHARACTER_CLASS)
+  // the three automatic-substitution patterns are object-level: they sit
+  // on the consensus hot path (once per group per column per document)
+  // and recompiling them per invocation is pure waste
+  private val umlautRe = Pattern.compile("[üöäß]")
+  private val abbrevRe = Pattern.compile("\\w{3,}\\.", Pattern.UNICODE_CHARACTER_CLASS)
+  private val upperRe = Pattern.compile("[A-Z]\\w*", Pattern.UNICODE_CHARACTER_CLASS)
 
   private[consensus] def findWords(s: String): Vector[String] = {
     val m = wordRe.matcher(s)
@@ -112,16 +118,17 @@ object ColMatcher {
   // ---- C6: automatic umlaut substitution (matching.py:236-265) -------------
 
   private def automaticUmlautSubstitution(group: Vector[String]): Vector[String] = {
-    val umlautRe = Pattern.compile("[üöäß]")
+    // findWords once per entry, not once per (entry x flagged word):
+    // the inner loop below only indexes into the precomputed vectors
+    val wordsPerEntry = group.map(findWords)
     val umlautWords =
       for {
-        entry <- group
-        (word, pos) <- findWords(entry).zipWithIndex
+        words <- wordsPerEntry
+        (word, pos) <- words.zipWithIndex
         if umlautRe.matcher(word).find()
       } yield (pos, word)
     val subs = collection.mutable.LinkedHashMap.empty[String, String]
-    for (entry <- group; (pos, umlautWord) <- umlautWords) {
-      val entryWords = findWords(entry)
+    for (entryWords <- wordsPerEntry; (pos, umlautWord) <- umlautWords) {
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
         if (candidate.length >= umlautWord.length &&
@@ -137,16 +144,15 @@ object ColMatcher {
   // ---- C7: automatic abbreviation completion (matching.py:206-234) ---------
 
   private def abbreviationCompletions(group: Vector[String]): Vector[String] = {
-    val abbrevRe = Pattern.compile("\\w{3,}\\.", Pattern.UNICODE_CHARACTER_CLASS)
+    val wordsPerEntry = group.map(findWords)
     val abbreviations =
       for {
-        entry <- group
-        (word, pos) <- findWords(entry).zipWithIndex
+        words <- wordsPerEntry
+        (word, pos) <- words.zipWithIndex
         if abbrevRe.matcher(word).lookingAt()
       } yield (pos, word)
     val subs = collection.mutable.LinkedHashMap.empty[String, String]
-    for ((pos, abbreviation) <- abbreviations; entry <- group) {
-      val words = findWords(entry)
+    for ((pos, abbreviation) <- abbreviations; words <- wordsPerEntry) {
       if (words.length > pos) {
         val other = words(pos)
         if (!other.contains(".") && other.length > abbreviation.length + 1 &&
@@ -160,16 +166,15 @@ object ColMatcher {
   // ---- C8: automatic capitalization (matching.py:267-292) ------------------
 
   private def capitalizationSubstitution(group: Vector[String]): Vector[String] = {
-    val upperRe = Pattern.compile("[A-Z]\\w*", Pattern.UNICODE_CHARACTER_CLASS)
+    val wordsPerEntry = group.map(findWords)
     val upperWords =
       for {
-        entry <- group
-        (word, pos) <- findWords(entry).zipWithIndex
+        words <- wordsPerEntry
+        (word, pos) <- words.zipWithIndex
         if upperRe.matcher(word).lookingAt()
       } yield (pos, word)
     val subs = collection.mutable.LinkedHashMap.empty[String, String]
-    for (entry <- group; (pos, upper) <- upperWords) {
-      val entryWords = findWords(entry)
+    for (entryWords <- wordsPerEntry; (pos, upper) <- upperWords) {
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
         if (candidate != upper && candidate.toLowerCase(java.util.Locale.ROOT) == upper.toLowerCase(java.util.Locale.ROOT))

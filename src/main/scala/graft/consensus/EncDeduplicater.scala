@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 import graft.core.Sentinels
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Deduplication job configuration (reference `ENC_Deduplicater` builder
   * surface, `src/aroa_etl/enc/deduplication.py:8-296`). Column families map
@@ -97,13 +98,16 @@ object EncDeduplicater {
   def matchStats(input: DataFrame, spec: DedupSpec, result: DataFrame): DataFrame = {
     val spark = input.sparkSession
     import spark.implicits._
+    // nothing matched = nothing to report (and agg(aggs.head, ...) below
+    // would throw on an empty list rather than return the empty frame)
+    if (spec.matchedCols.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("column", "with_entries", "without_entries", "matched", "ambiguous", "too_few_entries")
     val raw = input.select(col(spec.idCol).cast("string").as(spec.idCol) +:
       spec.matchedCols.map(c => col(c).cast("string").as(c)): _*)
-    val entryCounts = raw.groupBy(col(spec.idCol)).agg(
-      spec.matchedCols.map(c =>
-        sum(when(Sentinels.isNotEmptyValue(col(c)), 1).otherwise(0)).as(s"__n_$c")).head,
-      spec.matchedCols.map(c =>
-        sum(when(Sentinels.isNotEmptyValue(col(c)), 1).otherwise(0)).as(s"__n_$c")).tail: _*)
+    val countAggs = spec.matchedCols.map(c =>
+      sum(when(Sentinels.isNotEmptyValue(col(c)), 1).otherwise(0)).as(s"__n_$c"))
+    val entryCounts = raw.groupBy(col(spec.idCol)).agg(countAggs.head, countAggs.tail: _*)
     val consensus = result.filter(col("deleted") === false)
       .select(col(spec.idCol) +: spec.matchedCols.map(col): _*)
     val joined = consensus.join(entryCounts, spec.idCol)
@@ -242,6 +246,17 @@ object EncDeduplicater {
             }
         Row.fromSeq(values.toIndexedSeq)
       }(Encoders.row(outSchema))
+      // PINNED: this frame feeds TWO plan branches (the verdicts join
+      // into raw, and the union below), and its mapGroups is
+      // non-deterministic twice over — randomUUID object_ids, and a
+      // synthesized monotonically_increasing_id row_id driving the
+      // vote order. Unpinned, each branch re-executes mapGroups and a
+      // document's raw rows carry a DIFFERENT object_id than its own
+      // consensus row (observed live; spec-pinned). One row per
+      // document, so the materialization is the reduced frame — the
+      // mergeClusterings precedent; released at job boundaries via
+      // SessionHygiene.releaseLeftovers.
+      .trackedCheckpoint()
 
     // --- raw rows keep their data, gain the doc-level verdicts ----------
     val verdicts = consensus

@@ -49,9 +49,16 @@ object Clustering {
     for (sub <- name.split(" ") if sub.nonEmpty) {
       out += sub
       val novowel = sub.replaceAll("[aeiou]", "")
-      out += novowel
+      // an all-vowel subname strips to "": adding the empty shingle
+      // would hand every such person one shared shingle and provoke
+      // collisions between unrelated names ("Aia" vs "Eu") — the
+      // misspelling/substring tolerance the construction exists for
+      // carries no signal in a zero-length form
+      if (novowel.nonEmpty) out += novowel
       if (leaveOneOut)
-        for (i <- 0 until novowel.length)
+        // same guard for the deletions: a length-1 novowel's only
+        // leave-one-out form is "" (novowel == "" contributes none)
+        for (i <- 0 until novowel.length if novowel.length > 1)
           out += novowel.substring(0, i) + novowel.substring(i + 1)
       val window = math.ceil(novowel.length / 2.0).toInt
       if (window > 0)
@@ -77,10 +84,20 @@ object Clustering {
       nameCollisionShingles(if (l == null) g else if (g == null) l else s"$g $l", loo)
     }
     val bandsUdf = udf { (sh: Seq[String]) =>
-      val sig = graft.text.Dedup.minHashSignature(sh, numPerm)
-      sig.grouped(rows).zipWithIndex.map { case (band, i) =>
-        s"$i:${scala.util.hashing.MurmurHash3.orderedHash(band.toSeq)}"
-      }.toSeq
+      // an EMPTY shingle set (both names null/empty) must emit no bands:
+      // minHashSignature(Nil) is the constant all-MaxValue signature, so
+      // every such person would share EVERY band and the band self-join
+      // would emit all n·(n-1)/2 pairs among them — 100k null-name rows
+      // is ~5e9 bogus candidates, the quadratic blowup this construction
+      // exists to avoid. No shingles = no name signal = no candidates
+      // (the explode drops the row).
+      if (sh.isEmpty) Seq.empty[String]
+      else {
+        val sig = graft.text.Dedup.minHashSignature(sh, numPerm)
+        sig.grouped(rows).zipWithIndex.map { case (band, i) =>
+          s"$i:${scala.util.hashing.MurmurHash3.orderedHash(band.toSeq)}"
+        }.toSeq
+      }
     }
     // both join sides reuse one materialized pass of the shingle+MinHash
     // UDF chain instead of recomputing it per side
@@ -104,6 +121,20 @@ object Clustering {
     * first-name bucket AND a last-name bucket, scored with
     * `person_similarity`, kept at `score ≥ cutoff`. Pure equi-join
     * dataflow — no cartesian, skew-splittable by AQE.
+    *
+    * Blocking-scheme contract: edges use the MATCHING buckets
+    * ([[PersonMatching.bucketKeys]], matching.py semantics) while the
+    * per-component replay re-applies the reference's CLUSTERING buckets
+    * ([[bucketsForName]], person_clustering.py). On the `*_processed`
+    * name domain (lowercase `[a-z ]`, the preprocessing chain's
+    * output) the matching scheme is a SUPERSET: a shared clustering
+    * bucket (same idxChars-prefix, same len unit, len ≥ idxChars)
+    * implies a shared matching bucket, and matching additionally pairs
+    * short subnames — so components always coarsen the reference's
+    * bucket partition and the replay stays exact (spec-pinned in
+    * ClusteringSpec). Outside that domain (punctuation inside names)
+    * the two schemes can diverge; the preprocessing chain guarantees
+    * clustering never sees such input.
     */
   def scoredEdges(persons: DataFrame, cfg: ClusterConfig): DataFrame = {
     val src = persons.withColumnRenamed("id", "srcID")
@@ -182,6 +213,18 @@ object Clustering {
       prevSum = nextSum
       iter += 1
     }
+    // hitting maxIter unconverged returns labels mid-propagation — two
+    // halves of one true component can still carry different labels
+    // (clusters that should merge stay split). That is a WRONG result,
+    // not a bounded approximation, so it must be loud (the same policy
+    // as the oversized-component accumulator: flagged, never silent). A
+    // blocked person graph converges in O(component diameter) rounds,
+    // so tripping this means a degenerate chain — raise maxIter or fix
+    // the blocking upstream.
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents did NOT converge in $maxIter " +
+        "iterations - returned labels are mid-propagation and may split true components; " +
+        "raise maxIter for graphs with diameter > maxIter")
     releaseCheckpoint(sym)
     labels
   }
@@ -201,16 +244,37 @@ object Clustering {
   private val personFields = Seq("strGName_processed", "strLName_processed",
     "strDoB_processed", "strPoB_processed", "prisoner_number")
 
-  private def rowPerson(r: Row): Person = Person(
-    gname = r.getAs[String]("strGName_processed"),
-    lname = r.getAs[String]("strLName_processed"),
-    dob = r.getAs[String]("strDoB_processed"),
-    pob = r.getAs[String]("strPoB_processed"),
-    prisonerNumber = r.getAs[String]("prisoner_number"))
+  /** Missing optional columns read as null (absent), matching
+    * [[PersonMatching.personStruct]]'s `opt` on the edge side — a frame
+    * with only id+names must replay, not crash on `getAs`.
+    */
+  private def rowPerson(r: Row): Person = {
+    val flds = r.schema.fieldNames.toSet
+    def opt(f: String): String = if (flds(f)) r.getAs[String](f) else null
+    Person(
+      gname = opt("strGName_processed"),
+      lname = opt("strLName_processed"),
+      dob = opt("strDoB_processed"),
+      pob = opt("strPoB_processed"),
+      prisonerNumber = opt("prisoner_number"))
+  }
 
-  private def linkScore(p: Person, cluster: Seq[Person], linkage: String): Double = {
+  /** Presence flags from the frame's schema — the SAME rule
+    * [[PersonMatching.scorePairs]] applies on the edge side (column
+    * configured = column present), so edge admission and replay
+    * admission score identically. A configured-but-absent date must not
+    * contribute a zero to the replay while the edges ignored it.
+    */
+  private def presenceFlags(fieldNames: Iterable[String]): (Boolean, Boolean, Boolean) = {
+    val flds = fieldNames.toSet
+    (flds("strDoB_processed"), flds("prisoner_number"), flds("strPoB_processed"))
+  }
+
+  private def linkScore(p: Person, cluster: Seq[Person], linkage: String,
+      useDate: Boolean = true, usePrisoner: Boolean = true, usePob: Boolean = true): Double = {
     if (cluster.isEmpty) return 100.0
-    val sims = cluster.map(c => Similarity.personSimilarity(p, c))
+    val sims = cluster.map(c => Similarity.personSimilarity(p, c,
+      useDate = useDate, usePrisoner = usePrisoner, usePob = usePob))
     linkage match {
       case "single"  => sims.max
       case "average" => sims.sum / sims.size
@@ -228,6 +292,10 @@ object Clustering {
     */
   private[linkage] def greedyCluster(
       rows: Seq[Row], cfg: ClusterConfig, knownKeyCol: Option[String]): Seq[(Long, Int)] = {
+    // presence flags once per component, from the rows' shared schema —
+    // replay admission must score exactly like edge admission did
+    val (useDate, usePrisoner, usePob) =
+      presenceFlags(rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil))
     val byId = rows.map(r => r.getAs[Long]("id") -> r).toMap
     val ids = rows.map(_.getAs[Long]("id")).sorted
 
@@ -266,7 +334,9 @@ object Clustering {
 
       val cluster = collection.mutable.ArrayBuffer[Long](preCluster: _*)
       for (other <- bucket.sorted if !cluster.contains(other)) {
-        val score = linkScore(rowPerson(byId(other)), cluster.map(id => rowPerson(byId(id))).toSeq, cfg.linkage)
+        val score = linkScore(rowPerson(byId(other)),
+          cluster.map(id => rowPerson(byId(id))).toSeq, cfg.linkage,
+          useDate = useDate, usePrisoner = usePrisoner, usePob = usePob)
         if (score >= cfg.cutoff) cluster += other
       }
       cluster.foreach(id => out += (id -> clusterIdx))
@@ -382,28 +452,62 @@ object Clustering {
   /** E15 cluster quality: per-cluster average/single/max link statistics
     * (`cluster_integrety`, person_clustering.py:69-81).
     */
-  def clusterQuality(clustered: DataFrame): DataFrame = {
+  def clusterQuality(clustered: DataFrame, maxClusterSize: Int = 10000): DataFrame = {
     val schema = StructType(Seq(
       StructField("cluster_id", StringType), StructField("size", IntegerType),
       StructField("average", DoubleType), StructField("average_link", DoubleType),
       StructField("single_link", DoubleType), StructField("max_link", DoubleType)))
+    val (useDate, usePrisoner, usePob) = presenceFlags(clustered.columns.toSeq)
     clustered
       .groupByKey(r => r.getAs[String]("cluster_id"))(Encoders.STRING)
       .mapGroups { (cid, it) =>
-        val members = it.toSeq.map(rowPerson)
-        def linkScores(kind: String): Seq[Double] =
-          members.indices.map { i =>
-            val rest = members.patch(i, Nil, 1)
-            linkScore(members(i), rest, kind)
+        // Size guard, same policy as cluster()'s maxComponentSize: the
+        // oversized fallback deliberately emits huge degenerate
+        // clusters as-is, and an unguarded n²/2 kernel pass over a 50k
+        // cluster is ~1.2e9 similarity calls in one task. Past the
+        // bound, metrics read NULL (not computed) with the size still
+        // reported — loud, never wrong.
+        val buf = it.take(maxClusterSize + 1).toSeq
+        if (buf.size > maxClusterSize) {
+          val total = buf.size + it.size // drain the rest for the true size
+          System.err.println(s"[graft] clusterQuality: cluster $cid has $total members " +
+            s"> maxClusterSize=$maxClusterSize - metrics not computed (null)")
+          Row(cid, total, null, null, null, null)
+        } else {
+          val members = buf.map(rowPerson)
+          val n = members.size
+          // the similarity kernel is symmetric for the defaults used
+          // here (dateSimilarity, not the directional simple matcher),
+          // so ONE pass over unordered pairs feeds per-member sum/min/
+          // max — a third of the kernel calls of scoring the three
+          // linkage kinds independently, with O(n) memory (no matrix)
+          val sum = new Array[Double](n)
+          val mn = Array.fill(n)(Double.MaxValue)
+          val mx = Array.fill(n)(Double.MinValue)
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val s = Similarity.personSimilarity(members(i), members(j),
+                useDate = useDate, usePrisoner = usePrisoner, usePob = usePob)
+              sum(i) += s; sum(j) += s
+              if (s < mn(i)) mn(i) = s
+              if (s < mn(j)) mn(j) = s
+              if (s > mx(i)) mx(i) = s
+              if (s > mx(j)) mx(j) = s
+              j += 1
+            }
+            i += 1
           }
-        val avg = linkScores("average")
-        val single = linkScores("single")
-        val maxL = linkScores("max")
-        Row(cid, members.size,
-          if (avg.isEmpty) 100.0 else avg.sum / avg.size,
-          if (avg.isEmpty) 100.0 else avg.min,
-          if (single.isEmpty) 100.0 else single.min,
-          if (maxL.isEmpty) 100.0 else maxL.min)
+          // per-member link scores vs the rest of the cluster:
+          // average = mean, single = best neighbor (max), max-linkage =
+          // worst neighbor (min); a singleton's rest is empty -> 100
+          val avg = if (n == 1) Seq(100.0) else sum.toSeq.map(_ / (n - 1))
+          val single = if (n == 1) Seq(100.0) else mx.toSeq
+          val maxL = if (n == 1) Seq(100.0) else mn.toSeq
+          Row(cid, n,
+            avg.sum / avg.size, avg.min, single.min, maxL.min)
+        }
       }(Encoders.row(schema))
   }
 }

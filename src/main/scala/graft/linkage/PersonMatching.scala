@@ -28,8 +28,13 @@ import graft.core.SessionHygiene.TrackedCheckpoint
 object PersonMatching {
 
   /** A7/E9 bucket keys for one name value: for each space-separated
-    * subname, `(first n chars, len / lenUnits)` (matching.py:10-26 strips
-    * non-`[a-z ]` before splitting).
+    * subname, `(first n chars, len / lenUnits)`. Character handling is
+    * the reference's exactly (matching.py:17-21): strip non-(lowercase
+    * letter or whitespace) — uppercase and punctuation DELETED,
+    * tab/newline kept — then split on the literal space. Both engines
+    * therefore assume the `*_processed` name domain (lowercase and
+    * spaces only, the preprocessing chain's output); outside that
+    * domain they mutilate identically.
     */
   def bucketKeys(name: Column, idxChars: Int, lenUnits: Int): Column = {
     val cleaned = regexp_replace(name, "[^a-z\\s]", "")
@@ -390,13 +395,19 @@ object PersonMatching {
       if (cfg.topN == Int.MaxValue) scored
       else if (cfg.topN == 1)
         // best-match special case as an aggregation, NOT a window: the
-        // same (score desc, trgID asc) order, but max_by combines
+        // same (score desc, trgID asc) order, but min_by combines
         // map-side, so the shuffle moves one row per (source, task)
-        // instead of sorting every scored candidate per source
+        // instead of sorting every scored candidate per source.
+        // min_by on (-score, trgID), NOT max_by on (score, -trgID):
+        // negation must stay on the always-numeric score — negating a
+        // STRING trgID implicitly casts to double (null for ids like
+        // "P-0042", arbitrary tie winner; an error under ANSI), while
+        // (-score, trgID) ties break on trgID's NATURAL ascending
+        // order, identical to the window path for any orderable id type
         scored
           .groupBy(col("srcID"))
-          .agg(max_by(struct(col("score"), col("trgID")),
-            struct(col("score"), negate(col("trgID")))).as("__best"))
+          .agg(min_by(struct(col("score"), col("trgID")),
+            struct(negate(col("score")), col("trgID"))).as("__best"))
           .select(col("srcID"), col("__best.score").as("score"),
             col("__best.trgID").as("trgID"))
       else {

@@ -85,6 +85,29 @@ class ClusteringSpec extends SparkSpec {
     assert(sh.contains("n")) // deletion of one char from "nn"
   }
 
+  test("E8 minhash candidates: empty names emit no bands, never a shared constant signature") {
+    // minHashSignature(Nil) is the constant all-MaxValue signature; if
+    // empty-name rows were banded they would ALL share every band and
+    // the self-join would emit every pair among them — quadratic bogus
+    // candidates at scale. They must instead drop out of the banding.
+    val persons = Seq(
+      (1L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (2L, "", ""),
+      (3L, null.asInstanceOf[String], ""),
+      (4L, "margarete", "kovacs"),
+      (5L, "margarete", "kovacs"))
+      .toDF("id", "strGName_processed", "strLName_processed")
+    val pairs = Clustering.minHashCandidates(persons, numPerm = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((4L, 5L)),
+      s"empty-name rows must produce no candidate pairs, got $pairs")
+    // and the empty shingle never enters a set: all-vowel subnames strip
+    // to "", single-char novowels leave-one-out to "" — both dropped
+    assert(!Clustering.nameCollisionShingles("aia eu", leaveOneOut = true).contains(""))
+    assert(!Clustering.nameCollisionShingles("bo", leaveOneOut = true).contains(""))
+    assert(Clustering.nameCollisionShingles("", leaveOneOut = true) === Nil)
+  }
+
   test("oversized component falls back to streamed single-linkage, never buffers") {
     // adversarial: 400 rows of the SAME person — blocking collapses to
     // one component of 400 (every pair scores 100). With the guard at
@@ -105,6 +128,59 @@ class ClusteringSpec extends SparkSpec {
     val replayed = Clustering.cluster(degenerate, ClusterConfig(cutoff = 90.0))
       .select(countDistinct(col("cluster_id"))).head().getLong(0)
     assert(replayed === 1L)
+  }
+
+  test("cluster() on a names-only frame: replay tolerates absent optional columns and scores like the edges") {
+    // the greedy replay once crashed on getAs of the missing optional
+    // columns that the edge path tolerates (personStruct's opt -> null).
+    // Score note: an unconfigured secondary channel folds a 0 into the
+    // combiner on BOTH sides (reference semantics), so identical
+    // names-only rows score 2/3*100 = 66.7 — the cutoff here sits below
+    // that, and admission must agree end to end instead of crashing.
+    val namesOnly = Seq(
+      (1L, "hans", "muler"),
+      (2L, "hans", "muler"),
+      (3L, "karl", "vagner"))
+      .toDF("id", "strGName_processed", "strLName_processed")
+    val out = Clustering.cluster(namesOnly, ClusterConfig(cutoff = 60.0)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(out(1L) === out(2L), "identical names-only rows must cluster at cutoff 60")
+    assert(out(3L) !== out(1L))
+    // quality metrics run on the same reduced frame without crashing;
+    // identical names-only members read exactly 2/3 * 100
+    val q = Clustering.clusterQuality(
+      namesOnly.withColumn("cluster_id", lit("c")).filter(col("id") =!= 3L))
+      .collect().head
+    assert(math.abs(q.getAs[Double]("average") - 200.0 / 3) < 1e-9)
+  }
+
+  test("matching buckets are a superset of clustering buckets on the processed-name domain") {
+    // the component graph is blocked with PersonMatching.bucketKeys
+    // (matching.py) while the replay re-applies bucketsForName
+    // (person_clustering.py); the replay is exact only if every
+    // clustering-bucketed pair also shares a matching bucket. Pin that
+    // on the processed domain (lowercase [a-z ]): 500 random such name
+    // pairs — whenever bucketsForName shares a key, bucketKeys must too.
+    val rnd = new scala.util.Random(7L)
+    def randName(): String =
+      (0 until 1 + rnd.nextInt(3)).map { _ =>
+        (0 until 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }.mkString(" ")
+    val names = Seq.fill(40)(randName())
+    // ONE Spark job for all names' matching keys, not one per lookup
+    val matchKeysByName: Map[String, Set[String]] = names.toDF("n")
+      .select(col("n"), graft.linkage.PersonMatching.bucketKeys(col("n"), 4, 2).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    def matchKeys(n: String): Set[String] = matchKeysByName(n)
+    for (a <- names; b <- names if a < b) {
+      val shareClustering =
+        Clustering.bucketsForName(a, 4, 2).toSet
+          .intersect(Clustering.bucketsForName(b, 4, 2).toSet).nonEmpty
+      if (shareClustering)
+        assert(matchKeys(a).intersect(matchKeys(b)).nonEmpty,
+          s"'$a' / '$b' share a clustering bucket but no matching bucket - " +
+            "components would split a pair the replay expects to see")
+    }
   }
 
   test("merge_clusterings unions overlapping clusters") {
@@ -128,6 +204,67 @@ class ClusteringSpec extends SparkSpec {
     assert(math.abs(q("c0").getAs[Double]("average") - 100.0) < 1e-9)
     assert(q("c1").getAs[Int]("size") === 1)
     assert(q("c1").getAs[Double]("single_link") === 100.0) // lone member
+  }
+
+  test("cluster quality equals the brute-force per-member formulation on mixed members") {
+    import graft.similarity.Similarity
+    import graft.similarity.Similarity.Person
+    // three DISTINCT members: the one-pass pair aggregation must equal
+    // the literal per-member (mean / best-neighbor / worst-neighbor)
+    // definition computed independently here
+    val rows = Seq(
+      (1L, "hans", "muler", "19430312", "berlin", "1", "c0"),
+      (2L, "hans", "mulero", "19430312", "berlin", "2", "c0"),
+      (3L, "johann", "muler", "19430313", "berlin", "3", "c0"))
+    val clustered = rows.toDF("id", "strGName_processed", "strLName_processed",
+      "strDoB_processed", "strPoB_processed", "prisoner_number", "cluster_id")
+    val persons = rows.map(t => Person(t._2, t._3, t._4, t._5, t._6))
+    val perMember = persons.indices.map { i =>
+      val sims = persons.indices.filter(_ != i)
+        .map(j => Similarity.personSimilarity(persons(i), persons(j)))
+      (sims.sum / sims.size, sims.max, sims.min)
+    }
+    val r = Clustering.clusterQuality(clustered).collect().head
+    assert(math.abs(r.getAs[Double]("average") - perMember.map(_._1).sum / 3) < 1e-9)
+    assert(math.abs(r.getAs[Double]("average_link") - perMember.map(_._1).min) < 1e-9)
+    assert(math.abs(r.getAs[Double]("single_link") - perMember.map(_._2).min) < 1e-9)
+    assert(math.abs(r.getAs[Double]("max_link") - perMember.map(_._3).min) < 1e-9)
+    // oversize guard: metrics read null (not computed), size stays real
+    val big = Clustering.clusterQuality(clustered, maxClusterSize = 2).collect().head
+    assert(big.getAs[Int]("size") === 3)
+    assert(big.isNullAt(big.fieldIndex("average")) &&
+      big.isNullAt(big.fieldIndex("max_link")),
+      "oversize cluster must report null metrics, not wrong or absent ones")
+  }
+
+  test("connectedComponents warns loudly when maxIter stops propagation short") {
+    // a 12-vertex path needs ~11 min-propagation rounds; maxIter=2 must
+    // return mid-propagation labels WITH the stderr warning — silent
+    // wrong labels were the failure mode (contrast: enough iterations
+    // converge the same chain to one component, no warning)
+    val vertices = (1L to 12L).toDF("id")
+    val edges = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    val comps =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        Clustering.connectedComponents(vertices, edges, maxIter = 2)
+          .collect().map(_.getLong(1)).distinct
+      } finally System.setErr(prevErr)
+    assert(comps.length > 1, "2 iterations cannot converge a 12-path")
+    assert(errBuf.toString.contains("did NOT converge"),
+      "unconverged exit must be loud, never silent")
+    // and the converged case stays quiet
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    val one =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf2, true))
+        Clustering.connectedComponents(vertices, edges, maxIter = 25)
+          .collect().map(_.getLong(1)).distinct
+      } finally System.setErr(prevErr)
+    assert(one === Array(1L))
+    assert(!errBuf2.toString.contains("did NOT converge"))
   }
 
   test("connectedComponents on an empty graph returns empty without NPE") {

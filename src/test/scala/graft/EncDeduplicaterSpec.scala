@@ -65,6 +65,22 @@ class EncDeduplicaterSpec extends SparkSpec {
     assert(raw.forall(r => r.getAs[String]("object_id").nonEmpty))
   }
 
+  test("raw rows carry the SAME object_id as their document's consensus row") {
+    // the consensus Dataset feeds two plan branches (the verdicts join
+    // into raw, and the union); its mapGroups generates object_id via
+    // randomUUID, so without pinning one evaluation the two branches
+    // would hold DIFFERENT uuids for the same document and the
+    // reference's copy-down linkage (deduplication.py) silently breaks
+    import org.apache.spark.sql.functions.col
+    val byDoc = result.select("document_id", "deleted", "object_id").collect()
+      .groupBy(_.getString(0))
+    for ((doc, rows) <- byDoc) {
+      val ids = rows.map(_.getString(2)).distinct
+      assert(ids.length === 1,
+        s"document $doc: raw and consensus rows disagree on object_id: ${ids.toSeq}")
+    }
+  }
+
   test("metadata columns are copied onto consensus rows") {
     assert(consensus.map(_("workflow_id")).toSeq === Seq("wo_001", "wo_001"))
   }

@@ -34,6 +34,33 @@ class PersonMatchingSpec extends SparkSpec {
     }
   }
 
+  test("topN=1 works with STRING target ids and tie-breaks on the smallest, like the window path") {
+    // the best-match aggregation once tie-broke via negate(trgID) — an
+    // implicit cast to double that nulls out non-numeric ids (arbitrary
+    // tie winner; an error under ANSI). Two identical targets under
+    // string ids: the winner must be the lexicographically smallest id,
+    // exactly what the topN>=2 window (score desc, trgID asc) yields.
+    val src = persons.filter(col("id") === 1L).withColumnRenamed("id", "srcID")
+    val trg = persons.filter(col("id").isin(1L, 2L))
+      .withColumn("id", concat(lit("P-"), col("id"))) // "P-1", "P-2"
+      .withColumn("strDoB_processed", lit("19430312"))
+      .withColumn("prisoner_number", lit("111"))
+      .withColumn("strGName_processed", lit("hans"))
+      .withColumn("strLName_processed", lit("muler"))
+      .withColumn("strPoB_processed", lit("berlin"))
+      .withColumnRenamed("id", "trgID")
+    val best = PersonMatching.personMatching(src, trg,
+      MatchConfig(topN = 1, minScore = 80)).collect()
+    assert(best.length === 1)
+    assert(best.head.getString(2) === "P-1",
+      s"equal-score tie must go to the smallest trgID: ${best.toSeq}")
+    // and the window path agrees on the same data
+    val win = PersonMatching.personMatching(src, trg,
+      MatchConfig(topN = 2, minScore = 80)).orderBy(desc("score"), col("trgID"))
+      .collect()
+    assert(win.head.getString(2) === "P-1")
+  }
+
   test("near-duplicates match above cutoff; distinct persons do not") {
     val src = persons.withColumnRenamed("id", "srcID")
     val trg = persons.withColumnRenamed("id", "trgID")
