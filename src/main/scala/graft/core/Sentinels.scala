@@ -55,6 +55,15 @@ object Sentinels {
 object RowId {
   val ColName = "row_id"
 
+  /** Determinism precondition: `monotonically_increasing_id` values are
+    * a pure function of partition layout, so the surrogate is stable
+    * across re-evaluations ONLY over a deterministic lineage (a plain
+    * file scan). Downstream of a shuffle whose layout can change, or a
+    * non-deterministic sample, PIN the frame (localCheckpoint /
+    * `.trackedCheckpoint()`) before deriving frames you intend to glue
+    * back by row_id — the EncDeduplicater consensus pin is the
+    * in-repo example of exactly that failure class.
+    */
   def withRowId(df: DataFrame): DataFrame =
     if (df.columns.contains(ColName)) df
     else df.withColumn(ColName, monotonically_increasing_id())

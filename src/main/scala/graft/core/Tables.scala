@@ -34,7 +34,20 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // The legacy flag is scoped to THIS read, not left set on the shared
+    // session: a long-lived session (notebook, query server) must not
+    // have unrelated parquet reads silently surface TIMESTAMP(NANOS)
+    // columns as LongType because a Tables.events call ran earlier. The
+    // flag is consumed at PLANNING (schema conversion is captured into
+    // the scan's hadoopConf when the relation resolves, which the
+    // schema dispatch below forces), so restoring it after the read
+    // does not disturb later executions of the returned frame —
+    // TablesSpec's nanos fixtures execute after restoration and pin
+    // exactly that.
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out =
+    try {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -64,6 +77,11 @@ object Tables {
           s"events.ts has unsupported type $other (expected TIMESTAMP nanos-as-long, " +
             "TIMESTAMP, or TIMESTAMP_NTZ); teach Tables.events this corpus generation")
     }
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+    out
   }
   /** Corpus FINGERPRINTS (path + per-file name/length/mtime of the
     * events parquet) whose int64 `ts` passed the nanosecond-magnitude

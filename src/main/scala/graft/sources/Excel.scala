@@ -62,11 +62,15 @@ object Excel {
       seen(base) = n + 1
       if (n == 0) base else s"$base.$n"
     }
-    val width = header.length
+    // pandas parity continued: pandas reads the sheet's full rectangle,
+    // so data cells BEYOND the header's width surface as extra
+    // "Unnamed: N" columns — silently truncating them would drop data
+    val width = math.max(header.length, rows.tail.foldLeft(0)((m, r) => math.max(m, r.length)))
+    val fullHeader = header ++ (header.length until width).map(i => s"Unnamed: $i")
     val data = rows.tail.map { r =>
       Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
     }
-    val schema = StructType(header.map(h => StructField(h, StringType)).toSeq)
+    val schema = StructType(fullHeader.map(h => StructField(h, StringType)).toSeq)
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
       schema)
@@ -273,7 +277,20 @@ object Excel {
         val value = t match {
           case "s" =>
             val vs = cell.getElementsByTagNameNS("*", "v")
-            if (vs.getLength == 0) null else shared(vs.item(0).getTextContent.trim.toInt)
+            if (vs.getLength == 0) null
+            else {
+              // hardened like every other malformed-input case in this
+              // file: a crafted shared-string index must fail with the
+              // named limit, not a raw NumberFormat/IndexOutOfBounds
+              // from deep inside the parse
+              val raw = vs.item(0).getTextContent.trim
+              val si = raw.toIntOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"XLSX shared-string index is not an integer: '$raw'"))
+              require(si >= 0 && si < shared.length,
+                s"XLSX shared-string index $si out of range [0, ${shared.length})")
+              shared(si)
+            }
           case "inlineStr" =>
             val ts = cell.getElementsByTagNameNS("*", "t")
             (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString

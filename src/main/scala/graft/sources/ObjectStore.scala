@@ -30,13 +30,7 @@ object ObjectStore {
   /** Blob download (`blob.download_as_bytes`). */
   def get(spark: SparkSession, uri: String): Array[Byte] = {
     val in = fs(spark, uri).open(new Path(uri))
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](64 * 1024)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toByteArray
-    } finally in.close()
+    try in.readAllBytes() finally in.close()
   }
 
   def exists(spark: SparkSession, uri: String): Boolean =

@@ -60,6 +60,10 @@ object SqlScans {
          |) bestand
          |JOIN persdata p ON p.lObjId = bestand.lObjId
          |LEFT JOIN (
+         |  -- lValueId-only join with the type filter on aVal is the
+         |  -- reference's own shape (dbquery-container/queries.py:71-78);
+         |  -- the 3-column join belongs to the persdata query only.
+         |  -- Reproduced bug-for-bug: S7's contract is the reference SQL.
          |  SELECT attr.lObjId, attr.lCountId, aVal.strValue_l1 AS strPoB
          |  FROM attribute attr
          |  JOIN attribute_value aVal ON attr.lValueId = aVal.lValueId

@@ -39,11 +39,16 @@ object Streams {
   }
 
   /** Streaming exact dedup on a key with watermark-bounded state
-    * (the dedup family's streaming sibling).
+    * (the dedup family's streaming sibling). The subset is the KEY
+    * ALONE: `dropDuplicatesWithinWatermark` exists precisely so the
+    * event-time column need not be part of the dedup key (state is
+    * bounded by the watermark instead) — appending `ts` would keep
+    * both copies of a retried event whose replay carries 1 ms of
+    * timestamp jitter, the exact case a streaming dedup is for.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(startMs: Long, endMs: Long, n: Long)
@@ -69,33 +74,51 @@ object Streams {
       .as[SessionEvent]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[Seq[SessionState], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[Seq[SessionState]]) =>
           def emit(s: SessionState) = Session(user,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
-          if (state.hasTimedOut) { // watermark passed end+gap: session is final
-            val out = state.getOption.map(emit).iterator
-            state.remove()
-            out
-          } else {
-            val times = it.map(_.ts.getTime).toArray.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            for (t <- times) cur match {
-              case Some(s) if t - s.endMs <= gapMs =>
-                cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
-              case Some(s) => // in-batch gap: previous session is closed
-                closed ::= emit(s)
-                cur = Some(SessionState(t, t, 1))
-              case None => cur = Some(SessionState(t, t, 1))
+          val wm = state.getCurrentWatermarkMs()
+          // State is the user's OPEN sessions (non-overlapping, any
+          // order), not one session: out-of-order events within the
+          // watermark must open their OWN session when they fall more
+          // than a gap before every open session, extend a session's
+          // start backward when they precede it within the gap, and
+          // even BRIDGE two open sessions into one — a single-session
+          // state can do none of these (it silently absorbed a
+          // 90-min-early event into the wrong session and never moved
+          // session_start). Bounded: at most (watermark horizon / gap)
+          // open sessions per user.
+          var open: Seq[SessionState] = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut)
+            for (t <- it.map(_.ts.getTime).toArray.sorted) {
+              // sessions this event touches as the interval [t-gap, t+gap]
+              val (touching, rest) = open.partition(s =>
+                t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+              val merged =
+                if (touching.isEmpty) SessionState(t, t, 1)
+                else SessionState(
+                  math.min(t, touching.map(_.startMs).min),
+                  math.max(t, touching.map(_.endMs).max),
+                  touching.map(_.n).sum + 1)
+              open = merged +: rest
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            closed.reverse.iterator
+          // a session is FINAL only when the watermark passes end+gap —
+          // emitting an in-batch-closed session immediately (the old
+          // behavior) is premature in Append mode: a later batch's
+          // late-but-valid event could still extend it, and the emitted
+          // row can never be retracted. Finality is the same rule the
+          // declarative session_window twin applies.
+          val (done, stillOpen) = open.partition(s => s.endMs + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            // earliest possible finality; > wm is guaranteed by the
+            // partition above (end+gap > wm for every still-open session)
+            state.setTimeoutTimestamp(stillOpen.map(_.endMs).min + gapMs)
           }
+          done.sortBy(_.startMs).map(emit).iterator
       }
   }
 

@@ -97,6 +97,11 @@ object Unpack {
       additionalSplitsOn: String => Boolean = _ => false,
       splitRe: String = "[\\|;,\\s]"): DataFrame = {
     val hadRowId = input.columns.contains("row_id")
+    // layout-determinism: the synthesized row_id drives first-occurrence
+    // key order below across two evaluations (the discovery collect and
+    // the output plan); monotonically_increasing_id is a pure function
+    // of partition layout, stable over this deterministic scan lineage —
+    // see RowId.withRowId's precondition note for the shuffled case
     val df0 = if (hadRowId) input else input.withColumn("row_id", monotonically_increasing_id())
     val parsed = df0.withColumn("__parsed", from_json(col(jsonColumn), parsedType))
 

@@ -77,6 +77,46 @@ class ExcelSpec extends SparkSpec {
     assert(df.filter(org.apache.spark.sql.functions.col("camp").isNull).count() === 2)
   }
 
+  test("data wider than the header surfaces as Unnamed columns; corrupt shared indices fail with named errors") {
+    def wb(sheetXml: String, shared: String = "<sst/>"): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      entry(z, "[Content_Types].xml", """<?xml version="1.0"?><Types/>""")
+      entry(z, "xl/sharedStrings.xml", s"""<?xml version="1.0"?>$shared""")
+      entry(z, "xl/worksheets/sheet1.xml", s"""<?xml version="1.0"?>$sheetXml""")
+      z.close(); bos.toByteArray
+    }
+    def write(bytes: Array[Byte]): String = {
+      val f = java.nio.file.Files.createTempDirectory("graft-xlsx-w").resolve("w.xlsx").toFile
+      val out = new FileOutputStream(f)
+      try out.write(bytes) finally out.close()
+      "file://" + f.getAbsolutePath
+    }
+    // pandas reads the sheet's full rectangle: a 1-cell header over
+    // 3-cell data rows must yield Unnamed: 1/2 columns, not silent loss
+    val wide = write(wb(
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin))
+    val df = Excel.readXlsx(spark, wide)
+    assert(df.columns.toSeq === Seq("h", "Unnamed: 1", "Unnamed: 2"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      === Seq(("1", "2", "3")))
+    // crafted shared-string references fail with the module's named
+    // hardening errors, not a raw NumberFormat/IndexOutOfBounds
+    val outOfRange = write(wb(
+      """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>99999</v></c></row></sheetData></worksheet>""",
+      """<sst><si><t>x</t></si></sst>"""))
+    val e1 = intercept[IllegalArgumentException](Excel.readXlsx(spark, outOfRange))
+    assert(e1.getMessage.contains("out of range"))
+    val notInt = write(wb(
+      """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>xyz</v></c></row></sheetData></worksheet>""",
+      """<sst><si><t>x</t></si></sst>"""))
+    val e2 = intercept[IllegalArgumentException](Excel.readXlsx(spark, notInt))
+    assert(e2.getMessage.contains("not an integer"))
+  }
+
   test("column-reference arithmetic handles multi-letter columns") {
     assert(Excel.colIndex("A1") === 0)
     assert(Excel.colIndex("Z9") === 25)

@@ -79,6 +79,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization handles out-of-order events: backward extension, own sessions, bridging") {
+    // gap 10 min, watermark 1 h. Batch 1 opens [60,62]; batch 2's late
+    // events must NOT be absorbed blindly: 50 extends the session's
+    // START backward (50 >= 60-gap), 30 opens its OWN session (more
+    // than a gap before everything); batch 3's 40 touches BOTH open
+    // sessions ([20,40] and [40,72]) and must bridge them into ONE
+    // [30,62] session carrying all five events; batch 4 advances the
+    // watermark past end+gap and finalizes exactly that one session.
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val sessions = Streams.userSessions(events, gapMs = 10L * 60 * 1000,
+      watermark = "1 hour")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(60)), (1L, ts(62)))
+      q.processAllAvailable()
+      input.addData((1L, ts(50)), (1L, ts(30)))
+      q.processAllAvailable()
+      input.addData((1L, ts(40)))
+      q.processAllAvailable()
+      input.addData((2L, ts(180))) // watermark -> 120, finalizes [30,62]
+      q.processAllAvailable()
+      val got = session.table("sessions_ooo")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2)))
+      assert(got.toSeq === Seq(("2024-01-01 10:30:00.0", "2024-01-01 11:02:00.0", 5L)),
+        s"out-of-order events must merge into ONE bridged session: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming media triage parses AVI headers and drops corrupt clips in-flight") {
     implicit val sqlCtx = session.sqlContext
     import graft.text.Multimodal.AviCodec
@@ -113,9 +146,14 @@ class StreamingSpec extends SparkSpec {
     val q = deduped.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {
-      input.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"))
+      // the second "a" carries 1 min of replay jitter: a (key, ts)
+      // dedup would keep both copies; the key-only contract drops it
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
       q.processAllAvailable()
       assert(session.table("dedup_out").count() === 2)
+      assert(session.table("dedup_out").groupBy("event_id").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 1L, "b" -> 1L))
     } finally q.stop()
   }
 }

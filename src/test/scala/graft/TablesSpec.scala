@@ -119,6 +119,28 @@ class TablesSpec extends SparkSpec {
     assert(graft.core.Tables.eventsFingerprint(dir) === fp2)
   }
 
+  test("events: the legacy nanos flag is scoped to the read, and the frame still executes after restore") {
+    val session = spark
+    import session.implicits._
+    // effective value before (the conf has a registered default, so
+    // getOption never reads None — compare effective values instead)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    assert(before === "false")
+    val dir = tmpDir()
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.core.Tables.events(spark, dir)
+    // the shared session conf must NOT keep the legacy flag after the
+    // call — an unrelated parquet read in a long-lived session would
+    // silently surface TIMESTAMP(NANOS) columns as LongType
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === before,
+      "events() must restore the session conf it changed")
+    // and the returned frame still executes correctly AFTER the restore
+    // (the flag was consumed at planning): pins that the scoping is safe
+    assert(out.select(unix_micros(col("ts"))).head().getLong(0) === micros)
+  }
+
   test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
     val out = graft.core.Tables.events(spark, sf)
     assert(out.schema("ts").dataType === TimestampType)
