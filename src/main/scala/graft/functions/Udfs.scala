@@ -17,7 +17,12 @@ import graft.similarity.Similarity
 object Udfs {
   val fuzzRatio: UserDefinedFunction = udf((a: String, b: String) => Fuzz.ratio(a, b))
   val tokenSetRatio: UserDefinedFunction = udf((a: String, b: String) => Fuzz.tokenSetRatio(a, b))
-  val jaro: UserDefinedFunction = udf((a: String, b: String) => Fuzz.jaro(a, b))
+  // null-safe like every sibling: Fuzz.jaro dereferences its args (the
+  // Catalyst twin uses nullSafeEval; ratio/tokenSetRatio null-guard in
+  // defaultProcess) — a null column value must yield null, not an NPE
+  // that fails the job from inside a per-row UDF
+  val jaro: UserDefinedFunction =
+    udf((a: String, b: String) => if (a == null || b == null) null else Fuzz.jaro(a, b): java.lang.Double)
   val preprocessName: UserDefinedFunction =
     udf((s: String) => if (s == null) null else NamePreprocess.preprocessName(s))
   val preprocessLastName: UserDefinedFunction =

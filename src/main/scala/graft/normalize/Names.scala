@@ -19,8 +19,11 @@ object Names {
   import PyText._
 
   private[normalize] def maxParts(df: DataFrame, arr: Column): Int = {
-    val m = df.agg(max(size(arr))).head().getInt(0)
-    math.max(m, 1)
+    // max() over an EMPTY (or all-null) frame aggregates to SQL NULL;
+    // getInt would NPE — an empty input normalizes to an empty output
+    // with the k=1 column family, not a crash
+    val row = df.agg(max(size(arr))).head()
+    if (row.isNullAt(0)) 1 else math.max(row.getInt(0), 1)
   }
 
   /** `normalize_last_name` (column_processing.py:48-227). Appends:

@@ -21,10 +21,30 @@ object Nationality {
     * on word boundaries, dropping keys that are substrings of another
     * match; sorted by key length (reference order).
     */
+  /** Word-boundary patterns per dictionary, compiled ONCE per dict
+    * identity: findMatches runs per row inside the standardize UDF, and
+    * per-row Pattern.compile over every key is hundreds of millions of
+    * compilations at corpus scale (the same hoist Similarity/Fuzz
+    * apply). Keyed weakly on the dict so test dictionaries don't pin.
+    */
+  private val dictPatterns =
+    new java.util.WeakHashMap[Map[String, String], Map[String, java.util.regex.Pattern]]()
+  private def patternsFor(natDict: Map[String, String]): Map[String, java.util.regex.Pattern] =
+    dictPatterns.synchronized {
+      var p = dictPatterns.get(natDict)
+      if (p == null) {
+        p = natDict.keys.filter(_.nonEmpty).map(k =>
+          k -> java.util.regex.Pattern.compile(
+            "\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap
+        dictPatterns.put(natDict, p)
+      }
+      p
+    }
+
   def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] = {
+    val pats = patternsFor(natDict)
     val hits = natDict.keys.toSeq
-      .filter(k => k.nonEmpty &&
-        java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(k) + "\\b").matcher(raw).find())
+      .filter(k => pats.get(k).exists(_.matcher(raw).find()))
       .sortBy(_.length)
     hits.filterNot(k => hits.exists(o => o != k && o.contains(k)))
       .map(k => k -> natDict(k))
@@ -75,7 +95,8 @@ object Nationality {
     // aggregation and the output select otherwise both run the UDF pass
     val with0 = df.withColumn("__nat", stdUdf(coalesce(col(natCol).cast("string"), lit(""))))
       .trackedCheckpoint()
-    val k = math.max(1, with0.agg(max(size(col("__nat._1")))).head().getInt(0))
+    val kRow = with0.agg(max(size(col("__nat._1")))).head()
+    val k = if (kRow.isNullAt(0)) 1 else math.max(1, kRow.getInt(0))
     var out = with0
     for (i <- 0 until k) {
       out = out

@@ -2,6 +2,7 @@ package graft.normalize
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.SessionHygiene.TrackedCheckpoint
 
 /** Prisoner-number normalization (SURVEY F16; reference
   * `src/aroa_etl/attribute_processing/column_processing.py:347-484`).
@@ -38,7 +39,12 @@ object PrisonerNumbers {
     c = sortListUdf(c)
 
     val parts = split(c, ";", 5)
+    // same two-consumer materialization as the name chains and the
+    // nationality standardizer: the arity aggregation and the output
+    // select would otherwise each evaluate the full clean/regex/
+    // sortListUdf chain once per row
     val df1 = input.withColumn("__pparts", parts).withColumn("__pqa", qaBase)
+      .trackedCheckpoint()
     val k = Names.maxParts(df1, col("__pparts"))
 
     var out = df1

@@ -56,4 +56,35 @@ class ProcessingSpec extends SparkSpec {
     } yield s"row $i col $c: expected '$expected' got '$got'"
     assert(diffs.isEmpty, s"${diffs.size} cell diffs, first 12:\n${diffs.take(12).mkString("\n")}")
   }
+
+  test("normalizers survive an EMPTY input frame (max-arity aggregate is SQL NULL)") {
+    // max(size(...)) over zero rows aggregates to NULL; getInt on that
+    // row NPE'd — an upstream filter that drops every row (or an empty
+    // partition test run) must yield an empty NORMALIZED frame, k=1
+    // column family, not a crash
+    val session = SparkSpec.spark
+    import session.implicits._
+    val empty = Seq.empty[(String, String)].toDF("last_name", "prisoner_no")
+    val ln = graft.normalize.Names.normalizeLastName(empty, "last_name")
+    assert(ln.count() === 0)
+    assert(ln.columns.exists(_.startsWith("last_name_cleaned")))
+    val pn = graft.normalize.PrisonerNumbers.normalise(empty, "prisoner_no")
+    assert(pn.count() === 0)
+    val nat = graft.normalize.Nationality.standardize(
+      Seq.empty[String].toDF("nationality"), "nationality",
+      Map("polish" -> "Poland"), Map("unclear" -> "?"))
+    assert(nat.count() === 0)
+  }
+
+  test("jaro UDF is null-safe like its siblings") {
+    val session = SparkSpec.spark
+    import session.implicits._
+    val df = Seq(("anna", null.asInstanceOf[String]), (null.asInstanceOf[String], "anna"),
+      ("anna", "anna"))
+      .toDF("a", "b")
+      .select(graft.functions.Udfs.jaro(col("a"), col("b")).as("j"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty && got(1).isEmpty, "null input must yield null, not an NPE")
+    assert(got(2).contains(1.0))
+  }
 }
