@@ -139,7 +139,13 @@ object LlmData {
       |grams AS (
       |  SELECT DISTINCT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+      |  UNION
+      |  -- short-text fallback, mirroring wordShingles: fewer than k
+      |  -- tokens (but nonempty) shingles as the whole text; empty text
+      |  -- shingles as nothing
+      |  SELECT doc_id, array_to_string(t, ' ') AS g FROM toks
+      |  WHERE len(t) < 3 AND array_to_string(t, ' ') <> ''),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
       |pairs AS (
       |  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS shared
@@ -167,7 +173,8 @@ object LlmData {
   private val q28Sql =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  CASE WHEN len(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
       |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -207,7 +214,7 @@ object LlmData {
       |  FROM documents
       |), counts AS (
       |  SELECT *,
-      |    len(toks) AS n_toks,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_toks,
       |    len(list_distinct(toks)) AS n_distinct,
       |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','be','that','it','for','on','with','as'], x))) AS n_stop,
       |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are'], x))) AS c_en,

@@ -24,10 +24,14 @@ import graft.core.SessionHygiene.TrackedCheckpoint
   */
 object Ann {
 
-  /** L2-normalize (double) an embedding column expression. */
+  /** L2-normalize (double) an embedding column expression. An all-zero
+    * vector passes through unchanged: 0/0 would fill it with NaN, and
+    * NaN sorts as the LARGEST double in a descending rank — a zero
+    * embedding must never outrank genuine neighbors.
+    */
   def l2Normalize(vec: Column): Column = {
     val norm = sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x * x))
-    transform(vec, x => x / norm)
+    when(norm === 0.0d, vec).otherwise(transform(vec, x => x / norm))
   }
 
   /** Cosine similarity between two (unnormalized) vector columns —
@@ -37,7 +41,12 @@ object Ann {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
+    // a zero vector is similar to NOTHING (score 0), never NaN: 0/0
+    // NaN sorts as the largest double under orderBy(desc), so one
+    // all-zero embedding would rank #1 against every query in the
+    // exact, LSH, and IVF top-k paths alike
+    val denom = na * nb
+    when(denom === 0.0d, lit(0.0d)).otherwise(dot / denom)
   }
 
   /** Exact top-k by cosine: broadcast the (small) query side, scan the

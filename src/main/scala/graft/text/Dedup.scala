@@ -32,7 +32,16 @@ object Dedup {
   /** Word k-shingles of the lowercased text (codegen'd column expr). */
   def wordShingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < k, array(concat_ws(" ", toks)))
+    // EMPTY/whitespace-only text shingles as NOTHING: split("") is [""],
+    // so the short-text fallback below would hand every empty document
+    // one identical phantom shingle — all empties would pair with each
+    // other (and the SQL oracle's gram derivation, which produces no
+    // grams for them, would disagree). A no-content document has
+    // nothing to near-dup on; exact dedup still groups empties.
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      // fewer than k tokens (but nonempty): the whole text is the one
+      // shingle, so identical short documents still dedup
+      .when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
@@ -105,11 +114,22 @@ object Dedup {
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numPerm % cfg.bands == 0, "bands must divide numPerm")
     val rows = cfg.numPerm / cfg.bands
-    val sigUdf = udf { (toks: Seq[String]) => minHashSignature(toks, cfg.numPerm) }
-    val bandsUdf = udf { (sig: Seq[Long]) =>
-      sig.grouped(rows).zipWithIndex.map { case (band, i) =>
-        s"$i:${MurmurHash3.orderedHash(band)}"
-      }.toSeq
+    // one shingles -> band-keys UDF, with the null/empty guard up front:
+    // a null text yields a NULL shingle array (the kernel would NPE),
+    // and an EMPTY shingle set (null or shorter-than-k text) must emit
+    // NO bands — minHashSignature(Nil) is the constant all-MaxValue
+    // signature, so every such document would share every band and the
+    // self-join would emit all their pairs (the rescore filters them,
+    // but only after a quadratic candidate blowup at scale; the
+    // Clustering.minHashCandidates precedent)
+    val bandsUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) Seq.empty[String]
+      else {
+        val sig = minHashSignature(toks, cfg.numPerm)
+        sig.grouped(rows).zipWithIndex.map { case (band, i) =>
+          s"$i:${MurmurHash3.orderedHash(band)}"
+        }.toSeq
+      }
     }
     // materialize the shingled base ONCE: it feeds the banding and both
     // rescore joins — without this the corpus scan + shingle kernel
@@ -122,7 +142,7 @@ object Dedup {
     // payload rejoins exactly once per surviving candidate below, the
     // same shape as ngramJaccardDuplicates' rescore
     val banded = shingled
-      .select(col("id"), explode(bandsUdf(sigUdf(col("shingles")))).as("band"))
+      .select(col("id"), explode(bandsUdf(col("shingles"))).as("band"))
     val candidates = banded.select(col("band"), col("id").as("a"))
       .join(banded.select(col("band"), col("id").as("b")), "band")
       .filter(col("a") < col("b"))

@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Empty/whitespace-only text counts 0
+    * tokens: split("") yields [""], whose size-1 artifact would hand an
+    * empty document one phantom token (and, downstream, a perfect
+    * distinct-token ratio in the quality score).
+    */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
     * suffixes, letter runs, digit runs, punctuation runs, whitespace
@@ -38,17 +43,24 @@ object TextStats {
   private val EnStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "are", "was", "be", "that", "it", "for", "on", "with", "as")
 
-  /** Fraction of whitespace tokens that are (English) stopwords. */
+  /** Fraction of whitespace tokens that are (English) stopwords. The
+    * guard is on empty TEXT, not an empty token array — split("") is
+    * [""], so size(toks) === 0 never fires (the pre-fix dead guard).
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) === 0, 0.0).otherwise(
+    when(length(trim(text)) === 0, 0.0).otherwise(
       size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
   }
 
-  /** Distinct-token fraction — low values signal boilerplate repetition. */
+  /** Distinct-token fraction — low values signal boilerplate repetition.
+    * Empty text reads 0.0 (same empty-text guard as stopwordRatio): the
+    * [""] split artifact would otherwise score an empty document a
+    * PERFECT 1.0 repetition ratio.
+    */
   def distinctTokenRatio(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) === 0, 0.0)
+    when(length(trim(text)) === 0, 0.0)
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
 

@@ -33,8 +33,18 @@ object Unpack {
   /** Regex replace skipping bracketed spans, nesting-aware (SURVEY F22;
     * reference `utils.py:42-57` `re_sub_exclude_parenthesis`).
     */
+  // pattern cache: reSubExcludeParenthesis runs once per VALUE inside
+  // the flatten UDF, and Pattern.compile per call is pure repeated work
+  // on that hot path; the handful of distinct split regexes are
+  // memoized per executor (bounded: callers pass literal config strings)
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def compiled(pattern: String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(pattern,
+      p => java.util.regex.Pattern.compile(p, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS))
+
   def reSubExcludeParenthesis(s: String, pattern: String, repl: String): String = {
-    val p = java.util.regex.Pattern.compile(pattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    val p = compiled(pattern)
     val sb = new java.lang.StringBuilder(s.length)
     var depth = 0
     var i = 0
@@ -57,8 +67,10 @@ object Unpack {
     * ("Alice, Blice" → ["Alice","Blice"]), respecting parentheses.
     * Consecutive separators yield empty entries (reference behavior).
     */
+  private val pipeSplit = java.util.regex.Pattern.compile("\\|")
+
   def additionalSplits(values: Seq[String], splitRe: String): Seq[String] =
-    values.flatMap(v => reSubExcludeParenthesis(v.trim, splitRe, "|").split("\\|", -1).toSeq)
+    values.flatMap(v => pipeSplit.split(reSubExcludeParenthesis(v.trim, splitRe, "|"), -1).toSeq)
 
   /** `filter_na` (unpacking.py:46-56): dedupe preserving order; if more
     * than one value remains, drop empties; never return an empty list.
@@ -172,6 +184,16 @@ object Unpack {
     val existing = input.columns.filterNot(_ == jsonColumn).toSet
     val collisions = generated.map(_._1).filter(existing)
     require(collisions.isEmpty, s"unpacking of $jsonColumn would override columns: $collisions")
+    // generated-vs-GENERATED too: two repeat groups sharing an inner
+    // field name would emit duplicate output columns (pandas tolerates
+    // that; Spark's select succeeds but every downstream col() is an
+    // ambiguous-reference AnalysisException far from the cause) — fail
+    // loudly here with the colliding names, like the input case above
+    val dupGenerated = generated.map(_._1)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupGenerated.isEmpty,
+      s"unpacking of $jsonColumn generates duplicate columns (repeat groups " +
+        s"share inner field names): ${dupGenerated.toSeq.sorted}")
 
     val keep = input.columns.filterNot(c => c == jsonColumn || (c == "row_id" && !hadRowId))
     flat.select(keep.map(col).toSeq ++ generated.map { case (n, c) => c.as(n) }: _*)

@@ -140,9 +140,13 @@ object Zooniverse {
     * JSON or a task matching no schema throws
     * [[MalformedAnnotationException]] with the offending node.
     */
+  // shared: ObjectMapper construction is a heavyweight allocation and
+  // readTree is thread-safe — one per JVM, not one per ROW inside the
+  // parse UDF (the ColMatcher regex-hoist precedent)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def parseAnnotations(json: String): Map[String, String] = {
     if (json == null) return Map.empty
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root =
       try mapper.readTree(json)
       catch { case e: Exception =>

@@ -95,6 +95,47 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 8.0 / 9) < 1e-9)
   }
 
+  test("empty and null texts: zero tokens, near-zero quality, no NPE in the dedup kernels") {
+    val session = SparkSpec.spark
+    import session.implicits._
+    val weird = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "real text here"), (5L, "real text here"))
+      .toDF("doc_id", "text")
+    // tokenCount: the [""] split artifact must not count one phantom token
+    val toks = weird.select(col("doc_id"), TextStats.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(toks(1L) === 0 && toks(2L) === 0)
+    assert(toks(4L) === 3)
+    // quality: an empty document must not collect the distinct-token 0.15
+    val q = weird.filter(col("doc_id") === 1L)
+      .select(TextStats.qualityScore(col("text"))).head().getDouble(0)
+    assert(q < 0.2, s"empty doc quality should be near zero, got $q")
+    // minhash over null/empty texts: no NPE, no bogus pairs from the
+    // constant empty-signature, real duplicates still found
+    val pairs = Dedup.minHashDuplicates(weird, "doc_id", "text",
+      Dedup.MinHashConfig(shingleSize = 2, numPerm = 16, bands = 8, jaccardThreshold = 0.4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((4L, 5L)), s"got $pairs")
+  }
+
+  test("cosine handles zero vectors: similarity 0, never a NaN that ranks first") {
+    val session = SparkSpec.spark
+    import session.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))) // all-zero: cosine undefined
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1L)
+    val top = graft.text.Ann.cosineTopK(q, vecs, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    // NaN sorts above every double under desc — the zero vector must
+    // rank LAST (score 0), never first
+    assert(top(1) === 1L, s"self must rank first: $top")
+    assert(top(2) === 2L)
+    assert(top(3) === 3L, s"zero vector must rank last with score 0: $top")
+  }
+
   test("language detection heuristic on real sentences") {
     assert(TextStats.detectLanguage("the cat sat on the mat and it was happy") === "en")
     assert(TextStats.detectLanguage("der Hund und die Katze sind nicht im Haus") === "de")
