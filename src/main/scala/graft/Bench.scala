@@ -112,6 +112,18 @@ object Bench {
     * configured path must corrupt at worst its own field, never the
     * whole artifact.
     */
+  /** SPARK_GRAFT_ONLY semantics, ONE implementation for the package:
+    * parse = comma-split, trimmed, empties dropped; a token selects a
+    * query when it equals the full name or the qNN prefix (the part
+    * before the first '_') — "q2" does NOT select q20–q29. Bench's
+    * main/scaling/sf1 passes and Verify all route through these two so
+    * the selection can never silently diverge between the harnesses.
+    */
+  private[graft] def parseOnly(raw: Option[String]): Option[Set[String]] =
+    raw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private[graft] def onlySelects(only: Option[Set[String]], name: String): Boolean =
+    only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+
   private[graft] def jstr(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -238,8 +250,8 @@ object Bench {
     // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those.
     // Tokens match a query when they equal its name or its qNN prefix
     // (the part before the first '_') — "q2" does NOT select q20–q29.
-    val only = sys.props.get("SPARK_GRAFT_ONLY").orElse(sys.env.get("SPARK_GRAFT_ONLY"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = parseOnly(
+      sys.props.get("SPARK_GRAFT_ONLY").orElse(sys.env.get("SPARK_GRAFT_ONLY")))
     // calibration probe: constant-cost, data-independent work. Timed on
     // the same executor pool as the queries, so external CPU contention
     // shows up here exactly as it does in the query timings.
@@ -308,7 +320,7 @@ object Bench {
       "q27_ngram_jaccard_dedup", "q34_minhash_preclustering")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
-        only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+        onlySelects(only, name)
       }
     if (only.isDefined && selected.isEmpty)
       return Left(
@@ -422,7 +434,7 @@ object Bench {
         // under force+ONLY, scale just the filtered queries — the whole
         // point of the combination is focused iteration on one query
         .filter { case (name, _) =>
-          only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+          onlySelects(only, name)
         }
         .flatMap { case (name, liftCap) =>
           SparkEntry.queries.get(name).flatMap { fn =>
@@ -654,7 +666,7 @@ object Bench {
     val sf1Targets = Seq("q22_person_match_self", "q23_person_clustering",
       "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
       "q34_minhash_preclustering", "q35_cosine_near_dup")
-      .filter(n => only.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_'))))
+      .filter(n => onlySelects(only, n))
     var sf1Retries = List.empty[String]
     val scalingSf1: Seq[(String, Double)] =
       if (!doSf1) Seq.empty

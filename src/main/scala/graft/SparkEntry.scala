@@ -12,8 +12,16 @@ import graft.queries._
   * an oracle → the driver records a rows-only check).
   */
 object SparkEntry {
-  private def modules: Seq[Q] =
-    Relational.defs ++ Pipeline.defs ++ Normalization.defs ++ Linkage.defs ++ LlmData.defs
+  private def modules: Seq[Q] = {
+    val all = Relational.defs ++ Pipeline.defs ++ Normalization.defs ++ Linkage.defs ++ LlmData.defs
+    // loud, not last-wins: .toMap below would silently keep one of two
+    // same-named queries, dropping the other from bench AND correctness
+    // coverage with nothing failing anywhere (the compact-key collision
+    // in Bench has the same guard for the same reason)
+    val dups = all.map(_.name).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.toSeq.sorted}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -62,7 +70,14 @@ object SparkEntry {
   def withHygiene[A](spark: SparkSession)(body: => A): A =
     try body
     finally {
-      graft.core.SessionHygiene.releaseLeftovers(spark)
+      // guarded: a release-time throw in a finally would REPLACE the
+      // body's in-flight exception (a stopped context after an executor
+      // loss being the classic case), masking the root cause the caller
+      // actually needs to see
+      try graft.core.SessionHygiene.releaseLeftovers(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] withHygiene release error (non-fatal): ${e.getMessage}")
+      }
       ()
     }
 }

@@ -23,10 +23,9 @@ object Verify {
     // local-iteration filter (same semantics as Bench): tokens match a
     // query when they equal its name or its qNN prefix. The driver never
     // sets this, so driver runs always dump the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = Bench.parseOnly(sys.env.get("SPARK_GRAFT_ONLY"))
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+      Bench.onlySelects(only, name)
     }
     if (only.isDefined && selected.isEmpty) {
       System.err.println(s"[verify] SPARK_GRAFT_ONLY matched no query")
@@ -36,8 +35,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        // stdout, not stderr: the local gate (tools/check.py) scans the
-        // captured output for these lines to fail the crashed query
+        // the gate (tools/check.py) scans stdout AND stderr for
+        // "[verify]" lines containing " failed" and takes the second
+        // token as the crashed query's name — this is the ONE message
+        // shape that may use that wording
         println(s"[verify] $name failed: ${e.getMessage}")
       }
       // job-boundary hygiene: checkpoint blocks from one query are dead
@@ -46,21 +47,19 @@ object Verify {
       // Verify owns this session, same rationale as Bench.
       try graft.core.SessionHygiene.releaseAll(spark)
       catch { case e: Throwable =>
-        System.err.println(s"[verify] leftover release failed: ${e.getMessage}")
+        // wording matters: the gate's failure scanner matches
+        // "[verify]" + " failed" and would register a PHANTOM failed
+        // query named "leftover", turning an all-green run red — a
+        // hygiene hiccup is a warning, phrased so no scanner can
+        // mistake it for a query failure
+        System.err.println(s"[verify-hygiene] leftover release error (non-fatal): ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape: one implementation for the whole package —
+    // Bench.jstr handles backslash, quote, and ALL control chars (its
+    // \uXXXX form for \n/\r/\t is byte-equivalent JSON to the
+    // shorthands); a second hand-rolled copy here would drift
+    def q(s: String): String = "\"" + Bench.jstr(s) + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -65,6 +65,11 @@ object ScaleKnob {
               s"$Prop must be a number in (0, 1], got '$raw'")
         }
       require(v > 0.0 && v <= 1.0, s"$Prop must be in (0, 1], got $raw")
+      // the sampling threshold is round(frac*1000): anything below
+      // 0.0005 rounds to 0 and keeps ZERO rows — the exact silently-
+      // empty sample the validation exists to prevent
+      require(math.round(v * 1000) >= 1,
+        s"$Prop must be at least 0.0005 (threshold resolution is 1/1000), got $raw")
       v
   }
 

@@ -138,7 +138,12 @@ object SessionHygiene {
   def releaseAll(spark: SparkSession): Int = {
     val leftovers = spark.sparkContext.getPersistentRDDs.values.toSeq
     leftovers.foreach(_.unpersist(blocking = true))
-    leftovers.foreach(r => tracked.remove(r.id))
+    // clear, don't remove-by-id: every persisted RDD is gone after this
+    // call, so ANY tracked id is now dead — ids whose blocks the
+    // ContextCleaner already removed are absent from getPersistentRDDs
+    // and a remove-by-id loop would leak them into the set forever
+    // under releaseAll-only usage (Bench/Verify's 49-query loops)
+    tracked.clear()
     spark.catalog.clearCache()
     leftovers.size
   }

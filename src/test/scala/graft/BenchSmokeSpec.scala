@@ -255,6 +255,20 @@ class BenchSmokeSpec extends SparkSpec {
     assert(qt(0.30, 0.08, Some(0.10)).probeAdjacentSec === 0.10)
   }
 
+  test("the shared ONLY filter: qNN prefix matches, substrings do not, parse drops empties") {
+    // one implementation serves Bench's three passes AND Verify — pin
+    // its semantics once: full name or exact qNN prefix, never a
+    // substring ("q2" must NOT select q22)
+    val only = Bench.parseOnly(Some(" q22 , q01_pricing_summary ,, "))
+    assert(only === Some(Set("q22", "q01_pricing_summary")))
+    assert(Bench.onlySelects(only, "q22_person_match_self"))
+    assert(Bench.onlySelects(only, "q01_pricing_summary"))
+    assert(!Bench.onlySelects(only, "q02_filter_project"))
+    assert(!Bench.onlySelects(Bench.parseOnly(Some("q2")), "q22_person_match_self"),
+      "a bare substring token must not select by prefix-of-prefix")
+    assert(Bench.onlySelects(None, "anything"), "no filter selects everything")
+  }
+
   test("Bench.run: malformed integer knobs fall back to defaults instead of aborting the run") {
     withProps(
       "SPARK_GRAFT_ONLY" -> "q01",

@@ -179,4 +179,20 @@ class ScaleKnobSpec extends SparkSpec {
       assert(e.getMessage.contains(ScaleKnob.ReplicateProp))
     }
   }
+
+  test("frac below the 1/1000 threshold resolution fails loudly instead of emptying the corpus") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    // 0.0004 passes a naive (0,1] check but round(0.0004*1000)=0 keeps
+    // ZERO rows — the silently-empty sample the validation exists for
+    withProp(ScaleKnob.Prop, "0.0004") {
+      val e = intercept[IllegalArgumentException](ScaleKnob.sample(df, "id"))
+      assert(e.getMessage.contains("0.0005"))
+    }
+    // the smallest representable fraction still samples
+    withProp(ScaleKnob.Prop, "0.001") {
+      assert(ScaleKnob.sample(spark.range(0, 2000).toDF("id"), "id").count() === 2L)
+    }
+  }
 }
