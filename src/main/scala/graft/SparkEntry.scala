@@ -74,8 +74,12 @@ object SparkEntry {
       // body's in-flight exception (a stopped context after an executor
       // loss being the classic case), masking the root cause the caller
       // actually needs to see
+      // NonFatal only: when the BODY succeeded, a fatal release error
+      // (OOM, LinkageError) must still propagate — swallowing it would
+      // let the caller continue in a corrupted JVM with later failures
+      // detached from the real cause
       try graft.core.SessionHygiene.releaseLeftovers(spark)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] withHygiene release error (non-fatal): ${e.getMessage}")
       }
       ()

@@ -297,6 +297,12 @@ object Clustering {
     val (useDate, usePrisoner, usePob) =
       presenceFlags(rows.headOption.map(_.schema.fieldNames.toSeq).getOrElse(Nil))
     val byId = rows.map(r => r.getAs[Long]("id") -> r).toMap
+    // Person conversion ONCE per row per component: linkScore below
+    // runs O(bucket x cluster) times, and rowPerson per call would
+    // rebuild the schema field-name Set and re-extract five fields
+    // every time (clusterQuality hoists identically)
+    val personById: Map[Long, Person] =
+      byId.view.mapValues(rowPerson).toMap
     val ids = rows.map(_.getAs[Long]("id")).sorted
 
     def knownKey(id: Long): Option[String] = knownKeyCol.flatMap { kc =>
@@ -334,8 +340,8 @@ object Clustering {
 
       val cluster = collection.mutable.ArrayBuffer[Long](preCluster: _*)
       for (other <- bucket.sorted if !cluster.contains(other)) {
-        val score = linkScore(rowPerson(byId(other)),
-          cluster.map(id => rowPerson(byId(id))).toSeq, cfg.linkage,
+        val score = linkScore(personById(other),
+          cluster.map(personById).toSeq, cfg.linkage,
           useDate = useDate, usePrisoner = usePrisoner, usePob = usePob)
         if (score >= cfg.cutoff) cluster += other
       }
@@ -467,14 +473,20 @@ object Clustering {
         // cluster is ~1.2e9 similarity calls in one task. Past the
         // bound, metrics read NULL (not computed) with the size still
         // reported — loud, never wrong.
-        val buf = it.take(maxClusterSize + 1).toSeq
+        // count with a loop that OWNS the iterator: reusing `it` after
+        // take() is documented-undefined ("one should discard the
+        // iterator take was called on") and the reported size is the
+        // one field the guard promises to keep accurate
+        val buf = collection.mutable.ArrayBuffer.empty[Row]
+        while (it.hasNext && buf.size <= maxClusterSize) buf += it.next()
         if (buf.size > maxClusterSize) {
-          val total = buf.size + it.size // drain the rest for the true size
+          var total = buf.size
+          while (it.hasNext) { it.next(); total += 1 } // drain for the true size
           System.err.println(s"[graft] clusterQuality: cluster $cid has $total members " +
             s"> maxClusterSize=$maxClusterSize - metrics not computed (null)")
           Row(cid, total, null, null, null, null)
         } else {
-          val members = buf.map(rowPerson)
+          val members = buf.toSeq.map(rowPerson)
           val n = members.size
           // the similarity kernel is symmetric for the defaults used
           // here (dateSimilarity, not the directional simple matcher),

@@ -25,21 +25,19 @@ object Nationality {
     * identity: findMatches runs per row inside the standardize UDF, and
     * per-row Pattern.compile over every key is hundreds of millions of
     * compilations at corpus scale (the same hoist Similarity/Fuzz
-    * apply). Keyed weakly on the dict so test dictionaries don't pin.
+    * apply). ConcurrentHashMap.computeIfAbsent, not a synchronized map:
+    * a global lock taken per ROW would serialize every executor thread
+    * through the cache just to read it (the Unpack.patternCache
+    * template). Keyed on dict identity; the handful of production
+    * dictionaries are effectively static.
     */
-  private val dictPatterns =
-    new java.util.WeakHashMap[Map[String, String], Map[String, java.util.regex.Pattern]]()
+  private val dictPatterns = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, String], Map[String, java.util.regex.Pattern]]()
   private def patternsFor(natDict: Map[String, String]): Map[String, java.util.regex.Pattern] =
-    dictPatterns.synchronized {
-      var p = dictPatterns.get(natDict)
-      if (p == null) {
-        p = natDict.keys.filter(_.nonEmpty).map(k =>
-          k -> java.util.regex.Pattern.compile(
-            "\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap
-        dictPatterns.put(natDict, p)
-      }
-      p
-    }
+    dictPatterns.computeIfAbsent(natDict, d =>
+      d.keys.filter(_.nonEmpty).map(k =>
+        k -> java.util.regex.Pattern.compile(
+          "\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap)
 
   def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] = {
     val pats = patternsFor(natDict)

@@ -31,8 +31,9 @@ object LlmData {
     // duplicates are injected BEFORE ScaleKnob.sample (the q35
     // precedent): under bench replication the injected ids are
     // shard-remapped (id·n+k) with every other id — so +100000 can
-    // never collide with a replicated real id (docsCap·n reaches
-    // 130000 at the factor cap of 26) — and the near-copy's appended
+    // never collide with a replicated real id (the scaling pass's
+    // lifted docsCap of 5000 times the factor cap of 26 reaches
+    // 130000) — and the near-copy's appended
     // tail is Caesar-rotated per shard with the rest of the text,
     // keeping cross-shard shingles/grams disjoint instead of sharing
     // one literal unrotated token across all shards. Under
@@ -511,9 +512,6 @@ object LlmData {
 
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val lumaSumUdf = udf { (b: Array[Byte]) =>
-      Multimodal.ImageIoCodec.pixelLumaSum(b)
-    }
     val imgs = Tables.documents(spark, dir)
       .select(col("doc_id"), pngImageUdf(col("doc_id")).as("content"))
     Multimodal.withImageMetadata(imgs, "content")
@@ -521,7 +519,7 @@ object LlmData {
         col("media_meta.format").as("format"),
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
-        lumaSumUdf(col("content")).as("pixel_luma_sum"))
+        pixelLumaSumUdf(col("content")).as("pixel_luma_sum"))
       .orderBy(col("doc_id"))
   }
   private val q38Sql =

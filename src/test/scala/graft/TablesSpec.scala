@@ -141,6 +141,33 @@ class TablesSpec extends SparkSpec {
     assert(out.select(unix_micros(col("ts"))).head().getLong(0) === micros)
   }
 
+  test("events: a REAL TIMESTAMP(NANOS)-annotated corpus loads AND executes after the conf restore") {
+    // the other nanos fixtures write plain un-annotated INT64 (Spark
+    // cannot write TIMESTAMP(NANOS)), which never consults the legacy
+    // flag — this pyarrow-written fixture carries the actual NANOS
+    // annotation, so it exercises the real flag-consuming read path:
+    // schema dispatch sees LongType only under nanosAsLong, and the
+    // action below runs AFTER events() restored the session conf,
+    // pinning that the flag is captured into the scan at planning
+    // (restore-then-execute is safe) rather than re-read live.
+    val dir = tmpDir()
+    val pdir = new java.io.File(s"$dir/events.parquet")
+    pdir.mkdirs()
+    val in = getClass.getResourceAsStream(
+      "/graftfixtures/nanos_events/events.parquet/part-0.parquet")
+    assert(in != null, "nanos fixture missing from test resources")
+    try java.nio.file.Files.copy(in, new java.io.File(pdir, "part-0.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val out = graft.core.Tables.events(spark, dir)
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "false",
+      "conf must be restored before the frame is consumed")
+    assert(out.schema("ts").dataType === TimestampType)
+    // 981173106007008999 ns floors to ...07008 us
+    assert(out.select(unix_micros(col("ts"))).head().getLong(0) === micros)
+  }
+
   test("events: the on-disk corpus loads through the dispatch with a timestamp ts") {
     val out = graft.core.Tables.events(spark, sf)
     assert(out.schema("ts").dataType === TimestampType)
