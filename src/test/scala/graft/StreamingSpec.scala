@@ -112,6 +112,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization equals the batch session_window twin on seeded random out-of-order streams") {
+    // property sweep: random (user, minute) events delivered in random
+    // batch splits with random within-batch order — the streaming
+    // interval-merge must produce EXACTLY the sessions the declarative
+    // batch twin computes on the same data, for every seed. The
+    // watermark is wide enough that nothing is late-dropped, and a
+    // far-future sentinel flushes all open sessions at the end.
+    implicit val sqlCtx = session.sqlContext
+    val gapMin = 10
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = Seq.fill(120)((1L + rnd.nextInt(4), ts(rnd.nextInt(55))))
+      val input = MemoryStream[(Long, Timestamp)]
+      val stream = Streams.userSessions(input.toDF().toDF("user_id", "ts"),
+        gapMs = gapMin * 60L * 1000, watermark = "2 hours")
+      val name = s"sessions_prop_$seed"
+      val q = stream.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val batches = rnd.shuffle(events).grouped(1 + rnd.nextInt(50)).toSeq
+        for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+        input.addData((999L, Timestamp.valueOf("2024-01-02 23:00:00"))) // flush
+        q.processAllAvailable()
+        val got = session.table(name).filter(col("user_id") =!= 999L)
+          .select("user_id", "session_start", "session_end", "n_events").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getLong(3))).toSet
+        val expected = events.toDF("user_id", "ts")
+          .groupBy(session_window(col("ts"), s"$gapMin minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last"))
+          .select(col("user_id"), col("session_window.start"), col("last"), col("n"))
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getLong(3))).toSet
+        assert(got === expected,
+          s"seed $seed: streaming sessions diverge from the batch twin\n" +
+            s"only-streaming: ${got -- expected}\nonly-batch: ${expected -- got}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming media triage parses AVI headers and drops corrupt clips in-flight") {
     implicit val sqlCtx = session.sqlContext
     import graft.text.Multimodal.AviCodec
