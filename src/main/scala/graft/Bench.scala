@@ -107,23 +107,28 @@ object Bench {
   private def f3(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-  /** Minimal JSON string escape for interpolated free-form values
-    * (paths, timestamps from a parsed file): a quote or backslash in a
-    * configured path must corrupt at worst its own field, never the
-    * whole artifact.
-    */
   /** SPARK_GRAFT_ONLY semantics, ONE implementation for the package:
-    * parse = comma-split, trimmed, empties dropped; a token selects a
-    * query when it equals the full name or the qNN prefix (the part
-    * before the first '_') — "q2" does NOT select q20–q29. Bench's
-    * main/scaling/sf1 passes and Verify all route through these two so
-    * the selection can never silently diverge between the harnesses.
+    * LOOKUP (system property first, env second — the property wins so
+    * in-process callers and the test harness can override), parse
+    * (comma-split, trimmed, empties dropped), and match (a token
+    * selects a query when it equals the full name or the qNN prefix —
+    * "q2" does NOT select q20–q29). Bench's main/scaling/sf1 passes
+    * and Verify all route through these three so the selection can
+    * never silently diverge between the harnesses — including WHERE
+    * the filter is read from.
     */
+  private[graft] def onlyConfigured(): Option[Set[String]] =
+    parseOnly(sys.props.get("SPARK_GRAFT_ONLY").orElse(sys.env.get("SPARK_GRAFT_ONLY")))
   private[graft] def parseOnly(raw: Option[String]): Option[Set[String]] =
     raw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
   private[graft] def onlySelects(only: Option[Set[String]], name: String): Boolean =
     only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_')))
 
+  /** Minimal JSON string escape for interpolated free-form values
+    * (paths, timestamps from a parsed file): a quote or backslash in a
+    * configured path must corrupt at worst its own field, never the
+    * whole artifact.
+    */
   private[graft] def jstr(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -237,21 +242,26 @@ object Bench {
   def run(spark: SparkSession, sfDir: String, fullPath: String): Either[String, Result] = {
     val startedMs = System.currentTimeMillis()
     val bestOf = cfgInt("SPARK_GRAFT_BEST_OF", 2, min = 1)
+    // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those.
+    // Tokens match a query when they equal its name or its qNN prefix
+    // (the part before the first '_') — "q2" does NOT select q20–q29.
+    val only = onlyConfigured()
     // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first. Goes through the typed
     // accessors — `events` is TIMESTAMP(NANOS) and a raw scan aborts,
     // leaving it cold and spamming the bench tail with task errors.
-    graft.core.Tables.all(spark, sfDir).foreach { case (t, df) =>
-      try df.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+    // SKIPPED under an ONLY filter: the focused-iteration loop would
+    // pay full-corpus scans (events included) for a query that may
+    // touch one table — run 1 absorbs the cold cost instead, which
+    // best-of-N and the warmup block already account for.
+    if (only.isEmpty)
+      graft.core.Tables.all(spark, sfDir).foreach { case (t, df) =>
+        try df.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+        }
       }
-    }
-    // local-iteration filter: SPARK_GRAFT_ONLY=q22,q23 times just those.
-    // Tokens match a query when they equal its name or its qNN prefix
-    // (the part before the first '_') — "q2" does NOT select q20–q29.
-    val only = parseOnly(
-      sys.props.get("SPARK_GRAFT_ONLY").orElse(sys.env.get("SPARK_GRAFT_ONLY")))
+    else System.err.println("[bench] ONLY filter set - skipping the full-corpus table warmup")
     // calibration probe: constant-cost, data-independent work. Timed on
     // the same executor pool as the queries, so external CPU contention
     // shows up here exactly as it does in the query timings.
@@ -659,10 +669,18 @@ object Bench {
     val sf1Factor = math.min(cfgInt("SPARK_GRAFT_SF1_FACTOR", 10, min = 2), 26)
     val sf1Requested = cfg("SPARK_GRAFT_SCALING_SF1", "0") != "0"
     val doSf1 = sf1Requested && scaling.nonEmpty
-    if (sf1Requested && !doSf1)
-      System.err.println("[bench] SPARK_GRAFT_SCALING_SF1 requested but the scaling pass " +
-        "did not run (SPARK_GRAFT_SCALING=0 or an ONLY filter without SCALING=force) - " +
+    if (sf1Requested && !doSf1) {
+      // two different causes, two different fixes: the pass being
+      // disabled/filtered points at the knobs; the pass RUNNING but
+      // every target failing points at the six "scaling of qNN failed"
+      // lines above — naming the wrong one sends the debugger to knobs
+      // that are already set correctly
+      val cause =
+        if (doScaling) "the scaling pass ran but every target failed - see the 'scaling of ... failed' lines above"
+        else "the scaling pass is disabled (SPARK_GRAFT_SCALING=0 or an ONLY filter without SCALING=force)"
+      System.err.println(s"[bench] SPARK_GRAFT_SCALING_SF1 requested but $cause - " +
         "skipping scaling_sf1: its exponents need the scaling pass's full points as baseline")
+    }
     val sf1Targets = Seq("q22_person_match_self", "q23_person_clustering",
       "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
       "q34_minhash_preclustering", "q35_cosine_near_dup")
@@ -809,7 +827,16 @@ object Bench {
               }.toMap
               case _ => Map.empty[String, Double]
             }
-            cMedian.filter(_ > 0).map(m => (cBest, m, cStarted))
+            val valid = cMedian.filter(_ > 0)
+            // an explicitly configured reference that parses and
+            // matches the corpus but lacks a usable probe.median must
+            // not render the same null as "check disabled" with no
+            // hint — same policy as the missing-file/different-corpus
+            // messages above
+            if (valid.isEmpty && committedPathExplicit)
+              System.err.println(s"[bench] $committedPath has no positive probe.median - " +
+                "drift_vs_committed skipped (unusable reference, not disabled)")
+            valid.map(m => (cBest, m, cStarted))
           case _ =>
             // a committed artifact for a DIFFERENT corpus is not a
             // reference — q01 at sf0.001 vs sf0.1 would read as pure
@@ -1015,13 +1042,18 @@ object Bench {
     val consistencyJson =
       if (scaling.isEmpty) "null"
       else consistency.map { case (n, b, f) =>
-        s"""{"query":"$n","main_best_sec":$b,"scaling_full_sec":$f,"ratio":${math.max(f / b, b / f)},"best_known_sec":${math.min(b, f)}}"""
+        // best_known_sec from the SAME post-repair map queries[] uses:
+        // a drift re-measure can land below min(main, scaling full),
+        // and one artifact must never report two different "best known"
+        // values for one query under the same field name
+        val bk = bestKnown.getOrElse(n, math.min(b, f))
+        s"""{"query":"$n","main_best_sec":$b,"scaling_full_sec":$f,"ratio":${math.max(f / b, b / f)},"best_known_sec":$bk}"""
       }.mkString("[", ",", "]")
     val endedMs = System.currentTimeMillis()
     val wallJson =
       s""""started_utc":"${java.time.Instant.ofEpochMilli(startedMs)}","ended_utc":"${java.time.Instant.ofEpochMilli(endedMs)}","wall_sec":${(endedMs - startedMs) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"${jstr(sfDir)}"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
     // per-query keys are the qNN prefix (like growth_exponents): full
@@ -1061,10 +1093,19 @@ object Bench {
     val scalingCompact =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
-        "\"" + n.takeWhile(_ != '_') + "\":[" + f3(exp(q, h)) + "," + f3(exp(h, f)) + "]"
+        // same collision guard as the queries map: duplicate JSON keys
+        // would silently drop one query's exponents
+        "\"" + qKey(n) + "\":[" + f3(exp(q, h)) + "," + f3(exp(h, f)) + "]"
       }.mkString("{", ",", "}")
     val probeCompact =
       s"""{"min":${f3(probeStats._1)},"med":${f3(probeStats._2)},"max":${f3(probeStats._3)}}"""
+    // didn't-check vs checked-clean, same discipline as the drift
+    // counters: when the scaling pass never ran, the consistency
+    // cross-check and the scaling retry gate never executed — 0 would
+    // read as "checked, clean" (the full artifact nulls consistency
+    // for the same reason)
+    val consistencyCompact = if (scaling.isEmpty) "null" else consistency.size.toString
+    val retriedScalingCompact = if (scaling.isEmpty) "null" else scalingRetries.size.toString
     // retried COUNT only: a heavily contended run can flag a dozen
     // queries, and their names would blow the tail budget and cost the
     // whole per-query map — the names live in the full JSON. "tpn" is
@@ -1072,12 +1113,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":${scalingRetries.size},"consistency_warnings":${consistency.size},"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

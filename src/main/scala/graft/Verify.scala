@@ -23,7 +23,7 @@ object Verify {
     // local-iteration filter (same semantics as Bench): tokens match a
     // query when they equal its name or its qNN prefix. The driver never
     // sets this, so driver runs always dump the full registry.
-    val only = Bench.parseOnly(sys.env.get("SPARK_GRAFT_ONLY"))
+    val only = Bench.onlyConfigured()
     val selected = SparkEntry.queries.filter { case (name, _) =>
       Bench.onlySelects(only, name)
     }

@@ -207,6 +207,11 @@ class BenchSmokeSpec extends SparkSpec {
       assert(res.full.contains(""""drift_vs_committed":null"""),
         s"sf mismatch must disable drift: ${res.full}")
       assert("""\"drift_outliers\":null""".r.findFirstIn(res.compact).isDefined, res.compact)
+      // same didn't-check discipline for the scaling-coupled counters:
+      // SCALING=0 means the consistency cross-check and the scaling
+      // retry gate never executed — null, never a "checked, clean" 0
+      assert("""\"consistency_warnings\":null""".r.findFirstIn(res.compact).isDefined, res.compact)
+      assert("""\"retried_scaling\":null""".r.findFirstIn(res.compact).isDefined, res.compact)
     }
   }
 
