@@ -161,6 +161,56 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("band/bucket joins exchange ids only — no payload rides the LSH band joins") {
+    // The dedup/ANN family's scale discipline: candidates meet in
+    // equi-joins on band/bucket/gram keys, and those exchanges carry
+    // ONLY the id + the key (+ a fixed-width hash for SimHash's
+    // rescore) — payload (text, shingle arrays, embedding vectors)
+    // rejoins per SURVIVING candidate, never rides the explode-×bands
+    // shuffle. TextOpsSpec bounds q25's shuffle BYTES; this asserts the
+    // SHAPE, which survives code motion the byte bound can't: any
+    // future edit that threads a payload column through a band-keyed
+    // exchange fails here by name.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case other                    => other.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    // the band-key names each operator joins on: MinHash/SimHash "band",
+    // LSH-cosine "bucket", n-gram Jaccard's prefix gram "g"
+    val bandKeys = Set("band", "bucket", "g")
+    val payload = (n: String) =>
+      Set("text", "sh", "sa", "sb", "shingles")(n) ||
+        n.startsWith("__v_") || n.contains("embedding")
+    for (q <- Seq("q25_minhash_dedup", "q26_simhash_dedup",
+        "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize the adaptive plan so stages are traversable
+      val exchanges = flatten(df.queryExecution.executedPlan).collect {
+        case e: Exchange if e.output.exists(a => bandKeys(a.name)) => e
+      }
+      assert(exchanges.nonEmpty,
+        s"$q: no band-keyed exchange found — the blocked dataflow changed shape")
+      for (e <- exchanges) {
+        val names = e.output.map(_.name)
+        assert(e.output.size <= 3,
+          s"$q: band exchange is wide (${names.mkString(",")}) — payload riding the band join")
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"$q: band exchange carries an array column (${names.mkString(",")})")
+        assert(!names.exists(payload),
+          s"$q: band exchange carries payload (${names.mkString(",")})")
+      }
+    }
+  }
+
   test("date normalization stays in a codegen'd projection chain") {
     // execute so AQE materializes the final plan (codegen markers only
     // exist per finalized stage)
