@@ -168,9 +168,13 @@ class PlanAuditSpec extends SparkSpec {
     // rescore) — payload (text, shingle arrays, embedding vectors)
     // rejoins per SURVIVING candidate, never rides the explode-×bands
     // shuffle. TextOpsSpec bounds q25's shuffle BYTES; this asserts the
-    // SHAPE, which survives code motion the byte bound can't: any
-    // future edit that threads a payload column through a band-keyed
-    // exchange fails here by name.
+    // SHAPE, which survives code motion the byte bound can't.
+    // Negative-control verified: a mutant that scores q25 from shingle
+    // arrays carried THROUGH the band join fails here by name ("band
+    // exchange carries an array column (band,b,sb)"); a mutant that
+    // merely selects unused payload into the join is pruned away by
+    // Catalyst before the exchange, so only USED payload can regress —
+    // exactly the case this guards.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
