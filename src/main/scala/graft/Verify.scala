@@ -36,9 +36,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         // the gate (tools/check.py) scans stdout AND stderr for
-        // "[verify]" lines containing " failed" and takes the second
-        // token as the crashed query's name — this is the ONE message
-        // shape that may use that wording
+        // "[verify] <name> failed" (regex-anchored on the marker, since
+        // sbt's forked-run logger prefixes lines) and takes <name> as
+        // the crashed query — this is the ONE message shape that may
+        // use that wording
         println(s"[verify] $name failed: ${e.getMessage}")
       }
       // job-boundary hygiene: checkpoint blocks from one query are dead

@@ -9,7 +9,7 @@ cells. Mirrors the contract described in the builder prompt.
 
 Usage: python3 tools/check.py [sfdir] [--skip-verify] [only_query ...]
 """
-import json, subprocess, sys, hashlib, math, os, shutil
+import json, re, subprocess, sys, hashlib, math, os, shutil
 
 # First positional is the SF dir only if it actually is a directory;
 # otherwise it's part of the query filter (`check.py q05` must filter).
@@ -50,8 +50,14 @@ if not skip_verify:
     for line in (r.stdout + "\n" + r.stderr).splitlines():
         if "[verify]" in line:
             print(line)
-            if " failed" in line:
-                verify_failed.add(line.split()[1])
+            # sbt's forked-run logger prefixes program output ("[info] "
+            # on stdout, "[error] " on stderr), so the query name is NOT
+            # a fixed token position — anchor on the "[verify]" marker
+            # itself (Verify.scala's one failure-message shape:
+            # "[verify] <name> failed: <msg>")
+            m = re.search(r"\[verify\]\s+(\S+)\s+failed", line)
+            if m:
+                verify_failed.add(m.group(1))
 
 import duckdb
 import pandas as pd
