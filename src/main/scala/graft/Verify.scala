@@ -48,11 +48,12 @@ object Verify {
       // Verify owns this session, same rationale as Bench.
       try graft.core.SessionHygiene.releaseAll(spark)
       catch { case e: Throwable =>
-        // wording matters: the gate's failure scanner matches
-        // "[verify]" + " failed" and would register a PHANTOM failed
-        // query named "leftover", turning an all-green run red — a
-        // hygiene hiccup is a warning, phrased so no scanner can
-        // mistake it for a query failure
+        // wording matters: the gate's failure scanner selects lines
+        // containing the exact "[verify]" marker, then regex-extracts
+        // "[verify] <name> failed" — this message's "[verify-hygiene]"
+        // marker never matches the substring filter, so a hygiene
+        // hiccup stays a warning no scanner can mistake for a query
+        // failure
         System.err.println(s"[verify-hygiene] leftover release error (non-fatal): ${e.getMessage}")
       }
     }

@@ -175,19 +175,15 @@ class PlanAuditSpec extends SparkSpec {
     // merely selects unused payload into the join is pruned away by
     // Catalyst before the exchange, so only USED payload can regress —
     // exactly the case this guards.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.ArrayType
 
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec        => Seq(s.plan)
-        case other                    => other.children
-      }
-      p +: next.flatMap(flatten)
-    }
+    // Spark's own adaptive-plan traversal (descends through
+    // AdaptiveSparkPlanExec / query stages), so a future Spark bump that
+    // adds a new stage-wrapper node shape is tracked for free instead of
+    // silently skipped by a hand-rolled walker
+    val helper = new AdaptiveSparkPlanHelper {}
     // the band-key names each operator joins on: MinHash/SimHash "band",
     // LSH-cosine "bucket", n-gram Jaccard's prefix gram "g"
     val bandKeys = Set("band", "bucket", "g")
@@ -198,7 +194,7 @@ class PlanAuditSpec extends SparkSpec {
         "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // finalize the adaptive plan so stages are traversable
-      val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      val exchanges = helper.collect(df.queryExecution.executedPlan) {
         case e: Exchange if e.output.exists(a => bandKeys(a.name)) => e
       }
       assert(exchanges.nonEmpty,
