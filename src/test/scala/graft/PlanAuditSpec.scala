@@ -169,9 +169,10 @@ class PlanAuditSpec extends SparkSpec {
     // rejoins per SURVIVING candidate, never rides the explode-×bands
     // shuffle. TextOpsSpec bounds q25's shuffle BYTES; this asserts the
     // SHAPE, which survives code motion the byte bound can't.
-    // Negative-control verified: a mutant that scores q25 from shingle
-    // arrays carried THROUGH the band join fails here by name ("band
-    // exchange carries an array column (band,b,sb)"); a mutant that
+    // Negative-control verified (re-run against the exact-shape form):
+    // a mutant that scores q25 from shingle arrays carried THROUGH the
+    // band join fails here — 'exchange output (band,b,sb) matches no
+    // expected shape {band,a}, {band,b}, {band,id}'; a mutant that
     // merely selects unused payload into the join is pruned away by
     // Catalyst before the exchange, so only USED payload can regress —
     // exactly the case this guards.
@@ -187,9 +188,34 @@ class PlanAuditSpec extends SparkSpec {
     // the band-key names each operator joins on: MinHash/SimHash "band",
     // LSH-cosine "bucket", n-gram Jaccard's prefix gram "g"
     val bandKeys = Set("band", "bucket", "g")
-    val payload = (n: String) =>
-      Set("text", "sh", "sa", "sb", "shingles")(n) ||
-        n.startsWith("__v_") || n.contains("embedding")
+    // EXACT allowed output shapes (as name sets) for every band-keyed
+    // exchange, per query: key + id(s) + SimHash's fixed-width rescore
+    // hash — nothing else. Name-set equality is strictly stronger than
+    // the payload-name blacklist it replaced: a renamed scalar payload
+    // ("text" -> "body") that stays narrow and non-array rode the old
+    // width+blacklist checks undetected, but cannot match any shape
+    // listed here. The q27 entries also name the AUXILIARY exchanges its
+    // key "g" sweeps in (the gram document-frequency aggregate and the
+    // df-rank window re-partition) so a legitimate change to those fails
+    // with this explicit expected-shape message, not a misleading
+    // payload complaint. Both join sides are listed even where today's
+    // plan reuses one exchange for the mirror side (ReusedExchange is
+    // not an Exchange node, so only one side appears until a plan change
+    // un-reuses it). If a shape change here is INTENTIONAL (renamed key,
+    // new auxiliary exchange), update this map in the same commit —
+    // payload (text, shingle arrays, embedding vectors) must never ride
+    // a band-keyed exchange.
+    val allowedShapes: Map[String, Set[Set[String]]] = Map(
+      "q25_minhash_dedup" -> Set(
+        Set("band", "a"), Set("band", "b"), Set("band", "id")),
+      "q26_simhash_dedup" -> Set(
+        Set("band", "a", "ha"), Set("band", "b", "hb"), Set("band", "id", "sim")),
+      "q27_ngram_jaccard_dedup" -> Set(
+        Set("g", "a"), Set("g", "b"), Set("g", "id"), // candidate band-join sides
+        Set("g", "count"), Set("g", "df"),            // gram document-frequency agg
+        Set("g", "id", "df")),                        // df-rank window re-partition
+      "q31_ann_lsh_topk" -> Set(
+        Set("bucket", "id"), Set("bucket", "query_id")))
     for (q <- Seq("q25_minhash_dedup", "q26_simhash_dedup",
         "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk")) {
       val df = SparkEntry.queries(q)(spark, sf)
@@ -201,12 +227,13 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: no band-keyed exchange found — the blocked dataflow changed shape")
       for (e <- exchanges) {
         val names = e.output.map(_.name)
-        assert(e.output.size <= 3,
-          s"$q: band exchange is wide (${names.mkString(",")}) — payload riding the band join")
+        assert(allowedShapes(q).contains(names.toSet),
+          s"$q: band-keyed exchange output (${names.mkString(",")}) matches no expected " +
+            s"shape ${allowedShapes(q).map(_.mkString("{", ",", "}")).mkString(", ")} — " +
+            "either payload is riding the band join (never allowed) or the blocked " +
+            "dataflow legitimately changed shape (update allowedShapes in this spec)")
         assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
           s"$q: band exchange carries an array column (${names.mkString(",")})")
-        assert(!names.exists(payload),
-          s"$q: band exchange carries payload (${names.mkString(",")})")
       }
     }
   }
