@@ -437,6 +437,11 @@ object Bench {
     // q22 cap-engagement demo: (cap, candidate_pairs, dropped_bucket_rows)
     // at full corpus for the default and a tightened maxBucketSize
     var capDemo = List.empty[(Int, Long, Long)]
+    // q23 degenerate-corpus demo (the cap_demo analog for clustering):
+    // JSON fragments for the chain (connected-components algorithm A/B)
+    // and hot-component (oversized-fallback knob A/B) runs
+    var clusterDemoChain = List.empty[String]
+    var clusterDemoFallback = List.empty[String]
     // (name, quarter_sec, half_sec, full_sec)
     val scaling: Seq[(String, Double, Double, Double)] =
       if (!doScaling) Seq.empty
@@ -546,6 +551,86 @@ object Bench {
                     None
                   }
                   capDemo = List(countsAtCap(defaultCap), countsAtCap(tightCap)).flatten
+                }
+                // DEGENERATE-CORPUS DEMO for q23 (untimed re headline;
+                // each run carries its own wall time): the clustering
+                // family's two documented degenerate shapes, each at two
+                // knob settings, so the mitigations have recorded bench
+                // evidence, not just specs.
+                // (1) long chain — min-label propagation is O(diameter)
+                // rounds and stops short at its default maxIter (loud,
+                // mid-propagation labels), the opt-in large-star/
+                // small-star contraction converges in O(log n) rounds;
+                // (2) hot component (N identical persons) — the exact
+                // greedy replay buffers the component, the tightened
+                // maxComponentSize knob engages the streamed
+                // single-linkage fallback (counted in the oversized
+                // accumulator).
+                if (name == "q23_person_clustering") {
+                  import org.apache.spark.sql.functions.{col, countDistinct, lit}
+                  def timed(f: => Unit): Double = {
+                    val t0 = System.nanoTime()
+                    f
+                    (System.nanoTime() - t0) / 1e9
+                  }
+                  try {
+                    val chainN = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_CHAIN", 4096, min = 16)
+                    // small enough that label propagation CONVERGES in
+                    // O(n) rounds — the converged-vs-converged time point
+                    val chainSmall = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_CHAIN_SMALL", 64, min = 4)
+                    def chainRun(n: Int, algo: String): String = {
+                      val vertices = spark.range(0, n.toLong).toDF()
+                      val edges = spark.range(0, n.toLong - 1)
+                        .select(col("id").as("a"), (col("id") + lit(1L)).as("b"))
+                      val sec = timed {
+                        val labels =
+                          if (algo == "star")
+                            graft.linkage.Clustering.connectedComponentsStar(vertices, edges)
+                          else
+                            graft.linkage.Clustering.connectedComponents(vertices, edges)
+                        labels.write.format("noop").mode("overwrite").save()
+                      }
+                      releaseLeftovers() // untimed, same isolation as the main pass
+                      s"""{"n":$n,"algorithm":"$algo","sec":${f3(sec)},""" +
+                        s""""rounds":${graft.linkage.Clustering.lastCcRounds},""" +
+                        s""""converged":${graft.linkage.Clustering.lastCcConverged}}"""
+                    }
+                    // label on the LONG chain runs at its default maxIter
+                    // on purpose: the recorded converged=false + 25
+                    // rounds IS the evidence for why the star variant
+                    // exists (letting it converge would take n rounds)
+                    clusterDemoChain = List(
+                      chainRun(chainN, "star"), chainRun(chainN, "label"),
+                      chainRun(chainSmall, "star"), chainRun(chainSmall, "label"))
+                    val hotN = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_HOT", 400, min = 8)
+                    def fallbackRun(maxComp: Int): String = {
+                      val hot = spark.range(1, hotN.toLong + 1)
+                        .select(col("id"),
+                          lit("maria").as("strGName_processed"),
+                          lit("kovac").as("strLName_processed"),
+                          lit("19210505").as("strDoB_processed"),
+                          lit("brno").as("strPoB_processed"),
+                          lit(null).cast("string").as("prisoner_number"))
+                      var clusters = -1L
+                      val sec = timed {
+                        val out = graft.linkage.Clustering.cluster(hot,
+                          graft.linkage.Clustering.ClusterConfig(
+                            cutoff = 90.0, maxComponentSize = maxComp))
+                        clusters = out.select(countDistinct(col("cluster_id"))).head().getLong(0)
+                      }
+                      val oversized =
+                        Option(graft.linkage.Clustering.lastOversizedAccumulator)
+                          .map(_.value.longValue).getOrElse(-1L)
+                      releaseLeftovers()
+                      s"""{"max_component_size":$maxComp,"rows":$hotN,"sec":${f3(sec)},""" +
+                        s""""oversized_components":$oversized,"clusters":$clusters}"""
+                    }
+                    val defaultMax = graft.linkage.Clustering.ClusterConfig().maxComponentSize
+                    val tightMax = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_MAXCOMP", 100, min = 1)
+                    clusterDemoFallback = List(fallbackRun(defaultMax), fallbackRun(tightMax))
+                  } catch { case e: Throwable =>
+                    System.err.println(s"[bench] cluster demo failed: ${e.getMessage}")
+                  }
                 }
                 passes.transpose.map(_.min) match {
                   case Seq(q, h, f) => Some((name, q, h, f))
@@ -1032,10 +1117,18 @@ object Bench {
         }.mkString("[", ",", "]")
       pairs + demo
     }
+    def clusterDemoJson: String =
+      if (clusterDemoChain.isEmpty && clusterDemoFallback.isEmpty) ""
+      else "," + "\"cluster_demo\":{\"chain\":" +
+        clusterDemoChain.mkString("[", ",", "]") +
+        ",\"fallback\":" + clusterDemoFallback.mkString("[", ",", "]") + "}"
     val scalingFull =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
-        val extra = if (n == "q22_person_match_self") q22PairsJson else ""
+        val extra =
+          if (n == "q22_person_match_self") q22PairsJson
+          else if (n == "q23_person_clustering") clusterDemoJson
+          else ""
         s""""$n":{"quarter_sec":$q,"half_sec":$h,"full_sec":$f,"growth_exponents":[${exp(q, h)},${exp(h, f)}]$extra}"""
       }.mkString("{", ",",
         s""","retries":${strArr(scalingRetries)},"note":"$note"}""")
