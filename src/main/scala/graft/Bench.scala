@@ -442,6 +442,12 @@ object Bench {
     // and hot-component (oversized-fallback knob A/B) runs
     var clusterDemoChain = List.empty[String]
     var clusterDemoFallback = List.empty[String]
+    // label-vs-star A/B on the REAL blocked q23 corpus (not the
+    // synthetic chain): documents how the two behave on
+    // production-shaped graphs (entity-sized components, tiny
+    // diameters — both converge in 1-2 rounds, delta small) — the
+    // chain demo alone only shows where star wins
+    var clusterDemoCorpus = List.empty[String]
     // (name, quarter_sec, half_sec, full_sec)
     val scaling: Seq[(String, Double, Double, Double)] =
       if (!doScaling) Seq.empty
@@ -575,9 +581,16 @@ object Bench {
                   }
                   try {
                     val chainN = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_CHAIN", 4096, min = 16)
-                    // small enough that label propagation CONVERGES in
-                    // O(n) rounds — the converged-vs-converged time point
-                    val chainSmall = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_CHAIN_SMALL", 64, min = 4)
+                    // small enough that label propagation CONVERGES: an
+                    // n-vertex path has diameter n-1 and min-label needs
+                    // diameter rounds plus one to detect the fixpoint, so
+                    // the default must satisfy n <= maxIter - 1 (= 24 at
+                    // the label loop's default 25). 16 gives both
+                    // algorithms a converged run — the
+                    // converged-vs-converged time point. (r15 shipped 64
+                    // here, whose diameter 63 > 25 made the "control"
+                    // unconverged too.)
+                    val chainSmall = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_CHAIN_SMALL", 16, min = 4)
                     def chainRun(n: Int, algo: String): String = {
                       val vertices = spark.range(0, n.toLong).toDF()
                       val edges = spark.range(0, n.toLong - 1)
@@ -628,6 +641,30 @@ object Bench {
                     val defaultMax = graft.linkage.Clustering.ClusterConfig().maxComponentSize
                     val tightMax = cfgInt("SPARK_GRAFT_CLUSTER_DEMO_MAXCOMP", 100, min = 1)
                     clusterDemoFallback = List(fallbackRun(defaultMax), fallbackRun(tightMax))
+                    // real-corpus A/B: the exact q23 pipeline (same
+                    // corpus, same cutoff) with only ccAlgorithm varied;
+                    // everything else identical, so the wall-time delta
+                    // is the algorithm's. On this corpus components are
+                    // entity-sized (mostly pairs), so BOTH converge in
+                    // 1-2 rounds and the delta is small — which is
+                    // itself the documentation: the default choice is
+                    // not load-bearing on production-shaped graphs, and
+                    // star only matters on degenerate chains (the demo
+                    // above). Record rounds so the artifact shows why.
+                    def corpusRun(algo: String): String = {
+                      val corpus = graft.queries.Linkage.doubledCorpus(spark, sfDir)
+                      val sec = timed {
+                        graft.linkage.Clustering.cluster(corpus,
+                            graft.linkage.Clustering.ClusterConfig(
+                              cutoff = 99.0, ccAlgorithm = algo))
+                          .write.format("noop").mode("overwrite").save()
+                      }
+                      releaseLeftovers()
+                      s"""{"algorithm":"$algo","sec":${f3(sec)},""" +
+                        s""""rounds":${graft.linkage.Clustering.lastCcRounds},""" +
+                        s""""converged":${graft.linkage.Clustering.lastCcConverged}}"""
+                    }
+                    clusterDemoCorpus = List(corpusRun("label"), corpusRun("star"))
                   } catch { case e: Throwable =>
                     System.err.println(s"[bench] cluster demo failed: ${e.getMessage}")
                   }
@@ -1121,7 +1158,8 @@ object Bench {
       if (clusterDemoChain.isEmpty && clusterDemoFallback.isEmpty) ""
       else "," + "\"cluster_demo\":{\"chain\":" +
         clusterDemoChain.mkString("[", ",", "]") +
-        ",\"fallback\":" + clusterDemoFallback.mkString("[", ",", "]") + "}"
+        ",\"fallback\":" + clusterDemoFallback.mkString("[", ",", "]") +
+        ",\"corpus\":" + clusterDemoCorpus.mkString("[", ",", "]") + "}"
     val scalingFull =
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>

@@ -286,9 +286,16 @@ object Clustering {
     * fixpoint the graph is a disjoint union of stars rooted at
     * component minima, so labels read directly off the edges: member →
     * its root, root/isolated vertex → itself. Non-convergence at
-    * maxIter is loud, same policy as the label loop — with default
-    * maxIter 35 ≥ log-rounds for any graph that fits in 2^35 vertices,
-    * tripping it means the input violates expectations, not tuning.
+    * maxIter is loud, same policy as the label loop. Bound honesty:
+    * Kiveris et al. PROVE O(log^2 n) rounds for this alternation; the
+    * O(log n) figure above is the observed/typical count (their
+    * experiments and ours — the 4096-vertex diameter-4095 chain in
+    * `cluster_demo` converges in 13 rounds ≈ log2 4096 + 1). Default
+    * maxIter 35 covers the observed log-rounds for any graph up to
+    * 2^35 vertices with headroom, but since the proven bound is
+    * log^2, tripping it on an adversarial input is conceivable —
+    * raise maxIter in that case (the loop exits early at the fixpoint
+    * anyway, so a generous value costs nothing on normal graphs).
     *
     * Checkpoint lifecycle mirrors [[connectedComponents]]: each round's
     * edge set (and the intermediate large-star set, which the

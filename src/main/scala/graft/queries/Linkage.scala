@@ -62,7 +62,9 @@ object Linkage {
     * keeps every word bucketable at the clustering `idxChars = 4` (a
     * 3-char word produces no replay bucket and would orphan its twin).
     */
-  private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
+  // private[graft]: Bench's cluster_demo re-runs the exact q23 corpus
+  // with ccAlgorithm varied (label-vs-star real-corpus A/B)
+  private[graft] def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = persons(spark, dir)
       .filter(length(col("strGName_processed")) >= 4 && length(col("strLName_processed")) >= 4)
       .dropDuplicates("strGName_processed", "strLName_processed", "strDoB_processed")
