@@ -33,13 +33,107 @@ object Fuzz {
     sb.toString.trim
   }
 
-  /** Length of the longest common subsequence. Two-row DP: O(n·m) time,
-    * O(min) space — inputs here are names/cells, not documents.
+  /** Length of the longest common subsequence — the inner kernel of every
+    * Indel/ratio score, run once (token-set fast path) to three times per
+    * candidate pair in the blocked joins' hot loops.
+    *
+    * Shorter side ≤ 64 chars (every name token and almost every name cell):
+    * the bit-parallel algorithm of Allison & Dix (1986) as formulated by
+    * Hyyrö — the same published algorithm rapidfuzz's `lcs_seq` uses — one
+    * word op per (row, char) instead of a DP cell: O(m) word ops total.
+    * Longer inputs fall back to the two-row DP (O(n·m) time, O(min) space);
+    * both branches compute the exact same LCS length.
     */
   def lcsLength(a: CharSequence, b: CharSequence): Int = {
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val n = s.length
-    if (n == 0) return 0
+    if (n == 0) 0
+    else if (n <= 64) lcsLengthBitParallel(s, t)
+    else lcsLengthDp(s, t)
+  }
+
+  /** Per-thread match-mask table for the ASCII plane (bit i of entry c =
+    * "s.charAt(i) == c"). Reused across calls to avoid a zeroed 1 KiB
+    * allocation per scored pair; entries touched by a call are cleared in
+    * its finally block, so the table is all-zero between calls even if the
+    * (allocation-free) hot loop ever threw.
+    */
+  private val asciiMaskTable = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
+  /** Allison–Dix/Hyyrö bit-parallel LCS, shorter side `s` with
+    * 1 ≤ s.length ≤ 64. Row vector S starts all-ones; per char of `t`,
+    * with M = match mask of that char against `s`:
+    * `u = S & M; S = (S + u) | (S - u)`; LCS = popcount(~S) (bits above
+    * s.length never clear, so they contribute nothing). Non-ASCII chars of
+    * `s` go to a small linear-probed side table (≤ 64 distinct chars).
+    */
+  private def lcsLengthBitParallel(s: CharSequence, t: CharSequence): Int = {
+    val n = s.length
+    val ascii = asciiMaskTable.get()
+    var extraChars: Array[Char] = null
+    var extraMasks: Array[Long] = null
+    var extraCount = 0
+    try {
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c < 128) ascii(c) |= 1L << i
+        else {
+          if (extraChars == null) {
+            extraChars = new Array[Char](n)
+            extraMasks = new Array[Long](n)
+          }
+          var k = 0
+          var found = false
+          while (k < extraCount && !found) {
+            if (extraChars(k) == c) { extraMasks(k) |= 1L << i; found = true }
+            k += 1
+          }
+          if (!found) {
+            extraChars(extraCount) = c
+            extraMasks(extraCount) = 1L << i
+            extraCount += 1
+          }
+        }
+        i += 1
+      }
+      var vec = -1L
+      val m = t.length
+      var j = 0
+      while (j < m) {
+        val c = t.charAt(j)
+        var mask = 0L
+        if (c < 128) mask = ascii(c)
+        else {
+          var k = 0
+          while (k < extraCount) {
+            if (extraChars(k) == c) { mask = extraMasks(k); k = extraCount }
+            else k += 1
+          }
+        }
+        val u = vec & mask
+        vec = (vec + u) | (vec - u)
+        j += 1
+      }
+      java.lang.Long.bitCount(~vec)
+    } finally {
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c < 128) ascii(c) = 0L
+        i += 1
+      }
+    }
+  }
+
+  /** Two-row DP fallback for shorter-side > 64 chars (and the reference
+    * implementation the bit-parallel branch is property-tested against).
+    * Caller guarantees s.length <= t.length and s nonempty.
+    */
+  private[graft] def lcsLengthDp(s: CharSequence, t: CharSequence): Int = {
+    val n = s.length
     val prev = new Array[Int](n + 1)
     val cur = new Array[Int](n + 1)
     var j = 0

@@ -25,6 +25,38 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.ratio("abc", "") === 0.0)
   }
 
+  test("bit-parallel LCS agrees with the DP reference on a randomized sweep") {
+    // seeded, not time-derived: deterministic across runs
+    val rnd = new scala.util.Random(0x5eed16)
+    val alphabets = Seq("ab", "abcde", "abcdefghij üöé", "一二三ab ")
+    for (trial <- 0 until 2000) {
+      val alpha = alphabets(trial % alphabets.size)
+      // lengths sweep across the 64-char word boundary on both sides
+      val la = rnd.nextInt(70)
+      val lb = rnd.nextInt(70)
+      def mk(len: Int) = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < len) { sb += alpha.charAt(rnd.nextInt(alpha.length)); i += 1 }
+        sb.toString
+      }
+      val a = mk(la)
+      val b = mk(lb)
+      val got = Fuzz.lcsLength(a, b)
+      val want =
+        if (math.min(la, lb) == 0) 0
+        else if (la <= lb) Fuzz.lcsLengthDp(a, b)
+        else Fuzz.lcsLengthDp(b, a)
+      assert(got === want, s"lcsLength mismatch on a='$a' b='$b'")
+    }
+    // pinned edges: full-word 64-char inputs (bit 63 in play), empty
+    // side, and the char-127/128 ascii-table boundary
+    val w64 = "ab" * 32
+    assert(Fuzz.lcsLength(w64, w64) === 64)
+    assert(Fuzz.lcsLength(w64, "c" * 64) === 0)
+    assert(Fuzz.lcsLength("a" + "\u007f" + "b", "\u007f" + "\u0080") === 1)
+  }
+
   test("token_set_ratio: set-equal strings are 100; empty semantics") {
     assert(Fuzz.tokenSetRatio("fuzzy was a bear", "fuzzy fuzzy was a bear") === 100.0)
     assert(Fuzz.tokenSetRatio("bear was fuzzy", "fuzzy was a bear") === 100.0)
