@@ -37,19 +37,22 @@ object Fuzz {
     * Indel/ratio score, run once (token-set fast path) to three times per
     * candidate pair in the blocked joins' hot loops.
     *
-    * Shorter side ≤ 64 chars (every name token and almost every name cell):
-    * the bit-parallel algorithm of Allison & Dix (1986) as formulated by
+    * The bit-parallel algorithm of Allison & Dix (1986) as formulated by
     * Hyyrö — the same published algorithm rapidfuzz's `lcs_seq` uses — one
-    * word op per (row, char) instead of a DP cell: O(m) word ops total.
-    * Longer inputs fall back to the two-row DP (O(n·m) time, O(min) space);
-    * both branches compute the exact same LCS length.
+    * word op per (row, word) instead of a DP cell. Shorter side ≤ 64 chars
+    * (every name token and almost every name cell) runs the single-word
+    * variant; longer inputs (the registered `indel_ratio` /
+    * `token_set_ratio` SQL UDFs over free text) run the multi-word block
+    * variant with an explicit carry chain — O(n·m/64) instead of the old
+    * quadratic DP, so a long-document pair is never a per-row time bomb.
+    * All branches compute the exact same LCS length.
     */
   def lcsLength(a: CharSequence, b: CharSequence): Int = {
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val n = s.length
     if (n == 0) 0
     else if (n <= 64) lcsLengthBitParallel(s, t)
-    else lcsLengthDp(s, t)
+    else lcsLengthMultiWord(s, t)
   }
 
   /** Per-thread match-mask table for the ASCII plane (bit i of entry c =
@@ -128,9 +131,74 @@ object Fuzz {
     }
   }
 
-  /** Two-row DP fallback for shorter-side > 64 chars (and the reference
-    * implementation the bit-parallel branch is property-tested against).
-    * Caller guarantees s.length <= t.length and s nonempty.
+  /** Multi-word (block) bit-parallel LCS for shorter side > 64 chars —
+    * Hyyrö's block formulation: the row vector spans ⌈n/64⌉ words, the
+    * `S + u` add carries an explicit chain across words, and `S - u`
+    * never borrows (u ⊆ S bitwise), so each word subtracts
+    * independently. A char of `t` absent from `s` has u = 0 and leaves S
+    * unchanged — skipped without touching the words. Match masks live in
+    * a Latin-1 direct table plus a map for the rest; per-call allocation
+    * is O(distinct chars × words).
+    */
+  private def lcsLengthMultiWord(s: CharSequence, t: CharSequence): Int = {
+    val n = s.length
+    val words = (n + 63) >>> 6
+    val latin = new Array[Array[Long]](256)
+    var other: java.util.HashMap[Character, Array[Long]] = null
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var m: Array[Long] = null
+      if (c < 256) {
+        m = latin(c)
+        if (m == null) { m = new Array[Long](words); latin(c) = m }
+      } else {
+        if (other == null) other = new java.util.HashMap[Character, Array[Long]]()
+        m = other.get(c)
+        if (m == null) { m = new Array[Long](words); other.put(c, m) }
+      }
+      m(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val vec = new Array[Long](words)
+    java.util.Arrays.fill(vec, -1L)
+    val tLen = t.length
+    var j = 0
+    while (j < tLen) {
+      val c = t.charAt(j)
+      val mask =
+        if (c < 256) latin(c)
+        else if (other != null) other.get(c)
+        else null
+      if (mask != null) {
+        var carry = 0L
+        var w = 0
+        while (w < words) {
+          val sw = vec(w)
+          val u = sw & mask(w)
+          val sum1 = sw + u
+          // unsigned overflow of (sw + u); the +carry add can only
+          // overflow when sum1 is all-ones, and the two cases are
+          // mutually exclusive (an overflowed sum1 is ≤ 2^64 − 2)
+          val c1 = if (java.lang.Long.compareUnsigned(sum1, sw) < 0) 1L else 0L
+          val c2 = if (carry == 1L && sum1 == -1L) 1L else 0L
+          vec(w) = (sum1 + carry) | (sw - u)
+          carry = c1 | c2
+          w += 1
+        }
+      }
+      j += 1
+    }
+    var zeros = 0
+    var w = 0
+    while (w < words) { zeros += java.lang.Long.bitCount(~vec(w)); w += 1 }
+    zeros
+  }
+
+  /** Two-row DP — the straightforward reference implementation both
+    * bit-parallel branches are property-tested against (no production
+    * caller; O(n·m) time). Caller guarantees s.length <= t.length and s
+    * nonempty.
     */
   private[graft] def lcsLengthDp(s: CharSequence, t: CharSequence): Int = {
     val n = s.length

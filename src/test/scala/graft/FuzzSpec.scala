@@ -57,6 +57,39 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.lcsLength("a" + "\u007f" + "b", "\u007f" + "\u0080") === 1)
   }
 
+  test("multi-word LCS agrees with the DP reference past the 64-char word") {
+    val rnd = new scala.util.Random(0xb10c)
+    val alphabets = Seq("ab", "abcdefgh", "abcdefghij üöé一二")
+    for (trial <- 0 until 400) {
+      val alpha = alphabets(trial % alphabets.size)
+      // shorter side 65–300 chars: 2–5 words, boundary crossings at
+      // 64/128/192/256
+      val la = 65 + rnd.nextInt(236)
+      val lb = la + rnd.nextInt(120)
+      def mk(len: Int) = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < len) { sb += alpha.charAt(rnd.nextInt(alpha.length)); i += 1 }
+        sb.toString
+      }
+      val a = mk(la)
+      val b = mk(lb)
+      assert(Fuzz.lcsLength(a, b) === Fuzz.lcsLengthDp(a, b),
+        s"multi-word lcsLength mismatch on la=$la lb=$lb alpha='$alpha'")
+    }
+    // identical-char runs force maximal carry chains across every word
+    // boundary (the add saturates and carries word to word)
+    assert(Fuzz.lcsLength("a" * 100, "a" * 200) === 100)
+    assert(Fuzz.lcsLength("a" * 256, "a" * 256) === 256)
+    // exact word-multiple lengths: top bit of the last word in play
+    assert(Fuzz.lcsLength("ab" * 64, "ab" * 64) === 128)
+    assert(Fuzz.lcsLength(("x" * 64) + ("y" * 64), ("y" * 64) + ("x" * 64)) === 64)
+    // non-Latin-1 chars past the direct table, in the multi-word branch:
+    // the 70-char run of 一 matches the 35 一s of the alternating side
+    assert(Fuzz.lcsLength("一" * 70, "一二" * 35) === 35)
+    assert(Fuzz.lcsLength("一" * 70, "一" * 90) === 70)
+  }
+
   test("token_set_ratio: set-equal strings are 100; empty semantics") {
     assert(Fuzz.tokenSetRatio("fuzzy was a bear", "fuzzy fuzzy was a bear") === 100.0)
     assert(Fuzz.tokenSetRatio("bear was fuzzy", "fuzzy was a bear") === 100.0)
