@@ -131,74 +131,95 @@ object Fuzz {
     }
   }
 
+  /** Per-thread Latin-1 mask-pointer table for the multi-word branch —
+    * same rationale as [[asciiMaskTable]]: the 256-slot pointer array
+    * (~2 KiB) is reused across calls instead of allocated per scored
+    * pair, with touched entries nulled in the finally block. The
+    * per-distinct-char mask arrays themselves are per-call (their width
+    * depends on the call's word count).
+    */
+  private val latinMaskTable = new ThreadLocal[Array[Array[Long]]] {
+    override def initialValue(): Array[Array[Long]] = new Array[Array[Long]](256)
+  }
+
   /** Multi-word (block) bit-parallel LCS for shorter side > 64 chars —
     * Hyyrö's block formulation: the row vector spans ⌈n/64⌉ words, the
     * `S + u` add carries an explicit chain across words, and `S - u`
     * never borrows (u ⊆ S bitwise), so each word subtracts
     * independently. A char of `t` absent from `s` has u = 0 and leaves S
     * unchanged — skipped without touching the words. Match masks live in
-    * a Latin-1 direct table plus a map for the rest; per-call allocation
-    * is O(distinct chars × words).
+    * the per-thread Latin-1 pointer table plus a map for the rest;
+    * per-call allocation is O(distinct chars × words) mask words.
     */
   private def lcsLengthMultiWord(s: CharSequence, t: CharSequence): Int = {
     val n = s.length
     val words = (n + 63) >>> 6
-    val latin = new Array[Array[Long]](256)
+    val latin = latinMaskTable.get()
     var other: java.util.HashMap[Character, Array[Long]] = null
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      var m: Array[Long] = null
-      if (c < 256) {
-        m = latin(c)
-        if (m == null) { m = new Array[Long](words); latin(c) = m }
-      } else {
-        if (other == null) other = new java.util.HashMap[Character, Array[Long]]()
-        m = other.get(c)
-        if (m == null) { m = new Array[Long](words); other.put(c, m) }
-      }
-      m(i >>> 6) |= 1L << (i & 63)
-      i += 1
-    }
-    val vec = new Array[Long](words)
-    java.util.Arrays.fill(vec, -1L)
-    val tLen = t.length
-    var j = 0
-    while (j < tLen) {
-      val c = t.charAt(j)
-      val mask =
-        if (c < 256) latin(c)
-        else if (other != null) other.get(c)
-        else null
-      if (mask != null) {
-        var carry = 0L
-        var w = 0
-        while (w < words) {
-          val sw = vec(w)
-          val u = sw & mask(w)
-          val sum1 = sw + u
-          // unsigned overflow of (sw + u); the +carry add can only
-          // overflow when sum1 is all-ones, and the two cases are
-          // mutually exclusive (an overflowed sum1 is ≤ 2^64 − 2)
-          val c1 = if (java.lang.Long.compareUnsigned(sum1, sw) < 0) 1L else 0L
-          val c2 = if (carry == 1L && sum1 == -1L) 1L else 0L
-          vec(w) = (sum1 + carry) | (sw - u)
-          carry = c1 | c2
-          w += 1
+    try {
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        var m: Array[Long] = null
+        if (c < 256) {
+          m = latin(c)
+          if (m == null) { m = new Array[Long](words); latin(c) = m }
+        } else {
+          if (other == null) other = new java.util.HashMap[Character, Array[Long]]()
+          m = other.get(c)
+          if (m == null) { m = new Array[Long](words); other.put(c, m) }
         }
+        m(i >>> 6) |= 1L << (i & 63)
+        i += 1
       }
-      j += 1
+      val vec = new Array[Long](words)
+      java.util.Arrays.fill(vec, -1L)
+      val tLen = t.length
+      var j = 0
+      while (j < tLen) {
+        val c = t.charAt(j)
+        val mask =
+          if (c < 256) latin(c)
+          else if (other != null) other.get(c)
+          else null
+        if (mask != null) {
+          var carry = 0L
+          var w = 0
+          while (w < words) {
+            val sw = vec(w)
+            val u = sw & mask(w)
+            val sum1 = sw + u
+            // unsigned overflow of (sw + u); the +carry add can only
+            // overflow when sum1 is all-ones, and the two cases are
+            // mutually exclusive (an overflowed sum1 is ≤ 2^64 − 2)
+            val c1 = if (java.lang.Long.compareUnsigned(sum1, sw) < 0) 1L else 0L
+            val c2 = if (carry == 1L && sum1 == -1L) 1L else 0L
+            vec(w) = (sum1 + carry) | (sw - u)
+            carry = c1 | c2
+            w += 1
+          }
+        }
+        j += 1
+      }
+      var zeros = 0
+      var w = 0
+      while (w < words) { zeros += java.lang.Long.bitCount(~vec(w)); w += 1 }
+      zeros
+    } finally {
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c < 256) latin(c) = null
+        i += 1
+      }
     }
-    var zeros = 0
-    var w = 0
-    while (w < words) { zeros += java.lang.Long.bitCount(~vec(w)); w += 1 }
-    zeros
   }
 
   /** Two-row DP — the straightforward reference implementation both
     * bit-parallel branches are property-tested against (no production
-    * caller; O(n·m) time). Caller guarantees s.length <= t.length and s
-    * nonempty.
+    * caller; O(n·m) time). Argument order is irrelevant to the result
+    * (the DP is symmetric); passing the shorter side first just keeps
+    * the row arrays smaller, and an empty first side returns 0.
     */
   private[graft] def lcsLengthDp(s: CharSequence, t: CharSequence): Int = {
     val n = s.length
