@@ -350,6 +350,12 @@ object PersonMatching {
     // UDF still wins ~1.4×; cost is dominated by the string kernels
     // either way. `useExpressionScorer` keeps the codegen path
     // selectable for filter-pushdown use cases.
+    // A FLAT 10-string-arg UDF (no per-pair Row structs) was also
+    // A/B'd (q22 sf0.1, best-of-4, two pairs): flat 5.60/5.47 s vs
+    // struct 6.01/5.35 s — each variant won one pair, differences
+    // inside the probe-window spread, so the Row cost is not where
+    // q22's time goes; the struct form stays (it documents the field
+    // order the positional reads depend on).
     val scoreUdf = udf { (s: org.apache.spark.sql.Row, t: org.apache.spark.sql.Row) =>
       // positional access: getAs-by-name costs a field-index hash lookup
       // per field per pair — 10 per score, tens of millions per join.
