@@ -86,6 +86,40 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.lcsLength("一" * 70, "一" * 90) === 70)
   }
 
+  test("LCS kernel is thread-safe under concurrent mixed-length calls") {
+    // the per-thread mask tables (ASCII single-word + Latin-1 multi-word)
+    // must never leak bits across calls on a reused thread; hammer both
+    // branches from a pool and compare every result to the DP
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = (0 until 8).map { worker =>
+        Future {
+          val rnd = new scala.util.Random(1000 + worker)
+          val alpha = "abcdefgh üö一"
+          var i = 0
+          while (i < 500) {
+            val la = 1 + rnd.nextInt(150) // crosses the 64-char dispatch
+            val lb = 1 + rnd.nextInt(150)
+            def mk(len: Int) =
+              (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+            val a = mk(la)
+            val b = mk(lb)
+            val got = Fuzz.lcsLength(a, b)
+            val want = Fuzz.lcsLengthDp(a, b)
+            assert(got === want, s"worker $worker iter $i: a='$a' b='$b'")
+            i += 1
+          }
+          true
+        }
+      }
+      assert(Await.result(Future.sequence(futures), 120.seconds).forall(identity))
+    } finally pool.shutdown()
+  }
+
   test("token_set_ratio: set-equal strings are 100; empty semantics") {
     assert(Fuzz.tokenSetRatio("fuzzy was a bear", "fuzzy fuzzy was a bear") === 100.0)
     assert(Fuzz.tokenSetRatio("bear was fuzzy", "fuzzy was a bear") === 100.0)
