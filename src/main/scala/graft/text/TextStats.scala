@@ -86,28 +86,35 @@ object TextStats {
     "es" -> Set("el", "los", "las", "es", "no", "por", "para", "una", "con", "del", "se", "como"),
     "it" -> Set("il", "di", "che", "non", "per", "una", "sono", "con", "del", "gli", "questo"))
 
-  /** N-gram/stopword language heuristic: CJK scripts by codepoint range,
+  /** N-gram/stopword language heuristic: CJK/kana/Hangul/Cyrillic
+    * scripts by codepoint block — any significant kana marks Japanese
+    * (Japanese mixes kana with kanji; Chinese text has no kana), Hangul
+    * marks Korean, remaining ideograph-heavy text marks Chinese — then
     * Latin languages by stopword-profile hits (most hits wins, "und"
     * beats "unknown" only with ≥2 evidence tokens).
     */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "unknown"
-    var cjk = 0; var cyrillic = 0; var letters = 0
+    var ideo = 0; var kana = 0; var hangul = 0; var cyrillic = 0; var letters = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
       if (Character.isLetter(c)) {
         letters += 1
         val block = Character.UnicodeBlock.of(c)
-        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
-          block == Character.UnicodeBlock.HIRAGANA ||
-          block == Character.UnicodeBlock.KATAKANA) cjk += 1
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) ideo += 1
+        else if (block == Character.UnicodeBlock.HIRAGANA ||
+          block == Character.UnicodeBlock.KATAKANA) kana += 1
+        else if (block == Character.UnicodeBlock.HANGUL_SYLLABLES ||
+          block == Character.UnicodeBlock.HANGUL_JAMO) hangul += 1
         else if (block == Character.UnicodeBlock.CYRILLIC) cyrillic += 1
       }
       i += 1
     }
     if (letters == 0) return "unknown"
-    if (cjk.toDouble / letters > 0.3) return "zh"
+    if (kana.toDouble / letters > 0.1) return "ja"
+    if (hangul.toDouble / letters > 0.3) return "ko"
+    if (ideo.toDouble / letters > 0.3) return "zh"
     if (cyrillic.toDouble / letters > 0.3) return "ru"
     val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
     if (tokens.isEmpty) return "unknown"

@@ -142,6 +142,12 @@ class TextOpsSpec extends SparkSpec {
     assert(TextStats.detectLanguage("le chat est dans la maison et il dort pas") === "fr")
     assert(TextStats.detectLanguage("el perro no es como los gatos del parque") === "es")
     assert(TextStats.detectLanguage("这是一个中文句子没有拉丁字母") === "zh")
+    // Japanese mixes kanji with kana — the kana is what distinguishes it
+    // from Chinese (which has none)
+    assert(TextStats.detectLanguage("これは日本語の文章です") === "ja")
+    assert(TextStats.detectLanguage("カタカナだけのテキスト") === "ja")
+    assert(TextStats.detectLanguage("이것은 한국어 문장입니다") === "ko")
+    assert(TextStats.detectLanguage("это предложение на русском языке") === "ru")
     assert(TextStats.detectLanguage("xyzzy plugh") === "unknown")
     assert(TextStats.detectLanguage("") === "unknown")
   }
