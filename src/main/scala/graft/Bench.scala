@@ -85,7 +85,12 @@ import org.apache.spark.sql.SparkSession
   * feeds best_known_sec/total_best_known like any same-corpus
   * observation — the r12 driver window held q17 at 9.68 s against a
   * 1.01 s committed same-code recording and could only flag it; now
-  * the artifact re-measures and repairs in-band.
+  * the artifact re-measures and repairs in-band. Round 17 makes the
+  * HEADLINE itself best-known: `value` and the compact `queries` map
+  * report each query at its best-known number (raw main-pass sum kept
+  * as `value_raw`, every raw observation kept in the full JSON) — r16
+  * proved the repairs alone aren't enough when the headline still
+  * carries the contended numbers beside them.
   *
   * Note on best-of-N in one JVM: run 1 of each query pays that query's
   * codegen/JIT even after the table warmup, so it systematically loses
@@ -437,6 +442,9 @@ object Bench {
     // q22 cap-engagement demo: (cap, candidate_pairs, dropped_bucket_rows)
     // at full corpus for the default and a tightened maxBucketSize
     var capDemo = List.empty[(Int, Long, Long)]
+    // q22 LCS-kernel A/B demo (r16 verdict task 2): JSON fragment, empty
+    // when the demo did not run (no long docs / demo failed)
+    var lcsDemo = ""
     // q23 degenerate-corpus demo (the cap_demo analog for clustering):
     // JSON fragments for the chain (connected-components algorithm A/B)
     // and hot-component (oversized-fallback knob A/B) runs
@@ -557,6 +565,81 @@ object Bench {
                     None
                   }
                   capDemo = List(countsAtCap(defaultCap), countsAtCap(tightCap)).flatten
+                  // LCS KERNEL A/B DEMO (r16 verdict task 2; untimed re
+                  // headline): q22's end-to-end time barely moved with
+                  // the r16 bit-parallel kernel because the
+                  // duplicate-heavy corpus short-circuits most pairs on
+                  // the pa == pb fast path before the kernel runs — the
+                  // 4.6–43× microbench win had no artifact. This scores
+                  // a seeded batch of NON-identical long-text pairs
+                  // through the REGISTERED UDFs (fuzz_ratio +
+                  // token_set_ratio, the production call path), once
+                  // per kernel via the demo-only Fuzz.useDpKernelForDemo
+                  // switch (volatile write happens-before the job that
+                  // reads it; reset in a finally), best of 2 per
+                  // kernel, and records both wall times plus an
+                  // order-independent score checksum (sum of
+                  // round(score*1e4) as long — both kernels compute the
+                  // same LCS int, so equality is exact, not FP-lucky).
+                  // Mutation = vowel rotation: nearly every token
+                  // differs, so the full-string Indel AND the token-set
+                  // diff joins do real kernel work instead of skipping
+                  // via pa == pb / equal-token-set fast paths, while
+                  // the LCS stays high (consonant skeleton intact) —
+                  // the near-dup shape dedup workloads actually score.
+                  try {
+                    import org.apache.spark.sql.functions.{col, expr, translate, length => slen}
+                    // 1024 pairs: at 256 the two jobs' fixed launch cost
+                    // (~0.1 s/side) still compressed the measured ratio to
+                    // 2.9x; at 1024 the kernel dominates both sides
+                    val nPairs = cfgInt("SPARK_GRAFT_LCS_DEMO_PAIRS", 1024, min = 1)
+                    val capChars = cfgInt("SPARK_GRAFT_LCS_DEMO_CHARS", 1200, min = 65)
+                    graft.functions.Udfs.register(spark)
+                    // rpad(text, cap, text) = the doc repeated cyclically
+                    // to EXACTLY capChars: sf0.01 docs average ~360 chars,
+                    // and at that length the fixed job overhead (~40 ms)
+                    // drowns the kernel delta (measured speedup 1.2x where
+                    // the kernel's own is >10x) — uniform long inputs make
+                    // the demo measure the kernel, not the job launch
+                    // SQL expr: the Scala rpad() overloads take only a
+                    // literal pad string, not a per-row Column
+                    val padded = expr(s"rpad(text, $capChars, text)")
+                    val pairs = graft.core.Tables.documents(spark, sfDir)
+                      .where(slen(col("text")) >= 200)
+                      .orderBy(col("doc_id")).limit(nPairs)
+                      .select(padded.as("a"),
+                        translate(padded, "aeiou", "eioua").as("b"))
+                      .cache()
+                    val stats = pairs.selectExpr(
+                      "count(*) AS n", "avg(length(a)) AS chars").head()
+                    val actualPairs = stats.getLong(0)
+                    if (actualPairs > 0) {
+                      val avgChars = stats.getDouble(1)
+                      def scoreOnce(): (Double, Long) = {
+                        val t0 = System.nanoTime()
+                        val r = pairs.selectExpr(
+                          "sum(cast(round(fuzz_ratio(a, b) * 10000, 0) AS bigint)) AS s1",
+                          "sum(cast(round(token_set_ratio(a, b) * 10000, 0) AS bigint)) AS s2").head()
+                        ((System.nanoTime() - t0) / 1e9, r.getLong(0) * 31L + r.getLong(1))
+                      }
+                      def kernelRun(dp: Boolean): (Double, Long) = {
+                        graft.functions.Fuzz.useDpKernelForDemo = dp
+                        try {
+                          val rs = Seq.fill(2)(scoreOnce())
+                          (rs.map(_._1).min, rs.head._2)
+                        } finally graft.functions.Fuzz.useDpKernelForDemo = false
+                      }
+                      val (bpSec, bpSum) = kernelRun(dp = false)
+                      val (dpSec, dpSum) = kernelRun(dp = true)
+                      pairs.unpersist()
+                      releaseLeftovers()
+                      lcsDemo = s""","lcs_demo":{"pairs":$actualPairs,"avg_chars":${f3(avgChars)},"text_cap_chars":$capChars,"mutation":"doc repeated cyclically to text_cap_chars (rpad), then vowel-rotated (translate aeiou->eioua) against itself: every token differs, so the Indel and token-set-diff kernels run on full-length text instead of short-circuiting on pa == pb / equal token sets","udfs":["fuzz_ratio","token_set_ratio"],"best_of":2,"bitparallel_sec":${f3(bpSec)},"dp_sec":${f3(dpSec)},"speedup":${f3(dpSec / bpSec)},"scores_match":${bpSum == dpSum},"score_checksum":$bpSum}"""
+                      if (bpSum != dpSum)
+                        System.err.println(s"[bench] LCS DEMO KERNEL MISMATCH: bitparallel checksum $bpSum vs dp $dpSum")
+                    } else pairs.unpersist()
+                  } catch { case e: Throwable =>
+                    System.err.println(s"[bench] lcs demo failed: ${e.getMessage}")
+                  }
                 }
                 // DEGENERATE-CORPUS DEMO for q23 (untimed re headline;
                 // each run carries its own wall time): the clustering
@@ -1083,6 +1166,21 @@ object Bench {
       if (seconds.isEmpty) None else Some(r.name -> (r.bestSec +: seconds).min)
     }.toMap
     val totalBestKnown = results.map(r => bestKnown.getOrElse(r.name, r.bestSec)).sum
+    // HEADLINE = BEST-KNOWN (r16 verdict task 1): the official round
+    // record's `value` and per-query `queries` map carry each query at
+    // its best-known number — min over the main best, the scaling
+    // pass's full point, and any drift-repair batch — so one contended
+    // window can no longer put a number in the headline that the same
+    // artifact's own repairs re-measured to a third of it (r16 shipped
+    // q17 at 3.12 s in `queries` beside a 0.668 s repair, and its
+    // 60.9 s total read as a 5% regression on a flat round). The raw
+    // main-pass sum stays one field away as `value_raw`, and the full
+    // artifact keeps every raw observation (best_sec, runs, probes)
+    // untouched — this changes which number is HEADLINE, not what is
+    // recorded. Failed/flaky queries still enter at their raw bestSec
+    // (a failure duration; bestKnown never covers them), so a broken
+    // run can never read faster than a working one.
+    def headlineSec(r: QueryTiming): Double = bestKnown.getOrElse(r.name, r.bestSec)
     val driftJson =
       if (driftByName.isEmpty) "null"
       else {
@@ -1152,7 +1250,7 @@ object Bench {
         else "," + "\"cap_demo\":" + capDemo.map { case (cap, p, d) =>
           s"""{"max_bucket_size":$cap,"candidate_pairs":$p,"dropped_bucket_rows":$d}"""
         }.mkString("[", ",", "]")
-      pairs + demo
+      pairs + demo + lcsDemo
     }
     def clusterDemoJson: String =
       if (clusterDemoChain.isEmpty && clusterDemoFallback.isEmpty) ""
@@ -1184,7 +1282,7 @@ object Bench {
     val wallJson =
       s""""started_utc":"${java.time.Instant.ofEpochMilli(startedMs)}","ended_utc":"${java.time.Instant.ofEpochMilli(endedMs)}","wall_sec":${(endedMs - startedMs) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":$totalBestKnown,"value_raw":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"${jstr(sfDir)}"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
     // per-query keys are the qNN prefix (like growth_exponents): full
@@ -1198,8 +1296,11 @@ object Bench {
     val prefixesUnique =
       results.map(_.name.takeWhile(_ != '_')).distinct.size == results.size
     def qKey(name: String) = if (prefixesUnique) name.takeWhile(_ != '_') else name
+    // best-known per query, same policy as the headline `value` (see
+    // headlineSec above); raw per-query numbers live in the full
+    // artifact's queries[].best_sec/runs
     val qsCompact = results.map { r =>
-      "\"" + qKey(r.name) + "\":" + f3(r.bestSec)
+      "\"" + qKey(r.name) + "\":" + f3(headlineSec(r))
     }.mkString("{", ",", "}")
     // failed/flaky share the queries map's key namespace (a tail
     // consumer cross-references them against it) and its budget
@@ -1244,12 +1345,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${f3(totalBestKnown)},"value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
+        s"""{"metric":"total","value":${f3(totalBestKnown)},"value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

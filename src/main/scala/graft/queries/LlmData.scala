@@ -184,10 +184,12 @@ object LlmData {
     * Rabin–Karp fingerprint, all hash-verified against a full DuckDB
     * replay ([[q29Sql]]):
     *  - language-ID: the stopword-profile counting and the maxBy
-    *    `(count, lang)` tie-break are replayed verbatim; the CJK/Cyrillic
-    *    codepoint branches are provably no-ops because this corpus is
-    *    pure ASCII (the replay's `n_alpha = 0` guard covers the only
-    *    other early exit);
+    *    `(count, lang)` tie-break are replayed verbatim; all four
+    *    script-block branches (ideograph/kana/Hangul/Cyrillic, incl.
+    *    the halfwidth-katakana / compatibility-jamo / CJK-Ext-A block
+    *    extensions) are provably no-ops because this corpus is pure
+    *    ASCII (the replay's `n_alpha = 0` guard covers the only other
+    *    early exit);
     *  - quality: the exact composite formula, term by term in double;
     *  - BPE count: the same pre-tokenizer regex via `regexp_extract_all`
     *    (Java and RE2 agree on every construct the pattern uses);

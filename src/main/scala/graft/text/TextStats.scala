@@ -92,6 +92,13 @@ object TextStats {
     * marks Korean, remaining ideograph-heavy text marks Chinese — then
     * Latin languages by stopword-profile hits (most hits wins, "und"
     * beats "unknown" only with ≥2 evidence tokens).
+    *
+    * Block coverage beyond the primary blocks: halfwidth katakana
+    * (U+FF66–U+FF9D, common in OCR'd/legacy Japanese) counts as kana;
+    * compatibility jamo (U+3130–U+318F, decomposed/legacy Korean)
+    * counts as Hangul; CJK Extension A (U+3400–U+4DBF) counts as
+    * ideographs. All three are BMP blocks, so the per-char loop sees
+    * them whole (no surrogate pairs).
     */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "unknown"
@@ -102,11 +109,17 @@ object TextStats {
       if (Character.isLetter(c)) {
         letters += 1
         val block = Character.UnicodeBlock.of(c)
-        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) ideo += 1
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A) ideo += 1
         else if (block == Character.UnicodeBlock.HIRAGANA ||
-          block == Character.UnicodeBlock.KATAKANA) kana += 1
+          block == Character.UnicodeBlock.KATAKANA ||
+          // the halfwidth katakana RANGE only: the containing block
+          // (HALFWIDTH_AND_FULLWIDTH_FORMS) also holds fullwidth Latin
+          // letters (Ａ–Ｚ), which must stay Latin
+          (c >= 'ｦ' && c <= 'ﾝ')) kana += 1
         else if (block == Character.UnicodeBlock.HANGUL_SYLLABLES ||
-          block == Character.UnicodeBlock.HANGUL_JAMO) hangul += 1
+          block == Character.UnicodeBlock.HANGUL_JAMO ||
+          block == Character.UnicodeBlock.HANGUL_COMPATIBILITY_JAMO) hangul += 1
         else if (block == Character.UnicodeBlock.CYRILLIC) cyrillic += 1
       }
       i += 1

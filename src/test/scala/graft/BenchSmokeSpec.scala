@@ -165,6 +165,24 @@ class BenchSmokeSpec extends SparkSpec {
         s"single-query run: total_best_known $tbk must equal the repaired best $bk")
       assert("""\"drift_repaired\":1""".r.findFirstIn(res.compact).isDefined,
         s"compact line must carry the repair count: ${res.compact}")
+      // HEADLINE = BEST-KNOWN (r17): the compact line's `value` and its
+      // per-query map must carry the REPAIRED number — the r16 record
+      // shipped a 3.12 s headline beside its own 0.668 s repair — with
+      // the raw main-pass sum one field away as `value_raw`. Tolerance
+      // 5e-4: the compact line rounds to 3 decimals.
+      val headlineV = """"value":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.compact).getOrElse(fail("no value in compact")).group(1).toDouble
+      assert(math.abs(headlineV - bk) < 5e-4,
+        s"compact headline value $headlineV must be the repaired best-known $bk")
+      val headlineRaw = """"value_raw":([0-9.E-]+)""".r
+        .findFirstMatchIn(res.compact).getOrElse(fail("no value_raw in compact")).group(1).toDouble
+      assert(math.abs(headlineRaw - b) < 5e-4,
+        s"compact value_raw $headlineRaw must be the raw main best $b")
+      val qMapV = """"queries":\{"q01":([0-9.E-]+)\}""".r
+        .findFirstMatchIn(res.compact).getOrElse(fail(s"no compact queries map: ${res.compact}"))
+        .group(1).toDouble
+      assert(math.abs(qMapV - bk) < 5e-4,
+        s"compact per-query map must carry best-known $bk, not raw $b (got $qMapV)")
     }
     // bounded: SPARK_GRAFT_DRIFT_REPAIR_MAX=0 disables the repair pass
     // while the flagging stays — the advisory check must never be able

@@ -152,6 +152,22 @@ class TextOpsSpec extends SparkSpec {
     assert(TextStats.detectLanguage("") === "unknown")
   }
 
+  test("language detection: legacy/OCR block coverage (r17)") {
+    // halfwidth katakana (U+FF66–FF9D) — OCR'd/legacy Japanese; lives in
+    // HALFWIDTH_AND_FULLWIDTH_FORMS, not the KATAKANA block
+    assert(TextStats.detectLanguage("ﾊﾝｶｸｶﾀｶﾅﾉﾃｷｽﾄﾃﾞｽ") === "ja")
+    // ...mixed with kanji, the realistic OCR shape
+    assert(TextStats.detectLanguage("日本語ﾃｷｽﾄの文章") === "ja")
+    // fullwidth Latin shares that block and must NOT count as kana
+    assert(TextStats.detectLanguage("ＡＢＣＤＥＦ ＧＨＩ") !== "ja")
+    // compatibility jamo (U+3130–318F) — decomposed/legacy Korean
+    assert(TextStats.detectLanguage("ㄱㄴㄷㄹㅁㅂㅅ ㅏㅑㅓㅕㅗㅛ") === "ko")
+    // CJK Extension A (U+3400–4DBF) ideographs count as Chinese
+    assert(TextStats.detectLanguage("㐀㐁㐂㐃㐄㐅㐆㐇") === "zh")
+    // Ext-A kanji with kana still reads Japanese (kana precedence holds)
+    assert(TextStats.detectLanguage("㐀㐁のテキストです") === "ja")
+  }
+
   test("fingerprints: stable, whitespace-insensitive, edit-sensitive") {
     assert(TextStats.fingerprint("a  b\tc") === TextStats.fingerprint("a b c"))
     assert(TextStats.fingerprint("abc") !== TextStats.fingerprint("abd"))
