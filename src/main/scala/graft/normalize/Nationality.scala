@@ -21,15 +21,16 @@ object Nationality {
     * on word boundaries, dropping keys that are substrings of another
     * match; sorted by key length (reference order).
     */
-  /** Word-boundary patterns per dictionary, compiled ONCE per dict
-    * identity: findMatches runs per row inside the standardize UDF, and
-    * per-row Pattern.compile over every key is hundreds of millions of
-    * compilations at corpus scale (the same hoist Similarity/Fuzz
-    * apply). ConcurrentHashMap.computeIfAbsent, not a synchronized map:
-    * a global lock taken per ROW would serialize every executor thread
-    * through the cache just to read it (the Unpack.patternCache
-    * template). Keyed on dict identity; the handful of production
-    * dictionaries are effectively static.
+  /** Word-boundary patterns per dictionary, compiled ONCE per dict:
+    * per-row Pattern.compile over every key would be hundreds of
+    * millions of compilations at corpus scale (the same hoist
+    * Similarity/Fuzz apply). ConcurrentHashMap.computeIfAbsent, not a
+    * synchronized map: a global lock taken per call would serialize
+    * every executor thread through the cache just to read it (the
+    * Unpack.patternCache template). NB the key is dict EQUALITY — every
+    * lookup rehashes the whole Map — so the per-row path resolves the
+    * cache once per job via [[Standardizer]]; this cache only backs the
+    * ad-hoc [[findMatches]] entry point.
     */
   private val dictPatterns = new java.util.concurrent.ConcurrentHashMap[
     Map[String, String], Map[String, java.util.regex.Pattern]]()
@@ -39,8 +40,12 @@ object Nationality {
         k -> java.util.regex.Pattern.compile(
           "\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap)
 
-  def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] = {
-    val pats = patternsFor(natDict)
+  def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] =
+    findMatchesWith(patternsFor(natDict), natDict, raw)
+
+  private def findMatchesWith(
+      pats: Map[String, java.util.regex.Pattern],
+      natDict: Map[String, String], raw: String): Seq[(String, String)] = {
     val hits = natDict.keys.toSeq
       .filter(k => pats.get(k).exists(_.matcher(raw).find()))
       .sortBy(_.length)
@@ -56,25 +61,40 @@ object Nationality {
 
   final case class NatResult(parts: Seq[String], standardized: Seq[String], qa: Boolean)
 
+  /** Per-JOB hoisted state for [[standardizeValue]]: the compiled
+    * word-boundary patterns plus the three membership sets. Building
+    * these per ROW (the obvious inline shape) is an O(|dict|) set
+    * allocation and a whole-Map rehash per row — billions of redundant
+    * allocations at corpus scale. One instance per standardize call,
+    * captured by the UDF closure (Pattern and the sets all serialize).
+    */
+  final case class Standardizer(
+      natDict: Map[String, String], unclearDict: Map[String, String]) {
+    private val pats = patternsFor(natDict)
+    private val values = natDict.values.toSet
+    private val unclearKeys = unclearDict.keySet
+    private val unclearValues = unclearDict.values.toSet
+
+    def apply(raw0: String): NatResult = {
+      val raw = if (raw0 == null) "" else raw0.replaceAll("\\.", "")
+      val replaced = replaceRawValues(raw, findMatchesWith(pats, natDict, raw))
+        .trim.replaceAll("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+", ";")
+      val parts = replaced.split(";", 5).toSeq
+      var qa = false
+      val standardized = parts.map { p =>
+        if (natDict.contains(p)) natDict(p)
+        else if (values.contains(p)) p
+        else if (unclearKeys.contains(p) || unclearValues.contains(p)) { qa = true; "?" }
+        else { qa = true; p }
+      }
+      NatResult(parts, standardized, qa)
+    }
+  }
+
   def standardizeValue(
       natDict: Map[String, String], unclearDict: Map[String, String],
-      raw0: String): NatResult = {
-    val raw = if (raw0 == null) "" else raw0.replaceAll("\\.", "")
-    val replaced = replaceRawValues(raw, findMatches(natDict, raw))
-      .trim.replaceAll("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+", ";")
-    val parts = replaced.split(";", 5).toSeq
-    val values = natDict.values.toSet
-    val unclearKeys = unclearDict.keySet
-    val unclearValues = unclearDict.values.toSet
-    var qa = false
-    val standardized = parts.map { p =>
-      if (natDict.contains(p)) natDict(p)
-      else if (values.contains(p)) p
-      else if (unclearKeys.contains(p) || unclearValues.contains(p)) { qa = true; "?" }
-      else { qa = true; p }
-    }
-    NatResult(parts, standardized, qa)
-  }
+      raw0: String): NatResult =
+    Standardizer(natDict, unclearDict)(raw0)
 
   /** Standardize a nationality column: appends `nationality_1..k`,
     * `nationality_i_standardized`, `nationality_standardized_qa`,
@@ -84,9 +104,9 @@ object Nationality {
       df: DataFrame, natCol: String,
       natDict: Map[String, String],
       unclearDict: Map[String, String]): DataFrame = {
-    val d = natDict; val u = unclearDict
+    val std = Standardizer(natDict, unclearDict)
     val stdUdf = udf { (raw: String) =>
-      val r = standardizeValue(d, u, raw)
+      val r = std(raw)
       (r.parts, r.standardized, r.qa)
     }
     // same two-consumer materialization as the name chains: the arity
