@@ -47,39 +47,50 @@ object NamePreprocess {
     sb.toString
   }
 
+  // All chain patterns are compiled ONCE here: these kernels run per ROW
+  // (name-normalization UDFs, linkage blocking keys), and String.replaceAll
+  // re-compiles its pattern on every call — ~20 Pattern.compile per name
+  // at corpus scale (the same hoist Similarity/Fuzz/Unpack apply).
+  private def compiled(chain: Seq[(String, String)]): Seq[(java.util.regex.Pattern, String)] =
+    chain.map { case (p, r) => java.util.regex.Pattern.compile(p) -> r }
+  private def applyChain(s: String, chain: Seq[(java.util.regex.Pattern, String)]): String =
+    chain.foldLeft(s) { case (acc, (p, r)) => p.matcher(acc).replaceAll(r) }
+
   /** Ordered umlaut folds (`string_utils.py:30-34`) — applied sequentially,
     * so `æ` folded to "ae" above then becomes "a" here; `ue` not preceded
     * by `a` becomes "a" (reference behavior, preserved verbatim).
     */
-  private val umlautChain: Seq[(String, String)] = Seq(
+  private val umlautChain: Seq[(java.util.regex.Pattern, String)] = compiled(Seq(
     "ä" -> "a", "ae" -> "a", "ö" -> "o", "oe" -> "a", "ü" -> "u",
-    "(?<!a)ue" -> "a")
+    "(?<!a)ue" -> "a"))
 
-  def replaceUmlautCharacters(s: String): String =
-    umlautChain.foldLeft(s) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+  def replaceUmlautCharacters(s: String): String = applyChain(s, umlautChain)
 
   /** Phonetic bigram folds (`string_utils.py:36-44`), ordered. */
-  private val bigramChain: Seq[(String, String)] = Seq(
+  private val bigramChain: Seq[(java.util.regex.Pattern, String)] = compiled(Seq(
     "th" -> "t", "ck" -> "k", "ph" -> "f", "w" -> "v", "y" -> "i",
-    "j" -> "i", "tz" -> "z")
+    "j" -> "i", "tz" -> "z"))
 
-  def replacePhoneticCharacters(s: String): String =
-    bigramChain.foldLeft(s) { case (acc, (p, r)) => acc.replaceAll(p, r) }
+  def replacePhoneticCharacters(s: String): String = applyChain(s, bigramChain)
+
+  private val doubleChar = compiled(Seq("([a-zA-Z])\\1" -> "$1"))
 
   /** Collapse doubled letters, single pass (`string_utils.py:165-167`). */
-  def removeDoubleCharacters(s: String): String =
-    s.replaceAll("([a-zA-Z])\\1", "$1")
+  def removeDoubleCharacters(s: String): String = applyChain(s, doubleChar)
+
+  private val lastNameEndings = compiled(Seq(
+    "owa$|ova$" -> "", "sohns$" -> "sons", "sohn$" -> "son",
+    "(?<=sk|ck)a$" -> "i"))
 
   /** Slavic/patronymic surname ending folds (`string_utils.py:169-174`). */
   def removeLangSpecificLastNameEndings(s: String): String =
-    s.replaceAll("owa$|ova$", "")
-      .replaceAll("sohns$", "sons")
-      .replaceAll("sohn$", "son")
-      .replaceAll("(?<=sk|ck)a$", "i")
+    applyChain(s, lastNameEndings)
+
+  private val maidenTails = compiled(Seq(
+    "\\sgeb\\.?\\s.*" -> "", "\\sgesch\\.?\\s.*" -> ""))
 
   /** Strip maiden-name tail: " geb. …" / " gesch. …" (`string_utils.py:176-179`). */
-  def removeMaidenName(s: String): String =
-    s.replaceAll("\\sgeb\\.?\\s.*", "").replaceAll("\\sgesch\\.?\\s.*", "")
+  def removeMaidenName(s: String): String = applyChain(s, maidenTails)
 
   /** `preprocess_name` (`string_utils.py:192-198`): lower → diacritic fold
     * → umlaut chain → phonetic bigrams → dedouble.
@@ -94,11 +105,13 @@ object NamePreprocess {
   def preprocessLastName(s: String): String =
     preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(s.toLowerCase(java.util.Locale.ROOT))))
 
+  private val nameWord = java.util.regex.Pattern.compile("[a-zA-Zäüöß]+")
+
   /** `fix_name_uppercasing` (`string_utils.py:153-159`): every word
     * ([a-zA-Zäüöß]+) → first letter upper, rest lower.
     */
   def fixNameUppercasing(s: String): String = {
-    val m = java.util.regex.Pattern.compile("[a-zA-Zäüöß]+").matcher(s)
+    val m = nameWord.matcher(s)
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     while (m.find()) {

@@ -52,12 +52,15 @@ object Clustering {
     * half-length windows (substring tolerance). These feed
     * [[minHashCandidates]] the same way the reference feeds its MinHash.
     */
+  // hoisted: runs per subname per ROW; String.replaceAll compiles per call
+  private val vowels = java.util.regex.Pattern.compile("[aeiou]")
+
   def nameCollisionShingles(name: String, leaveOneOut: Boolean = true): Seq[String] = {
     if (name == null) return Nil
     val out = collection.mutable.LinkedHashSet.empty[String]
     for (sub <- name.split(" ") if sub.nonEmpty) {
       out += sub
-      val novowel = sub.replaceAll("[aeiou]", "")
+      val novowel = vowels.matcher(sub).replaceAll("")
       // an all-vowel subname strips to "": adding the empty shingle
       // would hand every such person one shared shingle and provoke
       // collisions between unrelated names ("Aia" vs "Eu") — the

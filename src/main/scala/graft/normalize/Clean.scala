@@ -106,6 +106,10 @@ object PyText {
     sb.toString
   }
 
+  // hoisted: sortListInColumn runs per ROW and String.replaceAll
+  // re-compiles its pattern per call (per PART here)
+  private val nonDigits = java.util.regex.Pattern.compile("[^0-9]+")
+
   /** F15 `sort_list_in_column` (aux_functions.py:147-190): sort a
     * `;`-joined list by the digit-only projection of each part —
     * lexicographically (the reference sorts the digit *strings*), stable.
@@ -113,7 +117,7 @@ object PyText {
   def sortListInColumn(s: String): String = {
     if (s == null) return null
     val parts = s.split(";", -1)
-    val keys = parts.map(_.replaceAll("[^0-9]+", ""))
+    val keys = parts.map(p => nonDigits.matcher(p).replaceAll(""))
     parts.indices.sortBy(i => keys(i)).map(parts).mkString(";")
   }
 

@@ -61,6 +61,11 @@ object Nationality {
 
   final case class NatResult(parts: Seq[String], standardized: Seq[String], qa: Boolean)
 
+  // hoisted per-row scrub patterns (String.replaceAll compiles per call)
+  private val dots = java.util.regex.Pattern.compile("\\.")
+  private val separators =
+    java.util.regex.Pattern.compile("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+")
+
   /** Per-JOB hoisted state for [[standardizeValue]]: the compiled
     * word-boundary patterns plus the three membership sets. Building
     * these per ROW (the obvious inline shape) is an O(|dict|) set
@@ -76,9 +81,10 @@ object Nationality {
     private val unclearValues = unclearDict.values.toSet
 
     def apply(raw0: String): NatResult = {
-      val raw = if (raw0 == null) "" else raw0.replaceAll("\\.", "")
-      val replaced = replaceRawValues(raw, findMatchesWith(pats, natDict, raw))
-        .trim.replaceAll("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+", ";")
+      val raw = if (raw0 == null) "" else Nationality.dots.matcher(raw0).replaceAll("")
+      val replaced = Nationality.separators
+        .matcher(replaceRawValues(raw, findMatchesWith(pats, natDict, raw)).trim)
+        .replaceAll(";")
       val parts = replaced.split(";", 5).toSeq
       var qa = false
       val standardized = parts.map { p =>

@@ -48,7 +48,10 @@ object Dedup {
 
   /** Character k-shingles on the normalized text. */
   def charShingles(text: String, k: Int): Seq[String] = {
-    val norm = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    // WhitespaceRe (hoisted below): this runs per ROW and
+    // String.replaceAll re-compiles its pattern per call
+    val norm = if (text == null) ""
+      else WhitespaceRe.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
     if (norm.length <= k) Seq(norm) else (0 to norm.length - k).map(i => norm.substring(i, i + k))
   }
 

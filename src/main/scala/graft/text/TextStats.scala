@@ -144,9 +144,14 @@ object TextStats {
     * case-folded, whitespace-collapsed. Stable across runs and partitions
     * (pure arithmetic, no JVM hash seeding).
     */
+  // hoisted: both fingerprint kernels run per ROW and String.replaceAll
+  // re-compiles its pattern per call
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+  private val nonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]")
+
   def fingerprint(text: String): Long = {
     if (text == null) return 0L
-    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    val norm = wsRun.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
     var h = 1125899906842597L // large prime
     var i = 0
     while (i < norm.length) {
@@ -164,7 +169,7 @@ object TextStats {
     */
   def winnowingSketch(text: String, k: Int = 5, window: Int = 4): Seq[Long] = {
     if (text == null) return Nil
-    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
+    val norm = nonAlnum.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
     if (norm.length < k) return Seq(fingerprint(norm))
     val grams = (0 to norm.length - k).map { i =>
       var h = 1125899906842597L
