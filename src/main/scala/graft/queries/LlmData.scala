@@ -261,6 +261,77 @@ object LlmData {
       |FROM fp
       |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing document sketch (TextStats.winnowingSketch): per-doc
+    * k-gram rolling hashes → per-window minimum → dedup. The full hash
+    * SET per document is pinned order-independently by (size, XOR
+    * checksum, min, max) — XOR because JVM long addition would overflow
+    * under ANSI mode, and XOR over a DISTINCT set loses nothing —
+    * against a DuckDB recomputation of the whole contract from first
+    * principles (same HUGEINT mod-2^64 fold as [[q29Sql]]'s
+    * fingerprint). A single changed, added or dropped hash anywhere in
+    * the sketch breaks the checksum, so this oracles the rolling-hash
+    * arithmetic, the window-min selection AND the dedup step, not just
+    * sketch cardinality. Exploding the sketches instead would be ~2M
+    * oracle rows at sf0.1 — needless gate weight for the same coverage.
+    *
+    * Correctness trap the replay must dodge: the window minimum compares
+    * SIGNED longs on the JVM, so the SQL re-signs every gram hash
+    * (HUGEINT → BIGINT two's complement) BEFORE `list_min`, not after —
+    * an unsigned min diverges as soon as any window holds a hash with
+    * the top bit set (~every window, for a 64-bit hash).
+    */
+  private def q50(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextStats.winnowingSketchUdf(col("text")).as("sketch"))
+      .select(col("doc_id"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        aggregate(col("sketch"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("sketch_xor"),
+        array_min(col("sketch")).as("sketch_min"),
+        array_max(col("sketch")).as("sketch_max"))
+      .orderBy(col("doc_id"))
+
+  private val q50Sql =
+    """WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, norm, length(norm) AS ln FROM n
+      |), grams AS (
+      |  -- k=5 gram rolling hashes, JVM wrapping arithmetic (see q29's
+      |  -- fingerprint note), re-signed to BIGINT IMMEDIATELY so the
+      |  -- window minimum below compares signed longs like the JVM
+      |  SELECT doc_id, list_transform(
+      |    CASE WHEN ln < 5 THEN
+      |      [list_reduce(
+      |         list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |           list_transform(range(1, ln + 1), i -> CAST(unicode(norm[i]) AS HUGEINT))),
+      |         (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT))]
+      |    ELSE
+      |      list_transform(range(1, ln - 3), i ->
+      |        list_reduce(
+      |          list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |            list_transform(range(i, i + 5), j -> CAST(unicode(norm[j]) AS HUGEINT))),
+      |          (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)))
+      |    END,
+      |    h -> CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS gs
+      |  FROM g
+      |), sk AS (
+      |  -- window=4 sliding minimum then dedup; a gram list shorter than
+      |  -- the window yields ONE window of all grams (Scala sliding(4))
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(gs) - 3, 1) + 1),
+      |      w -> list_min(gs[w:w+3]))) AS sketch
+      |  FROM grams
+      |)
+      |SELECT doc_id,
+      |  CAST(len(sketch) AS BIGINT) AS sketch_size,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), sketch), (a, b) -> xor(a, b)) AS sketch_xor,
+      |  list_min(sketch) AS sketch_min,
+      |  list_max(sketch) AS sketch_max
+      |FROM sk
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact cosine top-k: 10 probe vectors against the whole corpus.
     * Scores are floats through different summation orders in the two
     * engines, so the oracle compares the RANKING (query, rank, hit), not
@@ -875,6 +946,7 @@ object LlmData {
     Q("q27_ngram_jaccard_dedup", q27, Some(q27Sql)),
     Q("q28_text_stats", q28, Some(q28Sql)),
     Q("q29_text_analysis", q29, Some(q29Sql)),
+    Q("q50_winnowing_sketch", q50, Some(q50Sql)),
     Q("q30_cosine_topk", q30, Some(q30Sql)),
     Q("q31_ann_lsh_topk", q31, Some(q31Sql)),
     Q("q35_cosine_near_dup", q35, Some(q35Sql)),
