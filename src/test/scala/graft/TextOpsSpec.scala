@@ -178,6 +178,27 @@ class TextOpsSpec extends SparkSpec {
     assert(overlap > 0.5, s"winnowing overlap $overlap")
   }
 
+  test("winnowing sketch: short-text branch goldens (q50 oracle edges)") {
+    // The sf corpora contain no document whose normalized text is
+    // shorter than ~35 chars, so q50's DuckDB replay never exercises
+    // the <k fingerprint branch or the fewer-grams-than-window single
+    // window there. These values were cross-verified three ways at
+    // authoring time: this kernel, an independent arithmetic replica,
+    // and the q50Sql transformation run in DuckDB on the same strings
+    // (SURVEY round-17 log) — pinning them here keeps the kernel
+    // honest against all three.
+    assert(TextStats.winnowingSketch("") === Seq(1125899906842597L))
+    assert(TextStats.winnowingSketch("ab!") === Seq(1081989810475738822L)) // norm "ab" < k
+    assert(TextStats.winnowingSketch("abcd") === Seq(6774539739450120615L))
+    assert(TextStats.winnowingSketch("abcde") === Seq(7096547112148671390L)) // exactly one gram
+    assert(TextStats.winnowingSketch("abcdefg") === Seq(7096547112148671390L)) // 3 grams, 1 window
+    assert(TextStats.winnowingSketch("abcdefghi") ===
+      Seq(7096547112148671390L, 7096547112149625695L)) // 5 grams, 2 windows
+    assert(TextStats.winnowingSketch("Héllo, W0rld!") ===
+      Seq(7096547112155442955L, 7096547112159140099L)) // non-alnum stripped pre-hash
+    assert(TextStats.winnowingSketch("aaaaaaaa") === Seq(7096547112148639580L)) // dedup to one
+  }
+
   test("exact cosine top-k: self is rank 1; scores ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
