@@ -199,6 +199,29 @@ class TextOpsSpec extends SparkSpec {
     assert(TextStats.winnowingSketch("aaaaaaaa") === Seq(7096547112148639580L)) // dedup to one
   }
 
+  test("n-gram Jaccard short-text branches match the q27 SQL oracle's fallback") {
+    // The sf corpora have no document under ~35 normalized chars, so
+    // q27's corpus run never exercises wordShingles' empty-text and
+    // fewer-than-k-tokens branches (or the SQL mirror of them). This
+    // corpus does; the expected pair set below was verified against the
+    // q27Sql gram/Jaccard derivation run in DuckDB on the same ten docs
+    // at authoring time (SURVEY round-17 log): empty and whitespace-only
+    // docs pair with NOTHING (no phantom shingle), short docs pair via
+    // the whole-text shingle across case/whitespace variants, and a
+    // 4-token/3-token pair lands exactly on the 0.5 threshold.
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, ""), (1L, "   "), (2L, "hello world"), (3L, "Hello   WORLD"),
+      (4L, "hello world again"), (5L, "hello world again"),
+      (6L, "x"), (7L, "x"), (8L, "a b c d"), (9L, "a b c")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardDuplicates(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((2L, 3L, 1.0), (4L, 5L, 1.0), (6L, 7L, 1.0), (8L, 9L, 0.5)))
+  }
+
   test("exact cosine top-k: self is rank 1; scores ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
