@@ -217,8 +217,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= 3, "4-band pigeonhole covers Hamming distance <= 3")
-    // one materialized pass for the signature UDF; both join sides reuse it
-    val hashed = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sim"))
+    // one materialized pass for the signature UDF; both join sides reuse it.
+    // The tokenless guard (null/empty/whitespace-only text) mirrors
+    // wordShingles' and minHashDuplicates': such documents all hash to
+    // the zero signature, so WITHOUT the filter every pair of them meets
+    // in every band and comes back Hamming 0 — phantom "near-dups"
+    // between documents that share no content, a quadratic candidate
+    // blowup on a corpus with many blanks, and a divergence from the q26
+    // oracle, whose token stream drops them. A no-content document has
+    // nothing to near-dup on; exact dedup still groups blanks.
+    // rlike(\S), not length(trim(..)) > 0: Spark trim strips only
+    // SPACES, so a tab/newline-only document would pass a trim guard
+    // and still hash to zero — "contains a non-whitespace char" is
+    // exactly "produces at least one token" in both engines.
+    val hashed = df
+      .filter(col(textCol).rlike("\\S"))
+      .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("sim"))
       .trackedCheckpoint()
     val bandUdf = udf { (h: Long) =>
       (0 until 4).map(i => s"$i:${(h >>> (i * 16)) & 0xffffL}")

@@ -222,6 +222,28 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs === Set((2L, 3L, 1.0), (4L, 5L, 1.0), (6L, 7L, 1.0), (8L, 9L, 0.5)))
   }
 
+  test("simhash tokenless documents emit no pairs (q26 oracle's empty-doc policy)") {
+    // Every tokenless document (empty, whitespace-only — including
+    // tab-only, which a Spark trim() guard would MISS since trim strips
+    // only spaces — and null text) hashes to the zero signature, so
+    // without the \S filter every pair of them meets in every band and
+    // returns Hamming 0: phantom near-dups between documents sharing no
+    // content, and a divergence from the q26 SQL oracle, whose token
+    // stream drops them (verified on this exact corpus in DuckDB at
+    // authoring time — it emits only (4,5,0); SURVEY round-17 log).
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Some("")), (1L, Some("   ")), (2L, Some("\t\t")), (3L, Option.empty[String]),
+      (4L, Some("the quick brown fox")), (5L, Some("the quick brown fox")),
+      (6L, Some("the quick brown wolf")), (7L, Some("totally different text here"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashDuplicates(corpus, "doc_id", "text", maxDistance = 3)
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((4L, 5L, 0)))
+  }
+
   test("exact cosine top-k: self is rank 1; scores ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
