@@ -589,6 +589,17 @@ object Bench {
                   // the near-dup shape dedup workloads actually score.
                   try {
                     import org.apache.spark.sql.functions.{col, expr, translate, length => slen}
+                    // the kernel switch is a plain @volatile on the driver
+                    // JVM: with a non-local master the executors would
+                    // never see the DP flag and the A/B would silently
+                    // compare the bit-parallel kernel against itself
+                    // (~1.0x, scores trivially matching) — skip rather
+                    // than record a meaningless comparison; the recorded
+                    // master makes the precondition auditable
+                    if (!spark.sparkContext.isLocal)
+                      throw new IllegalStateException(
+                        s"lcs_demo requires a local master (got ${spark.sparkContext.master}): " +
+                          "Fuzz.useDpKernelForDemo does not propagate to remote executors")
                     // 1024 pairs: at 256 the two jobs' fixed launch cost
                     // (~0.1 s/side) still compressed the measured ratio to
                     // 2.9x; at 1024 the kernel dominates both sides
@@ -610,33 +621,39 @@ object Bench {
                       .select(padded.as("a"),
                         translate(padded, "aeiou", "eioua").as("b"))
                       .cache()
-                    val stats = pairs.selectExpr(
-                      "count(*) AS n", "avg(length(a)) AS chars").head()
-                    val actualPairs = stats.getLong(0)
-                    if (actualPairs > 0) {
-                      val avgChars = stats.getDouble(1)
-                      def scoreOnce(): (Double, Long) = {
-                        val t0 = System.nanoTime()
-                        val r = pairs.selectExpr(
-                          "sum(cast(round(fuzz_ratio(a, b) * 10000, 0) AS bigint)) AS s1",
-                          "sum(cast(round(token_set_ratio(a, b) * 10000, 0) AS bigint)) AS s2").head()
-                        ((System.nanoTime() - t0) / 1e9, r.getLong(0) * 31L + r.getLong(1))
+                    // unpersist in a finally: a throw from scoreOnce/
+                    // kernelRun must not leak the cached blocks into the
+                    // rest of the bench run
+                    try {
+                      val stats = pairs.selectExpr(
+                        "count(*) AS n", "avg(length(a)) AS chars").head()
+                      val actualPairs = stats.getLong(0)
+                      if (actualPairs > 0) {
+                        val avgChars = stats.getDouble(1)
+                        def scoreOnce(): (Double, Long) = {
+                          val t0 = System.nanoTime()
+                          val r = pairs.selectExpr(
+                            "sum(cast(round(fuzz_ratio(a, b) * 10000, 0) AS bigint)) AS s1",
+                            "sum(cast(round(token_set_ratio(a, b) * 10000, 0) AS bigint)) AS s2").head()
+                          ((System.nanoTime() - t0) / 1e9, r.getLong(0) * 31L + r.getLong(1))
+                        }
+                        def kernelRun(dp: Boolean): (Double, Long) = {
+                          graft.functions.Fuzz.useDpKernelForDemo = dp
+                          try {
+                            val rs = Seq.fill(2)(scoreOnce())
+                            (rs.map(_._1).min, rs.head._2)
+                          } finally graft.functions.Fuzz.useDpKernelForDemo = false
+                        }
+                        val (bpSec, bpSum) = kernelRun(dp = false)
+                        val (dpSec, dpSum) = kernelRun(dp = true)
+                        lcsDemo = s""","lcs_demo":{"pairs":$actualPairs,"avg_chars":${f3(avgChars)},"text_cap_chars":$capChars,"master":"${jstr(spark.sparkContext.master)}","mutation":"doc repeated cyclically to text_cap_chars (rpad), then vowel-rotated (translate aeiou->eioua) against itself: every token differs, so the Indel and token-set-diff kernels run on full-length text instead of short-circuiting on pa == pb / equal token sets","udfs":["fuzz_ratio","token_set_ratio"],"best_of":2,"bitparallel_sec":${f3(bpSec)},"dp_sec":${f3(dpSec)},"speedup":${f3(dpSec / bpSec)},"scores_match":${bpSum == dpSum},"score_checksum":$bpSum}"""
+                        if (bpSum != dpSum)
+                          System.err.println(s"[bench] LCS DEMO KERNEL MISMATCH: bitparallel checksum $bpSum vs dp $dpSum")
                       }
-                      def kernelRun(dp: Boolean): (Double, Long) = {
-                        graft.functions.Fuzz.useDpKernelForDemo = dp
-                        try {
-                          val rs = Seq.fill(2)(scoreOnce())
-                          (rs.map(_._1).min, rs.head._2)
-                        } finally graft.functions.Fuzz.useDpKernelForDemo = false
-                      }
-                      val (bpSec, bpSum) = kernelRun(dp = false)
-                      val (dpSec, dpSum) = kernelRun(dp = true)
+                    } finally {
                       pairs.unpersist()
                       releaseLeftovers()
-                      lcsDemo = s""","lcs_demo":{"pairs":$actualPairs,"avg_chars":${f3(avgChars)},"text_cap_chars":$capChars,"mutation":"doc repeated cyclically to text_cap_chars (rpad), then vowel-rotated (translate aeiou->eioua) against itself: every token differs, so the Indel and token-set-diff kernels run on full-length text instead of short-circuiting on pa == pb / equal token sets","udfs":["fuzz_ratio","token_set_ratio"],"best_of":2,"bitparallel_sec":${f3(bpSec)},"dp_sec":${f3(dpSec)},"speedup":${f3(dpSec / bpSec)},"scores_match":${bpSum == dpSum},"score_checksum":$bpSum}"""
-                      if (bpSum != dpSum)
-                        System.err.println(s"[bench] LCS DEMO KERNEL MISMATCH: bitparallel checksum $bpSum vs dp $dpSum")
-                    } else pairs.unpersist()
+                    }
                   } catch { case e: Throwable =>
                     System.err.println(s"[bench] lcs demo failed: ${e.getMessage}")
                   }
@@ -1241,10 +1258,19 @@ object Bench {
     val probeSeries = probesSeen.map(f3).mkString("[", ",", "]")
     val probeFull =
       s"""{"work":"range(20e6)->hash->sum, constant","retry_gate":"probe_after > 2x running median -> re-measure once (main pass per query, scaling pass per point); every gate probe is preceded by an untimed settle probe (recorded per query as probe_settle_sec, excluded from the pool/series) that absorbs the bench's own one-shot post-release wake - measured 0.28-0.29 s on the first post-release probe after iterative queries, quiet from the second, which is what the q23-adjacent series spikes in pre-r11 artifacts were","normalization":"per-query probe_adjacent_sec = median of the probes bracketing that query's runs; total_probe_normalized = sum(best_sec / probe_adjacent_sec) over non-failed, non-flaky queries (a failure duration must not shift the cross-host metric), unitless, comparable across hosts - advisory, not a wall-clock total","start_sec":$probeStart,"min":${probeStats._1},"median":${probeStats._2},"max":${probeStats._3},"series":$probeSeries}"""
-    def q22PairsJson: String = {
+    def q22PairsJson(quarterSec: Double, halfSec: Double, fullSec: Double): String = {
+      // sec_per_million_candidates sits beside growth_exponents so the
+      // wall-time exponent can never be misread as kernel
+      // superlinearity: on the duplicate-heavy corpus candidate pairs
+      // grow ~4x for 2x rows (densifying buckets, fixed vocabulary), so
+      // wall time per CANDIDATE is the kernel-attributable number — it
+      // should hold or fall across scale points even while the raw
+      // exponent reads >1
+      def perM(sec: Double, frac: Double): String =
+        q22Pairs.get(frac).filter(_ > 0).map(p => f3(sec * 1e6 / p)).getOrElse("null")
       val pairs =
         if (q22Pairs.isEmpty) ""
-        else s""","candidate_pairs":{"quarter":${q22Pairs.getOrElse(0.25, -1L)},"half":${q22Pairs.getOrElse(0.5, -1L)},"full":${q22Pairs.getOrElse(1.0, -1L)}}"""
+        else s""","candidate_pairs":{"quarter":${q22Pairs.getOrElse(0.25, -1L)},"half":${q22Pairs.getOrElse(0.5, -1L)},"full":${q22Pairs.getOrElse(1.0, -1L)}},"sec_per_million_candidates":{"quarter":${perM(quarterSec, 0.25)},"half":${perM(halfSec, 0.5)},"full":${perM(fullSec, 1.0)}}"""
       val demo =
         if (capDemo.isEmpty) ""
         else "," + "\"cap_demo\":" + capDemo.map { case (cap, p, d) =>
@@ -1262,7 +1288,7 @@ object Bench {
       if (scaling.isEmpty) "null"
       else scaling.map { case (n, q, h, f) =>
         val extra =
-          if (n == "q22_person_match_self") q22PairsJson
+          if (n == "q22_person_match_self") q22PairsJson(q, h, f)
           else if (n == "q23_person_clustering") clusterDemoJson
           else ""
         s""""$n":{"quarter_sec":$q,"half_sec":$h,"full_sec":$f,"growth_exponents":[${exp(q, h)},${exp(h, f)}]$extra}"""
@@ -1281,8 +1307,14 @@ object Bench {
     val endedMs = System.currentTimeMillis()
     val wallJson =
       s""""started_utc":"${java.time.Instant.ofEpochMilli(startedMs)}","ended_utc":"${java.time.Instant.ofEpochMilli(endedMs)}","wall_sec":${(endedMs - startedMs) / 1000.0}"""
+    // value_def is the schema marker for the r17 headline redefinition:
+    // `value` switched meaning from the raw main-pass sum to best-known
+    // (min across main pass, scaling full point, drift repairs;
+    // failed/flaky excluded). Artifacts WITHOUT this field predate the
+    // switch and their `value` is the raw sum — cross-round tooling must
+    // key on the field, not assume one meaning
     val fullJson =
-      s"""{"metric":"total","value":$totalBestKnown,"value_raw":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":$totalBestKnown,"value_def":"best_known","value_raw":$total,"total_best_known":$totalBestKnown,"total_probe_normalized":${f3(totalProbeNormalized)},"unit":"sec",$wallJson,"best_of":$bestOf,"queries":$qsFull,"failed":$failedJson,"flaky":$flakyJson,"contention_retries":$contendedJson,"consistency":$consistencyJson,"drift_vs_committed":$driftJson,"warmup":$warmupJson,"probe":$probeFull,"caps":$caps,"scaling":$scalingFull,"scaling_sf1":$sf1Json,"sf":"${jstr(sfDir)}"}"""
 
     // ---- compact summary sized for the driver's ~2000-char tail ----
     // per-query keys are the qNN prefix (like growth_exponents): full
@@ -1345,12 +1377,12 @@ object Bench {
     // compact line lives inside a ~2000-char tail capture; README
     // "Reproducing the bench" documents the abbreviation).
     val compact =
-      s"""{"metric":"total","value":${f3(totalBestKnown)},"value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${f3(totalBestKnown)},"value_def":"best_known","value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"queries":$qsCompact,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"growth_exponents":$scalingCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
     val compactSafe =
       if (compact.length <= 1900) compact
       else {
         System.err.println(s"[bench] compact line ${compact.length} chars > 1900; emitting reduced line")
-        s"""{"metric":"total","value":${f3(totalBestKnown)},"value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
+        s"""{"metric":"total","value":${f3(totalBestKnown)},"value_def":"best_known","value_raw":${f3(total)},"total_best_known":${f3(totalBestKnown)},"tpn":${f3(totalProbeNormalized)},"unit":"sec","best_of":$bestOf,"failed":$failedCompact,"flaky":$flakyCompact,"retried":${contended.size},"retried_scaling":$retriedScalingCompact,"consistency_warnings":$consistencyCompact,"drift_outliers":$driftOutliersCompact,"drift_repaired":$driftRepairedCompact,"probe":$probeCompact,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
       }
     // write the full artifact here (not in main) so every caller —
     // including BenchSmokeSpec — gets the file a path parameter implies

@@ -35,6 +35,12 @@ object Udfs {
     udf((a: String, b: String) => Similarity.dateSimilarity(a, b))
   val simpleDateMatcher: UserDefinedFunction =
     udf((a: String, b: String) => Similarity.simpleDateMatcher(a, b))
+  // the q29 language-ID heuristic, SQL-callable: the kernel itself is
+  // null-safe (null -> "unknown"), and registering it routes the
+  // char-range branch table through UDF serialization — the same
+  // executor path q29 exercises via TextStats.detectLanguageUdf
+  val detectLanguage: UserDefinedFunction =
+    udf((s: String) => graft.text.TextStats.detectLanguage(s))
 
   /** Register everything under SQL-callable names. */
   def register(spark: SparkSession): Unit = {
@@ -47,5 +53,6 @@ object Udfs {
     spark.udf.register("fix_name_uppercasing", fixNameUppercasing)
     spark.udf.register("date_similarity", dateSimilarity)
     spark.udf.register("simple_date_matcher", simpleDateMatcher)
+    spark.udf.register("detect_language", detectLanguage)
   }
 }

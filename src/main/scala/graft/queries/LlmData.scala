@@ -136,7 +136,14 @@ object LlmData {
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
       |toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus),
+      |  -- mirrors wordShingles' normalization exactly: tokenless docs
+      |  -- (no \S char) produce NO tokens, and trailing whitespace is
+      |  -- stripped before the split so it cannot become a trailing
+      |  -- empty token (string_split_regex keeps trailing empties, as
+      |  -- does Spark's split)
+      |  SELECT doc_id,
+      |    string_split_regex(regexp_replace(lower(trim(text)), '\s+$', ''), '\s+') AS t
+      |  FROM corpus WHERE regexp_matches(text, '\S')),
       |grams AS (
       |  SELECT DISTINCT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -299,8 +306,12 @@ object LlmData {
       |), grams AS (
       |  -- k=5 gram rolling hashes, JVM wrapping arithmetic (see q29's
       |  -- fingerprint note), re-signed to BIGINT IMMEDIATELY so the
-      |  -- window minimum below compares signed longs like the JVM
-      |  SELECT doc_id, list_transform(
+      |  -- window minimum below compares signed longs like the JVM.
+      |  -- NULL text (norm NULL) yields NO grams — the Scala kernel
+      |  -- returns the empty sketch for null, and without this guard
+      |  -- the SQL would null-propagate through length/range/list ops
+      |  -- into NULL sketch stats instead of (0, 0, NULL, NULL)
+      |  SELECT doc_id, CASE WHEN norm IS NULL THEN CAST([] AS BIGINT[]) ELSE list_transform(
       |    CASE WHEN ln < 5 THEN
       |      [list_reduce(
       |         list_prepend(CAST(1125899906842597 AS HUGEINT),
@@ -314,14 +325,16 @@ object LlmData {
       |          (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)))
       |    END,
       |    h -> CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-      |         THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS gs
+      |         THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) END AS gs
       |  FROM g
       |), sk AS (
       |  -- window=4 sliding minimum then dedup; a gram list shorter than
-      |  -- the window yields ONE window of all grams (Scala sliding(4))
+      |  -- the window yields ONE window of all grams (Scala sliding(4));
+      |  -- NO grams (null text) yields the EMPTY sketch, not [NULL]
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, greatest(len(gs) - 3, 1) + 1),
-      |      w -> list_min(gs[w:w+3]))) AS sketch
+      |    CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+      |      list_distinct(list_transform(range(1, greatest(len(gs) - 3, 1) + 1),
+      |        w -> list_min(gs[w:w+3]))) END AS sketch
       |  FROM grams
       |)
       |SELECT doc_id,

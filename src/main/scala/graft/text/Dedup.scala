@@ -31,14 +31,25 @@ object Dedup {
 
   /** Word k-shingles of the lowercased text (codegen'd column expr). */
   def wordShingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    // EMPTY/whitespace-only text shingles as NOTHING: split("") is [""],
-    // so the short-text fallback below would hand every empty document
-    // one identical phantom shingle — all empties would pair with each
-    // other (and the SQL oracle's gram derivation, which produces no
-    // grams for them, would disagree). A no-content document has
-    // nothing to near-dup on; exact dedup still groups empties.
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    // trailing whitespace is stripped BEFORE the split: Spark's split
+    // keeps trailing empty tokens (limit -1), so "hello world\t" would
+    // otherwise tokenize as ["hello","world",""] and shingle to
+    // "hello world " — never matching the identical document without
+    // the trailing tab. Spark trim alone is not enough (it strips only
+    // spaces), hence the regexp. The SQL oracle's gram derivation
+    // (q27Sql) mirrors this exact normalization.
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    // TOKENLESS text (empty or all-whitespace) shingles as NOTHING:
+    // split("") is [""], so the short-text fallback below would hand
+    // every such document one identical phantom shingle — all blanks
+    // would pair with each other at jaccard 1.0 (plus a quadratic
+    // candidate blowup on a blank-heavy corpus). rlike(\S), not
+    // length(trim(..)) === 0: Spark trim strips only SPACES, so a
+    // tab/newline-only document passes a trim guard and still produces
+    // the phantom (the simHashDuplicates r17 fix, same class). A
+    // no-content document has nothing to near-dup on; exact dedup
+    // still groups blanks.
+    when(!text.rlike("\\S"), array().cast("array<string>"))
       // fewer than k tokens (but nonempty): the whole text is the one
       // shingle, so identical short documents still dedup
       .when(size(toks) < k, array(concat_ws(" ", toks)))

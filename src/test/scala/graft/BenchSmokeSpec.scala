@@ -70,6 +70,13 @@ class BenchSmokeSpec extends SparkSpec {
         .getOrElse(fail("no value in full artifact")).group(1).toDouble
       assert(math.abs(tbk - tot) < 1e-9, s"no flags fired but total_best_known $tbk != value $tot")
       assert(res.compact.contains("\"total_best_known\":"))
+      // schema marker for the r17 headline redefinition: `value` means
+      // best-known exactly when value_def says so — artifacts without
+      // the field predate the switch and carry the raw main-pass sum.
+      // Cross-round tooling keys on this field; losing it would silently
+      // mix the two metric definitions again (the r17 advice item).
+      assert(res.full.contains(""""value_def":"best_known""""), res.full.take(200))
+      assert(res.compact.contains(""""value_def":"best_known""""), res.compact.take(200))
       val warm = """"median_first_over_best":([0-9.]+)""".r
         .findFirstMatchIn(res.full)
         .getOrElse(fail("no warmup spread in full artifact")).group(1).toDouble
@@ -96,6 +103,53 @@ class BenchSmokeSpec extends SparkSpec {
         s"normalized total $tpn inconsistent with best $b / adjacent $adj")
       assert("""\"tpn\":[0-9.]+""".r.findFirstIn(res.compact).isDefined,
         s"no tpn in compact line: ${res.compact}")
+    }
+  }
+
+  test("Bench.run: q22 scaling block carries the per-candidate normalization (r18)") {
+    // sec_per_million_candidates exists so the q22 wall-time growth
+    // exponent can never be misread as kernel superlinearity: candidate
+    // pairs grow ~4x for 2x rows on the duplicate-heavy corpus, so the
+    // honest kernel number is wall time per CANDIDATE. The pin asserts
+    // the division really is full_sec / candidate_pairs (per million),
+    // i.e. the normalization can never silently drift from the two raw
+    // fields it sits beside. Also covers the scaling pass end to end in
+    // the suite (previously only the driver's full run exercised it) and
+    // the r18 lcs_demo master-recording contract.
+    withProps(
+      "SPARK_GRAFT_ONLY" -> "q22",
+      "SPARK_GRAFT_BEST_OF" -> "1",
+      "SPARK_GRAFT_SCALING" -> "force",
+      "SPARK_GRAFT_DRIFT_REPAIR_MAX" -> "0",
+      "SPARK_GRAFT_LCS_DEMO_PAIRS" -> "8",
+      "SPARK_GRAFT_LCS_DEMO_CHARS" -> "200") {
+      val res = Bench.run(spark, sf, "/tmp/graft_bench_smoke_scaling.json")
+        .fold(err => fail(s"Bench.run refused: $err"), identity)
+      assert(res.failed.isEmpty)
+      val pairsRe = """"candidate_pairs":\{"quarter":(-?\d+),"half":(-?\d+),"full":(-?\d+)\}""".r
+      val pm = pairsRe.findFirstMatchIn(res.full)
+        .getOrElse(fail(s"no candidate_pairs in scaling block: ${res.full}"))
+      val fullPairs = pm.group(3).toLong
+      assert(fullPairs > 0, s"no candidates counted at full corpus: ${pm.matched}")
+      val normRe =
+        """"sec_per_million_candidates":\{"quarter":([0-9.E-]+|null),"half":([0-9.E-]+|null),"full":([0-9.E-]+)\}""".r
+      val nm = normRe.findFirstMatchIn(res.full)
+        .getOrElse(fail(s"no sec_per_million_candidates in scaling block: ${res.full}"))
+      val secRe =
+        """"q22_person_match_self":\{"quarter_sec":([0-9.E-]+),"half_sec":([0-9.E-]+),"full_sec":([0-9.E-]+)""".r
+      val sm = secRe.findFirstMatchIn(res.full)
+        .getOrElse(fail(s"no q22 scaling times: ${res.full}"))
+      val fullSec = sm.group(3).toDouble
+      val expected = fullSec * 1e6 / fullPairs
+      val got = nm.group(3).toDouble
+      assert(math.abs(got - expected) < math.max(0.002, 0.01 * expected),
+        s"full normalization $got != full_sec $fullSec * 1e6 / pairs $fullPairs = $expected")
+      // the lcs_demo A/B is only meaningful on a local master (the
+      // kernel switch is a driver-JVM volatile); the recorded master
+      // makes that precondition auditable in every artifact
+      val masterRe = """"lcs_demo":\{[^}]*"master":"local""".r
+      assert(masterRe.findFirstIn(res.full).isDefined,
+        s"lcs_demo must record the (local) master: ${res.full}")
     }
   }
 

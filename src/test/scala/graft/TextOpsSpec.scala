@@ -244,6 +244,74 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs === Set((4L, 5L, 0)))
   }
 
+  test("minhash + ngram tokenless/trailing-whitespace edge corpus matches the q25/q27 oracle") {
+    // The minHash/n-gram twin of the simhash test above, on the same
+    // tokenless shapes plus the two wordShingles traps the r17 simhash
+    // fix predicted (SURVEY round-17/18 log):
+    //  - tab/newline-only docs (2, 8): Spark trim strips only SPACES, so
+    //    the pre-r18 length(trim)-based guard let them through and both
+    //    engines shingled them to a single whitespace phantom — every
+    //    pair of them met at jaccard 1.0 (the simhash zero-signature bug,
+    //    verbatim, in the minhash/ngram path). With the rlike(\S) guard
+    //    they shingle to NOTHING and pair with nothing.
+    //  - a trailing-whitespace doc (9): Spark's split keeps trailing
+    //    empty tokens, so "hello world\t" shingled to "hello world " and
+    //    never matched its exact-modulo-whitespace twin (10); stripping
+    //    trailing whitespace before the split pairs them at 1.0.
+    // The expected set below is the q27Sql gram/Jaccard derivation run
+    // in DuckDB on this exact corpus at authoring time: only (4,5,1.0)
+    // and (9,10,1.0) — no pair touches a tokenless doc.
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Some("")), (1L, Some("   ")), (2L, Some("\t\t")), (3L, Option.empty[String]),
+      (4L, Some("the quick brown fox")), (5L, Some("the quick brown fox")),
+      (6L, Some("the quick brown wolf")), (7L, Some("totally different text here")),
+      (8L, Some("\n\t")), (9L, Some("hello world\t")), (10L, Some("hello world"))
+    ).toDF("doc_id", "text")
+    val expected = Set((4L, 5L, 1.0), (9L, 10L, 1.0))
+    // q25's production parameters: identical docs agree on every band,
+    // so LSH surfaces the complete >=0.5 exact-Jaccard set here
+    val mh = Dedup.minHashDuplicates(corpus, "doc_id", "text",
+      Dedup.MinHashConfig(shingleSize = 3, numPerm = 64, bands = 16, jaccardThreshold = 0.5))
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh === expected, s"minhash: $mh")
+    // same wordShingles base feeds the inverted-index path (q27)
+    val ng = Dedup.ngramJaccardDuplicates(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ng === expected, s"ngram: $ng")
+  }
+
+  test("language detection through the registered detect_language UDF (r18)") {
+    // The r17 block-coverage specs call TextStats.detectLanguage on the
+    // driver JVM; this drives the same inputs through the REGISTERED UDF
+    // on a DataFrame, covering serialization + executor evaluation of
+    // the char-range branch table (halfwidth-katakana range guard
+    // included) on the q29 call path.
+    val s = spark
+    import s.implicits._
+    graft.functions.Udfs.register(s)
+    val rows = Seq(
+      (1L, "ﾊﾝｶｸｶﾀｶﾅﾉﾃｷｽﾄﾃﾞｽ", "ja"),         // halfwidth katakana
+      (2L, "日本語ﾃｷｽﾄの文章", "ja"),            // mixed with kanji
+      (3L, "ㄱㄴㄷㄹㅁㅂㅅ ㅏㅑㅓㅕㅗㅛ", "ko"),  // compatibility jamo
+      (4L, "㐀㐁㐂㐃㐄㐅㐆㐇", "zh"),             // CJK Extension A
+      (5L, "㐀㐁のテキストです", "ja"),           // Ext-A + kana precedence
+      (6L, "the cat sat on the mat and it was happy", "en"),
+      (7L, null.asInstanceOf[String], "unknown")
+    ).toDF("id", "text", "expected")
+    val got = rows.selectExpr("id", "detect_language(text) AS lang", "expected")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((id, lang, exp) <- got) assert(lang === exp, s"row $id")
+    // fullwidth Latin shares the halfwidth-katakana BLOCK and must not
+    // read as kana through the UDF either
+    val fw = Seq(Tuple1("ＡＢＣＤＥＦ ＧＨＩ")).toDF("text")
+      .selectExpr("detect_language(text) AS lang").head().getString(0)
+    assert(fw !== "ja")
+  }
+
   test("exact cosine top-k: self is rank 1; scores ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
