@@ -181,8 +181,11 @@ object LlmData {
   private val q28Sql =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  CASE WHEN len(trim(text)) = 0 THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  -- mirrors tokenCount's r18 rules: tokenless (no \S char) is 0,
+      |  -- trailing whitespace stripped pre-split (both split functions
+      |  -- keep trailing empty tokens)
+      |  CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+      |       ELSE len(string_split_regex(regexp_replace(trim(text), '\s+$', ''), '\s+')) END AS n_tokens,
       |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -216,7 +219,7 @@ object LlmData {
     """WITH m AS (
       |  SELECT doc_id, text,
       |    length(text) AS n,
-      |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+      |    string_split_regex(regexp_replace(trim(lower(text)), '\s+$', ''), '\s+') AS toks,
       |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
       |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
       |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
@@ -224,7 +227,7 @@ object LlmData {
       |  FROM documents
       |), counts AS (
       |  SELECT *,
-      |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_toks,
+      |    CASE WHEN NOT regexp_matches(text, '\S') THEN 0 ELSE len(toks) END AS n_toks,
       |    len(list_distinct(toks)) AS n_distinct,
       |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','be','that','it','for','on','with','as'], x))) AS n_stop,
       |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are'], x))) AS c_en,
@@ -245,11 +248,14 @@ object LlmData {
       |  FROM counts
       |), fp AS (
       |  -- JVM wrapping arithmetic: fold 31*h + codepoint in HUGEINT mod
-      |  -- 2^64 (seed prepended: list_reduce has no initial-value arg)
-      |  SELECT *, list_reduce(
+      |  -- 2^64 (seed prepended: list_reduce has no initial-value arg).
+      |  -- NULL text is 0, the kernel's explicit null return — without
+      |  -- the guard the NULL codepoint list collapses to the bare seed
+      |  -- (empty text's legitimate value) instead of null-matching
+      |  SELECT *, CASE WHEN text IS NULL THEN CAST(0 AS HUGEINT) ELSE list_reduce(
       |      list_prepend(CAST(1125899906842597 AS HUGEINT),
       |        list_transform(range(1, length(norm) + 1), i -> CAST(unicode(norm[i]) AS HUGEINT))),
-      |      (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) AS fpu
+      |      (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) END AS fpu
       |  FROM lang
       |)
       |SELECT doc_id,

@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. Empty/whitespace-only text counts 0
-    * tokens: split("") yields [""], whose size-1 artifact would hand an
-    * empty document one phantom token (and, downstream, a perfect
-    * distinct-token ratio in the quality score).
+  /** Whitespace token count. Tokenless text (empty or all-whitespace)
+    * counts 0 tokens: split("") yields [""], whose size-1 artifact
+    * would hand an empty document one phantom token (and, downstream, a
+    * perfect distinct-token ratio in the quality score). rlike(\S), not
+    * length(trim(..)) === 0 — Spark trim strips only SPACES, so a
+    * tab-only document passed the old guard and counted TWO phantom
+    * tokens (the leading and trailing empty splits). Trailing
+    * whitespace is stripped pre-split for the same reason (Spark's
+    * split keeps trailing empties): "a\t" is one token, not two. The
+    * q28/q29 oracle SQL mirrors both rules (r18; the wordShingles
+    * precedent).
     */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+    when(!text.rlike("\\S"), 0)
+      .otherwise(size(split(regexp_replace(trim(text), "\\s+$", ""), "\\s+")))
 
   /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
     * suffixes, letter runs, digit runs, punctuation runs, whitespace
@@ -44,23 +51,26 @@ object TextStats {
     "is", "are", "was", "be", "that", "it", "for", "on", "with", "as")
 
   /** Fraction of whitespace tokens that are (English) stopwords. The
-    * guard is on empty TEXT, not an empty token array — split("") is
-    * [""], so size(toks) === 0 never fires (the pre-fix dead guard).
+    * guard is on tokenless TEXT, not an empty token array — split("")
+    * is [""], so size(toks) === 0 never fires (the pre-fix dead
+    * guard). Same tokenization rules as [[tokenCount]]: rlike(\S)
+    * guard, trailing whitespace stripped pre-split.
     */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(length(trim(text)) === 0, 0.0).otherwise(
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    when(!text.rlike("\\S"), 0.0).otherwise(
       size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
   }
 
   /** Distinct-token fraction — low values signal boilerplate repetition.
-    * Empty text reads 0.0 (same empty-text guard as stopwordRatio): the
-    * [""] split artifact would otherwise score an empty document a
-    * PERFECT 1.0 repetition ratio.
+    * Tokenless text reads 0.0 (same guard as stopwordRatio): the [""]
+    * split artifact would otherwise score an empty document a PERFECT
+    * 1.0 repetition ratio — and a tab-only document, whose ["",""]
+    * split survives a trim-based guard, a 0.5.
     */
   def distinctTokenRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(length(trim(text)) === 0, 0.0)
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    when(!text.rlike("\\S"), 0.0)
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
 

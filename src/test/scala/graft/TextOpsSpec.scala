@@ -99,17 +99,36 @@ class TextOpsSpec extends SparkSpec {
     val session = SparkSpec.spark
     import session.implicits._
     val weird = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
-      (4L, "real text here"), (5L, "real text here"))
+      (4L, "real text here"), (5L, "real text here"),
+      // the r18 cases: Spark trim strips only spaces, so a trim-based
+      // guard let tab-only text through (counted its ["",""] split as
+      // TWO tokens), and Spark's split keeps trailing empties, so a
+      // trailing tab counted one phantom token. Expected values below
+      // were cross-verified against the q28/q29 oracle SQL run in
+      // DuckDB on this exact corpus at authoring time (SURVEY r18 log).
+      (6L, "\t\t"), (7L, "a\t"), (8L, "the the cat\t\n"))
       .toDF("doc_id", "text")
     // tokenCount: the [""] split artifact must not count one phantom token
     val toks = weird.select(col("doc_id"), TextStats.tokenCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     assert(toks(1L) === 0 && toks(2L) === 0)
     assert(toks(4L) === 3)
+    assert(toks(6L) === 0, "tab-only text must count zero tokens")
+    assert(toks(7L) === 1, "trailing tab must not count a phantom token")
+    assert(toks(8L) === 3, "trailing whitespace run must not count a phantom token")
     // quality: an empty document must not collect the distinct-token 0.15
     val q = weird.filter(col("doc_id") === 1L)
       .select(TextStats.qualityScore(col("text"))).head().getDouble(0)
     assert(q < 0.2, s"empty doc quality should be near zero, got $q")
+    // ...and neither must a tab-only one (pre-r18 its ["",""] split
+    // scored distinct ratio 0.5 = a 0.075 phantom quality credit)
+    val dr = weird.select(col("doc_id"), TextStats.distinctTokenRatio(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(dr(6L) === 0.0, s"tab-only distinct ratio: ${dr(6L)}")
+    assert(math.abs(dr(8L) - 2.0 / 3) < 1e-9, s"trailing-ws distinct ratio: ${dr(8L)}")
+    val sw = weird.filter(col("doc_id") === 8L)
+      .select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
+    assert(math.abs(sw - 2.0 / 3) < 1e-9, s"stopword ratio over real tokens only: $sw")
     // minhash over null/empty texts: no NPE, no bogus pairs from the
     // constant empty-signature, real duplicates still found
     val pairs = Dedup.minHashDuplicates(weird, "doc_id", "text",
@@ -171,6 +190,10 @@ class TextOpsSpec extends SparkSpec {
   test("fingerprints: stable, whitespace-insensitive, edit-sensitive") {
     assert(TextStats.fingerprint("a  b\tc") === TextStats.fingerprint("a b c"))
     assert(TextStats.fingerprint("abc") !== TextStats.fingerprint("abd"))
+    // null is 0, NOT the empty-text seed — the q29Sql replay pins the
+    // same distinction (its pre-r18 null path collapsed to the seed)
+    assert(TextStats.fingerprint(null) === 0L)
+    assert(TextStats.fingerprint("") === 1125899906842597L)
     // winnowing sketches overlap heavily for near dups
     val s1 = TextStats.winnowingSketch("the quick brown fox jumps over the lazy dog").toSet
     val s3 = TextStats.winnowingSketch("the quick brown fox jumps over the lazy cat").toSet
