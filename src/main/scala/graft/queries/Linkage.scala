@@ -132,8 +132,97 @@ object Linkage {
       .orderBy(col("cluster_size"))
   }
 
+  /** E7 oracle-backed end to end: Jaro similarity (jellyfish-compatible;
+    * the reference gates word alignment on `jaro_similarity(w1, w2) >=
+    * 0.8`, enc/matching.py:108) scored over adjacent full names within a
+    * first-letter block — one pair per person, so the gate weight stays
+    * linear in the corpus while every score still exercises the real
+    * two-phase kernel (greedy windowed matching + transposition count).
+    *
+    * The oracle is a first-principles DuckDB replay of the WHOLE kernel,
+    * not DuckDB's built-in `jaro_similarity` — that builtin follows
+    * rapidfuzz's convention (floor-halved transposition count, and
+    * byte-oriented comparison) and diverges from the jellyfish definition
+    * on any pair with an odd number of mismatched matched-positions
+    * ("abcdef"/"bcadef": 0.944 vs jellyfish's 0.917). The replay runs the
+    * greedy matching loop as a recursive CTE carrying the two
+    * matched-position BIGINT bitmasks (names are capped at 60 chars, so
+    * positions fit), derives the transposition count as a zip over the
+    * matched characters in order, and evaluates the final combine in the
+    * exact JVM expression order — same IEEE-double operations in the same
+    * association, so the raw scores compare bit-for-bit with no rounding.
+    * ASCII-only names on both sides (identical regex), keeping JVM UTF-16
+    * `charAt` units and DuckDB character `substr` in lockstep.
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = persons(spark, dir)
+      .select(col("pid"),
+        concat(col("strGName_processed"), lit(" "), col("strLName_processed")).as("name"))
+      .filter(col("name").rlike("^[ -~]{1,60}$"))
+    val w = Window.partitionBy(substring(col("name"), 1, 1)).orderBy(col("pid"))
+    p.withColumn("trg_id", lead(col("pid"), 1).over(w))
+      .withColumn("trg_name", lead(col("name"), 1).over(w))
+      .where(col("trg_id").isNotNull)
+      .select(col("pid").as("src_id"), col("trg_id"),
+        graft.functions.Udfs.jaro(col("name"), col("trg_name")).as("jaro_sim"))
+      .orderBy(col("src_id"))
+  }
+  private val q51Sql =
+    """WITH RECURSIVE persons AS (
+      |  SELECT p_partkey AS pid,
+      |         split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2) AS name
+      |  FROM part
+      |  WHERE length(split_part(p_name, ' ', 1)) >= 2
+      |    AND length(split_part(p_name, ' ', 2)) >= 2
+      |),
+      |pairs AS (
+      |  SELECT pid AS src_id, name AS s,
+      |         lead(pid) OVER w AS trg_id, lead(name) OVER w AS t
+      |  FROM (SELECT * FROM persons WHERE regexp_matches(name, '^[ -~]{1,60}$'))
+      |  WINDOW w AS (PARTITION BY substr(name, 1, 1) ORDER BY pid)
+      |),
+      |p2 AS (SELECT * FROM pairs WHERE trg_id IS NOT NULL),
+      |rec AS (
+      |  SELECT src_id, trg_id, s, t, 0 AS i, 0 AS matches,
+      |         CAST(0 AS BIGINT) AS mask_a, CAST(0 AS BIGINT) AS mask_b
+      |  FROM p2
+      |  UNION ALL
+      |  SELECT src_id, trg_id, s, t, i + 1,
+      |         CASE WHEN j IS NULL THEN matches ELSE matches + 1 END,
+      |         CASE WHEN j IS NULL THEN mask_a ELSE mask_a | (CAST(1 AS BIGINT) << i) END,
+      |         CASE WHEN j IS NULL THEN mask_b ELSE mask_b | (CAST(1 AS BIGINT) << j) END
+      |  FROM (
+      |    SELECT src_id, trg_id, s, t, i, matches, mask_a, mask_b,
+      |           list_min(list_filter(range(greatest(0, i - win), least(length(t) - 1, i + win) + 1),
+      |             j -> substr(t, j + 1, 1) = substr(s, i + 1, 1) AND (mask_b >> j) & 1 = 0)) AS j
+      |    FROM (SELECT *, greatest(0, greatest(length(s), length(t)) // 2 - 1) AS win
+      |          FROM rec WHERE i < length(s))
+      |  )
+      |),
+      |fin AS (SELECT * FROM rec WHERE i = length(s)),
+      |tr AS (
+      |  SELECT src_id, trg_id, s, t, matches,
+      |    list_transform(list_filter(range(0, length(s)), i -> (mask_a >> i) & 1 = 1),
+      |                   i -> substr(s, i + 1, 1)) AS ca,
+      |    list_transform(list_filter(range(0, length(t)), j -> (mask_b >> j) & 1 = 1),
+      |                   j -> substr(t, j + 1, 1)) AS cb
+      |  FROM fin
+      |)
+      |SELECT src_id, trg_id,
+      |  CASE WHEN matches = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (CAST(matches AS DOUBLE) / length(s) + CAST(matches AS DOUBLE) / length(t)
+      |     + (CAST(matches AS DOUBLE)
+      |        - CAST(list_sum(list_transform(range(0, matches),
+      |            k -> CASE WHEN ca[k + 1] <> cb[k + 1] THEN 1 ELSE 0 END)) AS INTEGER) / 2.0)
+      |       / CAST(matches AS DOUBLE)) / 3.0
+      |  END AS jaro_sim
+      |FROM tr
+      |ORDER BY src_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
-    Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)))
+    Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)),
+    Q("q51_jaro_similarity", q51, Some(q51Sql)))
 }
