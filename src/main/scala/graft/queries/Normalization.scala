@@ -242,9 +242,96 @@ object Normalization {
       |FROM split_cols
       |ORDER BY p_partkey""".stripMargin
 
+  /** D1's corpus-blind branches oracle-backed PER ROW at table scale
+    * (q18's construction oracle covers only zero-padded 4-digit-year
+    * styles and checks only the year histogram). Six styles keyed on
+    * `o_orderkey % 6`, each driving a branch the sf corpus never
+    * reaches, with the expected (year, month, day, qa) derived straight
+    * from `o_orderdate` — every expectation was cross-verified against
+    * the reference's own pandas `normalise_date` before being encoded:
+    *   - 0: `dd.MM.yyyy` baseline (validity QA fires both ways under
+    *        timespan [1900, 1995]: 1992–95 pass, 1996–98 flag);
+    *   - 1: `dd/MM/yy` → the 2-digit century rule BOTH ways (order years
+    *        span 1995–2001, so yy ≥ 50 → 18yy, below-timespan → QA;
+    *        yy < 50 → 19yy = 1900/1901, in-range → no QA);
+    *   - 2: bare `yyyy` → the documented bare-year quirk: the `0.0.`
+    *        prepend makes a SIX-digit run, re-separated as 00;cc;yy
+    *        (cc = the year's century digits) and then day↔month-swapped
+    *        → (century(yy), "00", cc, QA iff yy ≥ 50) — the reference
+    *        produces exactly this;
+    *   - 3: age string `N Jahre` → the `(y|j|J).*|age` kill branch →
+    *        all-blank, QA false;
+    *   - 4: `MM.dd.yyyy` → the day↔month swap fires iff day > 12
+    *        (swapped back to a correct parse); day ≤ 12 keeps the
+    *        transposed reading — both sides of the guard on the hot
+    *        path every run;
+    *   - 5: `??.MM.yyyy` → the unclear-fold + QA branch; the collapsed
+    *        `?` leaves a six-digit run MMyyyy → (century(yy), MM, cc,
+    *        QA always — the `?` itself flags).
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val m = pmod(col("o_orderkey"), lit(6))
+    val styled = o.withColumn("date_string",
+      when(m === 0, date_format(col("o_orderdate"), "dd.MM.yyyy"))
+        .when(m === 1, date_format(col("o_orderdate"), "dd/MM/yy"))
+        .when(m === 2, date_format(col("o_orderdate"), "yyyy"))
+        .when(m === 3, concat((pmod(col("o_orderkey"), lit(50)) + 18).cast("string"), lit(" Jahre")))
+        .when(m === 4, date_format(col("o_orderdate"), "MM.dd.yyyy"))
+        .otherwise(concat(lit("??."), date_format(col("o_orderdate"), "MM.yyyy"))))
+    Dates.normaliseDate(styled, "date_string", "nd", timespan = (1900, 1995))
+      .select(col("o_orderkey"), col("nd_year_cleaned"), col("nd_month_cleaned"),
+        col("nd_day_cleaned"), col("nd_qa"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q52Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderdate, o_orderkey % 6 AS m,
+      |         EXTRACT(year FROM o_orderdate) % 100 >= 50 AS late_century,
+      |         CASE WHEN EXTRACT(year FROM o_orderdate) % 100 >= 50 THEN '18' ELSE '19' END
+      |           || strftime(o_orderdate, '%y') AS century_year,
+      |         substr(strftime(o_orderdate, '%Y'), 1, 2) AS cc
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CASE m
+      |    WHEN 0 THEN strftime(o_orderdate, '%Y')
+      |    WHEN 1 THEN century_year
+      |    WHEN 2 THEN century_year
+      |    WHEN 3 THEN ''
+      |    WHEN 4 THEN strftime(o_orderdate, '%Y')
+      |    ELSE century_year END AS nd_year_cleaned,
+      |  CASE m
+      |    WHEN 0 THEN strftime(o_orderdate, '%m')
+      |    WHEN 1 THEN strftime(o_orderdate, '%m')
+      |    WHEN 2 THEN '00'
+      |    WHEN 3 THEN ''
+      |    WHEN 4 THEN CASE WHEN day(o_orderdate) > 12
+      |                     THEN strftime(o_orderdate, '%m')
+      |                     ELSE strftime(o_orderdate, '%d') END
+      |    ELSE strftime(o_orderdate, '%m') END AS nd_month_cleaned,
+      |  CASE m
+      |    WHEN 0 THEN strftime(o_orderdate, '%d')
+      |    WHEN 1 THEN strftime(o_orderdate, '%d')
+      |    WHEN 2 THEN cc
+      |    WHEN 3 THEN ''
+      |    WHEN 4 THEN CASE WHEN day(o_orderdate) > 12
+      |                     THEN strftime(o_orderdate, '%d')
+      |                     ELSE strftime(o_orderdate, '%m') END
+      |    ELSE cc END AS nd_day_cleaned,
+      |  CASE m
+      |    WHEN 0 THEN EXTRACT(year FROM o_orderdate) > 1995
+      |    WHEN 1 THEN late_century
+      |    WHEN 2 THEN late_century
+      |    WHEN 3 THEN false
+      |    WHEN 4 THEN EXTRACT(year FROM o_orderdate) > 1995
+      |    ELSE true END AS nd_qa
+      |FROM src
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
     Q("q20_left_join_renames", q20, Some(q20Sql)),
-    Q("q21_normalize_names_scale", q21, Some(q21Sql)))
+    Q("q21_normalize_names_scale", q21, Some(q21Sql)),
+    Q("q52_date_branch_matrix", q52, Some(q52Sql)))
 }

@@ -59,6 +59,11 @@ RAW_DATES = [
     "23 yrs", "age 30", "12.3.51", "12.3.49", "3.3.3333", "99999999999",
     "1,2,1943", "12;3;1943", "12.Juli 1943", "1850", "1950", "1849", "1951",
     "0.0.1920", "05.05.05", "1943-03-12", "12.oct.1943", "12 dec 1943",
+    # q52's exact style strings (the at-scale branch-matrix oracle):
+    # question-mark fold into a 6-digit run, transposed MM.dd both sides
+    # of the swap guard, bare 20xx years, sub-50 2-digit year, German age
+    "??.04.1995", "04.19.1995", "04.07.1995", "2000", "2001", "01/02/01",
+    "34 Jahre", "15.08.2001",
 ]
 
 def dump(df, name):
