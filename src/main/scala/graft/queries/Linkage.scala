@@ -220,9 +220,157 @@ object Linkage {
       |FROM tr
       |ORDER BY src_id""".stripMargin
 
+  /** E2/E3 oracle-backed end to end: `date_similarity` (the part-wise
+    * exponential-penalty scorer with the day↔month swap retry,
+    * similarity_measures.py:23-58) and `simple_date_matcher` (the
+    * shared-numeric-parts fraction, similarity_measures.py:80-90) were the
+    * last two scoring kernels still pass-G only. q53 styles `o_orderdate`
+    * into deterministic string pairs that drive every kernel branch at
+    * table scale — packed `yyyymmdd` vs dotted shifted dates (day / month
+    * / year deltas 0–4 → part scores 100/96/76/0 and the final clamp),
+    * a transposed `MM.dd.yyyy` target (the swap retry fires, including
+    * the tie case day==month where `<=` prefers the swapped pair), zero
+    * day / zero year parts (the zero-part exclusion), an unparseable
+    * target (−1), the `.0`-suffix packed form, and for E3 the
+    * not-empty sentinels `"00000000"`/`"-1"` plus 0/1/2/3-shared-part
+    * pairs (leading-zero parts exercise the `[1-9]\d*` maximal-munch
+    * tokenizer: `"08"` yields token `"8"`).
+    *
+    * The construction is pure integer arithmetic on (year, month, day) —
+    * bit-identical in DuckDB — and the oracle replays BOTH kernels from
+    * first principles: both parse regexes, the `5^|a−b|` penalty, the
+    * swap comparison on raw (−1-bearing) sums, the sequential combine in
+    * JVM association order, and the token-multiset membership count.
+    * Every score is an integer-valued double or k/3.0*100.0 computed with
+    * the same IEEE ops, so the compare is exact with no rounding. E2 runs
+    * through the native Catalyst expression (`DateSimilarityExpr`, the
+    * production path inside the blocked join), E3 through the registered
+    * UDF — both executor-side serialization paths covered.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val y = year(col("o_orderdate")).cast("long")
+    val mo = month(col("o_orderdate")).cast("long")
+    val d = dayofmonth(col("o_orderdate")).cast("long")
+    val y2 = y + pmod(k, lit(5)) - lit(2)
+    val m2 = pmod(mo - 1 + pmod(k, lit(3)), lit(12)) + 1
+    val d2 = pmod(d - 1 + pmod(k, lit(7)), lit(28)) + 1
+    def p2(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+    def p4(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 4, "0")
+    val src = concat(p4(y), p2(mo), p2(d))
+    val m6 = pmod(k, lit(6))
+    val trg = when(m6 === 0, concat(p2(d2), lit("."), p2(m2), lit("."), p4(y2)))
+      .when(m6 === 1, concat(p2(mo), lit("."), p2(d), lit("."), p4(y)))
+      .when(m6 === 2, concat(p4(y), p2(mo), lit("00")))
+      .when(m6 === 3, lit("n/a"))
+      .when(m6 === 4, concat(p4(y2), p2(m2), p2(d2), lit(".0")))
+      .otherwise(concat(lit("0000"), p2(m2), p2(d)))
+    val srcE3 = concat(p2(d), lit("."), p2(mo), lit("."), p4(y))
+    val m5 = pmod(k, lit(5))
+    val trgE3 = when(m5 === 0, srcE3)
+      .when(m5 === 1, concat(p2(d2), lit("."), p2(mo), lit("."), p4(y)))
+      .when(m5 === 2, concat(p2(d2), lit("."), p2(m2), lit("."), p4(y2)))
+      .when(m5 === 3, lit("00000000"))
+      .otherwise(lit("-1"))
+    o.select(k.as("o_orderkey"),
+        graft.expressions.FuzzColumns.dateSimilarity(src, trg).as("e2_sim"),
+        graft.functions.Udfs.simpleDateMatcher(srcE3, trgE3).as("e3_sim"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q53Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         EXTRACT(year FROM o_orderdate)::BIGINT AS y,
+      |         EXTRACT(month FROM o_orderdate)::BIGINT AS mo,
+      |         EXTRACT(day FROM o_orderdate)::BIGINT AS d
+      |  FROM orders),
+      |styled AS (
+      |  SELECT k, y, mo, d,
+      |         y + k % 5 - 2 AS y2,
+      |         (mo - 1 + k % 3) % 12 + 1 AS m2,
+      |         (d - 1 + k % 7) % 28 + 1 AS d2
+      |  FROM base),
+      |strs AS (
+      |  SELECT k,
+      |    lpad(y::VARCHAR,4,'0') || lpad(mo::VARCHAR,2,'0') || lpad(d::VARCHAR,2,'0') AS src,
+      |    CASE k % 6
+      |      WHEN 0 THEN lpad(d2::VARCHAR,2,'0') || '.' || lpad(m2::VARCHAR,2,'0') || '.' || lpad(y2::VARCHAR,4,'0')
+      |      WHEN 1 THEN lpad(mo::VARCHAR,2,'0') || '.' || lpad(d::VARCHAR,2,'0') || '.' || lpad(y::VARCHAR,4,'0')
+      |      WHEN 2 THEN lpad(y::VARCHAR,4,'0') || lpad(mo::VARCHAR,2,'0') || '00'
+      |      WHEN 3 THEN 'n/a'
+      |      WHEN 4 THEN lpad(y2::VARCHAR,4,'0') || lpad(m2::VARCHAR,2,'0') || lpad(d2::VARCHAR,2,'0') || '.0'
+      |      ELSE '0000' || lpad(m2::VARCHAR,2,'0') || lpad(d::VARCHAR,2,'0') END AS trg,
+      |    lpad(d::VARCHAR,2,'0') || '.' || lpad(mo::VARCHAR,2,'0') || '.' || lpad(y::VARCHAR,4,'0') AS src3,
+      |    CASE k % 5
+      |      WHEN 0 THEN lpad(d::VARCHAR,2,'0') || '.' || lpad(mo::VARCHAR,2,'0') || '.' || lpad(y::VARCHAR,4,'0')
+      |      WHEN 1 THEN lpad(d2::VARCHAR,2,'0') || '.' || lpad(mo::VARCHAR,2,'0') || '.' || lpad(y::VARCHAR,4,'0')
+      |      WHEN 2 THEN lpad(d2::VARCHAR,2,'0') || '.' || lpad(m2::VARCHAR,2,'0') || '.' || lpad(y2::VARCHAR,4,'0')
+      |      WHEN 3 THEN '00000000'
+      |      ELSE '-1' END AS trg3
+      |  FROM styled),
+      |parsed AS (
+      |  SELECT k, src3, trg3,
+      |    CASE WHEN regexp_matches(src, '^(\d{4})(\d{2})(\d{2})\.?0?$')
+      |         THEN {'y': regexp_extract(src, '^(\d{4})(\d{2})(\d{2})\.?0?$', 1)::BIGINT,
+      |               'm': regexp_extract(src, '^(\d{4})(\d{2})(\d{2})\.?0?$', 2)::BIGINT,
+      |               'd': regexp_extract(src, '^(\d{4})(\d{2})(\d{2})\.?0?$', 3)::BIGINT}
+      |         WHEN regexp_matches(src, '^(\d{2})\.(\d{2})\.(\d{4})$')
+      |         THEN {'y': regexp_extract(src, '^(\d{2})\.(\d{2})\.(\d{4})$', 3)::BIGINT,
+      |               'm': regexp_extract(src, '^(\d{2})\.(\d{2})\.(\d{4})$', 2)::BIGINT,
+      |               'd': regexp_extract(src, '^(\d{2})\.(\d{2})\.(\d{4})$', 1)::BIGINT}
+      |         ELSE NULL END AS pa,
+      |    CASE WHEN regexp_matches(trg, '^(\d{4})(\d{2})(\d{2})\.?0?$')
+      |         THEN {'y': regexp_extract(trg, '^(\d{4})(\d{2})(\d{2})\.?0?$', 1)::BIGINT,
+      |               'm': regexp_extract(trg, '^(\d{4})(\d{2})(\d{2})\.?0?$', 2)::BIGINT,
+      |               'd': regexp_extract(trg, '^(\d{4})(\d{2})(\d{2})\.?0?$', 3)::BIGINT}
+      |         WHEN regexp_matches(trg, '^(\d{2})\.(\d{2})\.(\d{4})$')
+      |         THEN {'y': regexp_extract(trg, '^(\d{2})\.(\d{2})\.(\d{4})$', 3)::BIGINT,
+      |               'm': regexp_extract(trg, '^(\d{2})\.(\d{2})\.(\d{4})$', 2)::BIGINT,
+      |               'd': regexp_extract(trg, '^(\d{2})\.(\d{2})\.(\d{4})$', 1)::BIGINT}
+      |         ELSE NULL END AS pb
+      |  FROM strs),
+      |scored AS (
+      |  SELECT k, src3, trg3, pa, pb,
+      |    CASE WHEN pa.y = 0 OR pb.y = 0 THEN -1.0
+      |         WHEN abs(pa.y - pb.y) > 3 THEN 0.0
+      |         ELSE greatest(0.0, 100.0 - (power(5, abs(pa.y - pb.y)) - 1)) END AS ys,
+      |    CASE WHEN pa.m = 0 OR pb.m = 0 THEN -1.0
+      |         WHEN abs(pa.m - pb.m) > 3 THEN 0.0
+      |         ELSE greatest(0.0, 100.0 - (power(5, abs(pa.m - pb.m)) - 1)) END AS ms,
+      |    CASE WHEN pa.d = 0 OR pb.d = 0 THEN -1.0
+      |         WHEN abs(pa.d - pb.d) > 3 THEN 0.0
+      |         ELSE greatest(0.0, 100.0 - (power(5, abs(pa.d - pb.d)) - 1)) END AS ds,
+      |    CASE WHEN pa.d = 0 OR pb.m = 0 THEN -1.0
+      |         WHEN abs(pa.d - pb.m) > 3 THEN 0.0
+      |         ELSE greatest(0.0, 100.0 - (power(5, abs(pa.d - pb.m)) - 1)) END AS mrev,
+      |    CASE WHEN pa.m = 0 OR pb.d = 0 THEN -1.0
+      |         WHEN abs(pa.m - pb.d) > 3 THEN 0.0
+      |         ELSE greatest(0.0, 100.0 - (power(5, abs(pa.m - pb.d)) - 1)) END AS drev
+      |  FROM parsed),
+      |chosen AS (
+      |  SELECT k, src3, trg3, pa, pb, ys,
+      |    CASE WHEN ms + ds <= mrev + drev THEN mrev ELSE ms END AS msc,
+      |    CASE WHEN ms + ds <= mrev + drev THEN drev ELSE ds END AS dsc
+      |  FROM scored)
+      |SELECT k AS o_orderkey,
+      |  CASE WHEN pa IS NULL OR pb IS NULL THEN -1.0 ELSE
+      |    greatest(0.0, 100.0
+      |      - CASE WHEN ys  >= 0 THEN 100.0 - ys  ELSE 0.0 END
+      |      - CASE WHEN msc >= 0 THEN 100.0 - msc ELSE 0.0 END
+      |      - CASE WHEN dsc >= 0 THEN 100.0 - dsc ELSE 0.0 END) END AS e2_sim,
+      |  CASE WHEN src3 IS NULL OR src3 = '' OR src3 = '00000000' OR src3 = '-1.0' OR src3 = '-1'
+      |         OR trg3 IS NULL OR trg3 = '' OR trg3 = '00000000' OR trg3 = '-1.0' OR trg3 = '-1'
+      |       THEN -1.0
+      |       ELSE least(3, len(list_filter(regexp_extract_all(src3, '[1-9][0-9]*'),
+      |              p -> list_contains(regexp_extract_all(trg3, '[1-9][0-9]*'), p)))) / 3.0 * 100.0 END AS e3_sim
+      |FROM chosen
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
     Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)),
-    Q("q51_jaro_similarity", q51, Some(q51Sql)))
+    Q("q51_jaro_similarity", q51, Some(q51Sql)),
+    Q("q53_date_similarity", q53, Some(q53Sql)))
 }
