@@ -367,10 +367,148 @@ object Linkage {
       |FROM chosen
       |ORDER BY o_orderkey""".stripMargin
 
+  /** E6's CONFIG branches oracle-backed through the production scorer:
+    * q22 pins the default-config combiner by construction (self-match =
+    * 100) and q53 pins the date kernels, but the combiner's flag paths —
+    * `name_only`'s early return, the "column configured?" gates
+    * (similarity_measures.py:121-141: prisoner/date/pob each appended
+    * only if the column exists), the filtered-prisoner-vs-clamped-date
+    * asymmetry inside the secondary mean, and the two conditional folds —
+    * ran only under the one production flag set. q54 scores each orders
+    * row under SIX flag combinations at once through
+    * `PersonMatching.personSimilarityColumn` — the codegen'd Catalyst
+    * path the blocked join actually executes — as six parallel columns.
+    *
+    * The fields are constructed so every KERNEL score is forced by
+    * construction (equal strings → 100, empty/sentinel → filtered −1,
+    * unparseable date → clamped 0) and only the COMBINER arithmetic
+    * varies: names hit primary 100 / 50 (one side empty) / 0 (both
+    * empty), prisoner cycles comparable/src-empty/`-1`-sentinel/
+    * trg-empty, dob cycles equal / +1-year / unparseable / all-zero
+    * (parses but every part is zero-excluded → 100, while the simple
+    * matcher's `__not_empty` REJECTS "00000000" → clamped 0 — the two
+    * date matchers diverging on the same row is the branch signal) /
+    * dotted-equal, pob alternates equal/absent. The oracle recomputes
+    * prim, both secondary variants, other, and the fold chain from
+    * first principles per class — the E3 class scores replayed through
+    * the same regexp tokenizer on the class literals, the 96 written as
+    * `100 − (5¹ − 1)` — with the same IEEE-double ops in the same
+    * association, so all six score columns compare bit-exact.
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.PersonMatching.{PersonCols, personSimilarityColumn}
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val rows = o.select(k.as("o_orderkey"),
+      when(pmod(k, lit(3)) === 1, lit("")).when(pmod(k, lit(3)) === 2, lit(""))
+        .otherwise(lit("hans")).as("sg"),
+      when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("hans")).as("tg"),
+      when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("muler")).as("sl"),
+      when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("muler")).as("tl"),
+      when(pmod(k, lit(4)) === 1, lit("")).when(pmod(k, lit(4)) === 2, lit("-1"))
+        .when(pmod(k, lit(4)) === 3, lit("12345"))
+        .otherwise(k.cast("string")).as("sn"),
+      when(pmod(k, lit(4)) === 3, lit("")).otherwise(
+        when(pmod(k, lit(4)) === 0, k.cast("string")).otherwise(lit("12345"))).as("tn"),
+      when(pmod(k, lit(5)) === 4, lit("12.03.1943")).otherwise(lit("19430312")).as("sd"),
+      when(pmod(k, lit(5)) === 1, lit("19440312"))
+        .when(pmod(k, lit(5)) === 2, lit("n/a"))
+        .when(pmod(k, lit(5)) === 3, lit("00000000"))
+        .when(pmod(k, lit(5)) === 4, lit("12.03.1943"))
+        .otherwise(lit("19430312")).as("td"),
+      when(pmod(k, lit(2)) === 1, lit("")).otherwise(lit("berlin")).as("sp"),
+      lit("berlin").as("tp"))
+    val s = PersonCols(col("sg"), col("sl"), col("sd"), col("sp"), col("sn"))
+    val t = PersonCols(col("tg"), col("tl"), col("td"), col("tp"), col("tn"))
+    def sim(useDate: Boolean, usePrisoner: Boolean, usePob: Boolean,
+        nameOnly: Boolean, simpleDate: Boolean) =
+      personSimilarityColumn(s, t, useDate, usePrisoner, usePob, nameOnly, simpleDate)
+    rows.select(col("o_orderkey"),
+        sim(useDate = true, usePrisoner = true, usePob = true,
+          nameOnly = false, simpleDate = false).as("score_full"),
+        sim(useDate = true, usePrisoner = true, usePob = true,
+          nameOnly = true, simpleDate = false).as("score_name_only"),
+        sim(useDate = false, usePrisoner = true, usePob = true,
+          nameOnly = false, simpleDate = false).as("score_no_date"),
+        sim(useDate = true, usePrisoner = false, usePob = false,
+          nameOnly = false, simpleDate = false).as("score_date_only"),
+        sim(useDate = false, usePrisoner = false, usePob = true,
+          nameOnly = false, simpleDate = false).as("score_no_secondary"),
+        sim(useDate = true, usePrisoner = true, usePob = true,
+          nameOnly = false, simpleDate = true).as("score_simple_date"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q54Sql =
+    """WITH scores AS (
+      |  SELECT o_orderkey,
+      |    -- primary: equal names -> token-set 100; an empty side is not
+      |    -- comparable (-1) and clamps to 0 before the /2
+      |    CASE o_orderkey % 3 WHEN 0 THEN 100.0 WHEN 1 THEN (0.0 + 100.0) / 2
+      |         ELSE 0.0 END AS prim,
+      |    -- prisoner indel: identical strings -> 100; empty or "-1"
+      |    -- sentinel on either side -> not comparable
+      |    CASE o_orderkey % 4 WHEN 0 THEN 100.0 ELSE -1.0 END AS pris,
+      |    -- date_similarity per class: +1 year -> 100 - (5^1 - 1) = 96
+      |    -- with month/day equal; unparseable -> -1; all-zero parts are
+      |    -- each excluded so "00000000" scores a full 100 (q53 pins the
+      |    -- kernel itself; these are its outputs on the class literals)
+      |    CASE o_orderkey % 5 WHEN 1 THEN 100.0 - (power(5, 1) - 1.0)
+      |         WHEN 2 THEN -1.0 ELSE 100.0 END AS dsim,
+      |    -- simple_date_matcher replayed on the class literals through
+      |    -- the same [1-9]\d* tokenizer ("19430312" is ONE token; "n/a"
+      |    -- has none; "00000000" fails __not_empty -> -1)
+      |    CASE o_orderkey % 5
+      |      WHEN 0 THEN least(3, len(list_filter(
+      |             regexp_extract_all('19430312', '[1-9][0-9]*'),
+      |             p -> list_contains(regexp_extract_all('19430312', '[1-9][0-9]*'), p)))) / 3.0 * 100.0
+      |      WHEN 1 THEN least(3, len(list_filter(
+      |             regexp_extract_all('19430312', '[1-9][0-9]*'),
+      |             p -> list_contains(regexp_extract_all('19440312', '[1-9][0-9]*'), p)))) / 3.0 * 100.0
+      |      WHEN 2 THEN least(3, len(list_filter(
+      |             regexp_extract_all('19430312', '[1-9][0-9]*'),
+      |             p -> list_contains(regexp_extract_all('n/a', '[1-9][0-9]*'), p)))) / 3.0 * 100.0
+      |      WHEN 3 THEN -1.0
+      |      ELSE least(3, len(list_filter(
+      |             regexp_extract_all('12.03.1943', '[1-9][0-9]*'),
+      |             p -> list_contains(regexp_extract_all('12.03.1943', '[1-9][0-9]*'), p)))) / 3.0 * 100.0
+      |      END AS dsimple,
+      |    CASE o_orderkey % 2 WHEN 0 THEN 100.0 ELSE -1.0 END AS pob
+      |  FROM orders),
+      |combined AS (
+      |  SELECT o_orderkey, prim, pob,
+      |    -- secondary, full config: date is clamped (always kept), the
+      |    -- prisoner joins the mean only when comparable
+      |    CASE WHEN pris >= 0 THEN (pris + greatest(0.0, dsim)) / 2
+      |         ELSE greatest(0.0, dsim) END AS sec_full,
+      |    CASE WHEN pris >= 0 THEN pris ELSE 0.0 END AS sec_no_date,
+      |    greatest(0.0, dsim) AS sec_date_only,
+      |    0.0 AS sec_none,
+      |    CASE WHEN pris >= 0 THEN (pris + greatest(0.0, dsimple)) / 2
+      |         ELSE greatest(0.0, dsimple) END AS sec_simple
+      |  FROM scores)
+      |SELECT o_orderkey,
+      |  CASE WHEN pob >= 0
+      |       THEN 3.0/4 * (2.0/3 * prim + 1.0/3 * sec_full) + 1.0/4 * pob
+      |       ELSE 2.0/3 * prim + 1.0/3 * sec_full END AS score_full,
+      |  prim AS score_name_only,
+      |  CASE WHEN pob >= 0
+      |       THEN 3.0/4 * (2.0/3 * prim + 1.0/3 * sec_no_date) + 1.0/4 * pob
+      |       ELSE 2.0/3 * prim + 1.0/3 * sec_no_date END AS score_no_date,
+      |  2.0/3 * prim + 1.0/3 * sec_date_only AS score_date_only,
+      |  CASE WHEN pob >= 0
+      |       THEN 3.0/4 * (2.0/3 * prim + 1.0/3 * sec_none) + 1.0/4 * pob
+      |       ELSE 2.0/3 * prim + 1.0/3 * sec_none END AS score_no_secondary,
+      |  CASE WHEN pob >= 0
+      |       THEN 3.0/4 * (2.0/3 * prim + 1.0/3 * sec_simple) + 1.0/4 * pob
+      |       ELSE 2.0/3 * prim + 1.0/3 * sec_simple END AS score_simple_date
+      |FROM combined
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
     Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)),
     Q("q51_jaro_similarity", q51, Some(q51Sql)),
-    Q("q53_date_similarity", q53, Some(q53Sql)))
+    Q("q53_date_similarity", q53, Some(q53Sql)),
+    Q("q54_person_config_matrix", q54, Some(q54Sql)))
 }

@@ -179,4 +179,84 @@ class FuzzSpec extends AnyFunSuite {
     val expected = 2.0 / 3 * 100 + 1.0 / 3 * 96
     assert(approx(Similarity.personSimilarity(a, b), expected))
   }
+
+  test("E6 config-branch matrix: every flag path of the combiner, hand-derived") {
+    import Similarity.Person
+    val full = Person("hans", "muler", "19430312", "berlin", "111")
+    // trg differs on every non-name axis so each branch is observable:
+    // date +1 year -> 96, prisoner 111 vs 121 -> indel (6-2)/6, pob equal
+    val trg = Person("hans", "muler", "19440312", "berlin", "121")
+    val pris = Fuzz.ratio("111", "121") // = 100*(1-2/6), pinned above
+
+    // nameOnly returns primary BEFORE any secondary/other work — flags
+    // and non-name fields are dead
+    assert(Similarity.personSimilarity(full, trg, nameOnly = true) === 100.0)
+    assert(Similarity.personSimilarity(full, trg,
+      useDate = false, usePrisoner = false, usePob = false, nameOnly = true) === 100.0)
+
+    // full chain: secondary = mean(prisoner, date), both folds fire
+    val fullExp = 3.0 / 4 * (2.0 / 3 * 100 + 1.0 / 3 * ((pris + 96) / 2)) + 1.0 / 4 * 100
+    assert(approx(Similarity.personSimilarity(full, trg), fullExp))
+
+    // no non-name column configured: kept empty -> secondary 0 drags the
+    // score (reference: `secundary_score = 0`), pob fold still fires
+    assert(approx(Similarity.personSimilarity(full, trg,
+      useDate = false, usePrisoner = false, usePob = false), 2.0 / 3 * 100))
+    assert(approx(Similarity.personSimilarity(full, trg,
+      useDate = false, usePrisoner = false),
+      3.0 / 4 * (2.0 / 3 * 100) + 1.0 / 4 * 100))
+    // ... unless nonNamesOptional: secondary -1 -> fold skipped entirely
+    assert(Similarity.personSimilarity(full, trg,
+      useDate = false, usePrisoner = false, usePob = false,
+      nonNamesOptional = true) === 100.0)
+
+    // THE asymmetry: a configured-but-absent prisoner is FILTERED
+    // (name_matcher -1 dropped before the mean) but a configured
+    // unparseable date is CLAMPED (max(0, -1) = 0 stays in the mean) —
+    // reference similarity_measures.py:135-139
+    val noPris = Person("hans", "muler", "19440312", "berlin", null)
+    assert(approx(Similarity.personSimilarity(full, noPris, usePob = false),
+      2.0 / 3 * 100 + 1.0 / 3 * 96)) // kept = [date] only
+    val badDob = Person("hans", "muler", "n/a", "berlin", "111")
+    assert(approx(Similarity.personSimilarity(full, badDob, usePob = false),
+      2.0 / 3 * 100 + 1.0 / 3 * ((100 + 0.0) / 2))) // kept = [prisoner 100, clamped date 0]
+    // and because the clamped date is ALWAYS >= 0, nonNamesOptional is
+    // inert whenever useDate=true: kept can never be empty
+    assert(approx(Similarity.personSimilarity(full, badDob, usePob = false,
+      nonNamesOptional = true),
+      2.0 / 3 * 100 + 1.0 / 3 * ((100 + 0.0) / 2)))
+    // nonNamesOptional DOES fire when the only survivor is a filtered
+    // prisoner: useDate=false + absent prisoner -> kept empty
+    assert(Similarity.personSimilarity(full, noPris, useDate = false,
+      usePob = false, nonNamesOptional = true) === 100.0)
+    assert(approx(Similarity.personSimilarity(full, noPris, useDate = false,
+      usePob = false), 2.0 / 3 * 100))
+
+    // pob: absent -> other -1 -> the 3/4:1/4 fold is skipped, not zeroed
+    val noPob = Person("hans", "muler", "19440312", null, "121")
+    assert(approx(Similarity.personSimilarity(full, noPob),
+      2.0 / 3 * 100 + 1.0 / 3 * ((pris + 96) / 2)))
+
+    // empty names: token-set -1 clamps to 0 per name, primary = 0; the
+    // secondary/other folds still run on the zero base
+    val anonA = Person(null, null, "19430312", "berlin", "111")
+    val anonB = Person(null, null, "19430312", "berlin", "111")
+    assert(approx(Similarity.personSimilarity(anonA, anonB),
+      3.0 / 4 * (2.0 / 3 * 0 + 1.0 / 3 * 100) + 1.0 / 4 * 100))
+    // one-sided empty name behaves the same as both-sided (-1 clamp)
+    val half = Person("hans", null, "19430312", "berlin", "111")
+    assert(approx(Similarity.personSimilarity(half, full, nameOnly = true),
+      (0.0 + 100.0) / 2))
+
+    // sentinel strings ("-1", "00000000") are not-comparable for the
+    // NAME/prisoner kernels but PARSE as all-zero for date_similarity,
+    // where zero parts are excluded -> a "00000000" dob scores 100, while
+    // the simple matcher's notEmpty guard rejects it -> kept mean differs
+    val zeroDob = Person("hans", "muler", "00000000", "berlin", "111")
+    assert(approx(Similarity.personSimilarity(full, zeroDob, usePob = false),
+      2.0 / 3 * 100 + 1.0 / 3 * ((100 + 100.0) / 2)))
+    assert(approx(Similarity.personSimilarity(full, zeroDob, usePob = false,
+      dateMatcher = Similarity.simpleDateMatcher),
+      2.0 / 3 * 100 + 1.0 / 3 * ((100 + 0.0) / 2)))
+  }
 }
