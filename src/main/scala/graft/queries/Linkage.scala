@@ -273,7 +273,12 @@ object Linkage {
       .when(m5 === 2, concat(p2(d2), lit("."), p2(m2), lit("."), p4(y2)))
       .when(m5 === 3, lit("00000000"))
       .otherwise(lit("-1"))
-    o.select(k.as("o_orderkey"),
+    // one parquet split at bench SFs: spread the per-row kernels
+    // (see q52's note) before scoring; only the two source columns ride
+    // the shuffle
+    o.select(col("o_orderkey"), col("o_orderdate"))
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+      .select(k.as("o_orderkey"),
         graft.expressions.FuzzColumns.dateSimilarity(src, trg).as("e2_sim"),
         graft.functions.Udfs.simpleDateMatcher(srcE3, trgE3).as("e3_sim"))
       .orderBy(col("o_orderkey"))
@@ -399,7 +404,13 @@ object Linkage {
     import graft.linkage.PersonMatching.{PersonCols, personSimilarityColumn}
     val o = Tables.orders(spark, dir)
     val k = col("o_orderkey")
-    val rows = o.select(k.as("o_orderkey"),
+    // one parquet split at bench SFs: spread the six scorer columns
+    // (2 token-set + 3 indel + 2 date kernels per row) across cores;
+    // every field derives from the key, so only ONE column rides the
+    // shuffle
+    val rows = o.select(col("o_orderkey"))
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+      .select(k.as("o_orderkey"),
       when(pmod(k, lit(3)) === 1, lit("")).when(pmod(k, lit(3)) === 2, lit(""))
         .otherwise(lit("hans")).as("sg"),
       when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("hans")).as("tg"),

@@ -27,6 +27,10 @@ object Normalization {
         .when(pmod(col("o_orderkey"), lit(4)) === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
         .when(pmod(col("o_orderkey"), lit(4)) === 2, date_format(col("o_orderdate"), "dd-MM-yyyy"))
         .otherwise(date_format(col("o_orderdate"), "dd MM yyyy")))
+      // single parquet split at bench SFs — spread the D1 chain (see
+      // q52's note); the key rides along only as the hash column
+      .select(col("o_orderkey"), col("date_string"))
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
     Dates.normaliseDate(styled, "date_string", "parsed", timespan = (1850, 1950))
       .groupBy(col("parsed_year_cleaned").cast("int").as("parsed_year"))
       .agg(count(lit(1)).as("n_orders"))
@@ -279,6 +283,15 @@ object Normalization {
         .when(m === 3, concat((pmod(col("o_orderkey"), lit(50)) + 18).cast("string"), lit(" Jahre")))
         .when(m === 4, date_format(col("o_orderdate"), "MM.dd.yyyy"))
         .otherwise(concat(lit("??."), date_format(col("o_orderdate"), "MM.yyyy"))))
+      // orders is ONE parquet split at bench SFs, and the full D1 chain
+      // (~60 regex ops/row, all four outputs live) is expensive per row —
+      // without this the whole kernel runs on a single core (measured
+      // 19.4 s single-task vs 5.2 s spread over 8). Hash by the unique
+      // key: round-robin would add a deterministic-retry local sort.
+      // Same pattern at cluster scale: a small dimension file driving
+      // heavy per-row compute needs an explicit spread.
+      .select(col("o_orderkey"), col("date_string"))
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
     Dates.normaliseDate(styled, "date_string", "nd", timespan = (1900, 1995))
       .select(col("o_orderkey"), col("nd_year_cleaned"), col("nd_month_cleaned"),
         col("nd_day_cleaned"), col("nd_qa"))
