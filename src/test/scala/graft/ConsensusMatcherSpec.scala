@@ -97,6 +97,38 @@ class ConsensusMatcherSpec extends AnyFunSuite {
     assert(out("d2") === "Schmidt")
   }
 
+  test("C1 corpus-blind branches: misaligned lookup quirk, empty winner, single entry") {
+    // The winner is looked up in the ORIGINAL group by its position in
+    // the FILTERED list (reference `enc_doc.values[match_pos]`,
+    // matching.py:316). A token-less entry ("!!!" has no vote tokens)
+    // BEFORE the winner shifts the lookup: the tie-to-last winner among
+    // the two "one two" entries sits at filtered position 1, and
+    // group(1) is the symbol entry — the reference returns "!!!" here
+    // and so do we. Faithfulness pin, not an endorsement.
+    assert(ColMatcher.matchDoc(Vector("one two", "!!!", "one two")) === Some("!!!"))
+    // same shift, but the misaligned slot holds "" -> the explicit
+    // empty-winner branch maps it to no-consensus (reference: np.nan)
+    assert(ColMatcher.matchDoc(Vector("one two", "", "one two")) === None)
+    // no shift when the token-less entry sits AFTER the winner position
+    assert(ColMatcher.matchDoc(Vector("one two", "one two", "!!!")) === Some("one two"))
+    // a single entry can never have a repeated token count
+    assert(ColMatcher.matchDoc(Vector("one two")) === None)
+    assert(ColMatcher.matchDoc(Vector.empty[String]) === None)
+  }
+
+  test("C9 corpus-blind gates: group size < 3 and the cyclic Jaro screen") {
+    // two entries: every word column has < 3 members, the syllable step
+    // is a no-op, and Frandfurt stays unrepaired -> no majority
+    assert(Matchers.default()(Vector("Frankfurt Main", "Frandfurt Main")) === None)
+    // three entries but one word (Zebra) fails the cyclic Jaro >= 0.8
+    // screen -> the whole column is left untouched -> no majority
+    // (with the screen off, syllable voting would fold all three to
+    // Frankfurt and produce a consensus)
+    assert(Matchers.default()(Vector("Frankfurt", "Frandfurt", "Zebra")) === None)
+    // control: with a third supporter the same column IS repaired
+    assert(Matchers.default()(Vector("Frankfurt", "Frandfurt", "Frankfurter")) === Some("Frankfurt"))
+  }
+
   test("ascii helpers mirror the reference's per-char folds") {
     assert(ColMatcher.toAscii("Müller=Lüdenscheid") === "Muller-Ludenscheid")
     assert(ColMatcher.toAsciiWithUmlaut("Müller Straße") === "Müller Straße")
