@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Sentinels, Tables}
-import graft.normalize.{Dates, Names}
+import graft.normalize.{Dates, Names, PrisonerNumbers}
 
 /** Normalization-layer operators surfaced as driver queries with real
   * DuckDB oracles where ANSI SQL can express the expected result
@@ -341,10 +341,99 @@ object Normalization {
       |FROM src
       |ORDER BY o_orderkey""".stripMargin
 
+  /** F16's branch matrix oracle-backed PER ROW at table scale (the
+    * 22-case reference-generated golden pins the kernel cell-for-cell;
+    * this adds the third engine and the corpus-scale gate). Ten styles
+    * keyed on `o_orderkey % 10`, every expectation re-derived by running
+    * the REFERENCE's own `normalise_prisoner_number` over three sample
+    * value-sets per style before encoding (all style outcomes are
+    * value-stable — the varying digits ride through the chain intact):
+    *   - 0 bare 5-digit number; 1 `A n` / 6 `Zn` (marker extraction to
+    *     `_additional_information`, space/no-space separators);
+    *   - 2 `aa.bbb` (de-dot) and 3 `aa bbb` (the 2+3 digit space join);
+    *   - 4 `n1;n2;n3` (numeric sort with duplicates preserved — the
+    *     trim columns come out ascending);
+    *   - 5 `Haftnr. bbb` → the alpha-word kill leaves `.bbb` and the
+    *     residual dot flags QA;
+    *   - 7 `-` (no-entry sentinel, empty trims, QA false);
+    *   - 8 `n A` → the trailing marker is NOT extracted: the semicolon
+    *     transformation makes it its own part, the sort puts it FIRST
+    *     (trim_1 = "A", trim_2 = n) and QA fires — the reference quirk
+    *     the fixture's row 7 pins at unit scale;
+    *   - 9 `aa'a'bbb` → an embedded letter survives everything (not at
+    *     a word boundary, so no marker extraction) and flags QA.
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val n1 = (pmod(k, lit(90000)) + 10000).cast("string")
+    val n2 = (pmod(k * 7, lit(90000)) + 10000).cast("string")
+    val n3 = (pmod(k * 13, lit(90000)) + 10000).cast("string")
+    val a = (pmod(k, lit(90)) + 10).cast("string")
+    val b = (pmod(k, lit(900)) + 100).cast("string")
+    val cls = pmod(k, lit(10))
+    val styled = o.select(k.as("o_orderkey"),
+        when(cls === 0, n1)
+          .when(cls === 1, concat(lit("A "), n1))
+          .when(cls === 2, concat(a, lit("."), b))
+          .when(cls === 3, concat(a, lit(" "), b))
+          .when(cls === 4, concat(n1, lit(";"), n2, lit(";"), n3))
+          .when(cls === 5, concat(lit("Haftnr. "), b))
+          .when(cls === 6, concat(lit("Z"), n1))
+          .when(cls === 7, lit("-"))
+          .when(cls === 8, concat(n1, lit(" A")))
+          .otherwise(concat(a, lit("a"), b)).as("pn_string"))
+      // single parquet split at bench SFs (see q52's note): the chain is
+      // ~10 regexes + a sort UDF per row
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+    PrisonerNumbers.normalise(styled, "pn_string")
+      .select(col("o_orderkey"),
+        col("prisoner_number_trim_1"), col("prisoner_number_trim_2"),
+        col("prisoner_number_trim_3"),
+        col("prisoner_number_trim_1_additional_information").as("add_info_1"),
+        col("prisoner_number_trim_2_additional_information").as("add_info_2"),
+        col("prisoner_number_qa"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q55Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderkey % 10 AS cls,
+      |         (o_orderkey % 90000 + 10000)::BIGINT AS n1,
+      |         ((o_orderkey * 7) % 90000 + 10000)::BIGINT AS n2,
+      |         ((o_orderkey * 13) % 90000 + 10000)::BIGINT AS n3,
+      |         (o_orderkey % 90 + 10)::VARCHAR AS a,
+      |         (o_orderkey % 900 + 100)::VARCHAR AS b
+      |  FROM orders),
+      |sorted AS (
+      |  SELECT *, list_sort([n1, n2, n3]) AS s FROM src)
+      |SELECT o_orderkey,
+      |  CASE cls
+      |    WHEN 0 THEN n1::VARCHAR
+      |    WHEN 1 THEN n1::VARCHAR
+      |    WHEN 2 THEN a || b
+      |    WHEN 3 THEN a || b
+      |    WHEN 4 THEN s[1]::VARCHAR
+      |    WHEN 5 THEN '.' || b
+      |    WHEN 6 THEN n1::VARCHAR
+      |    WHEN 7 THEN ''
+      |    WHEN 8 THEN 'A'
+      |    ELSE a || 'a' || b END AS prisoner_number_trim_1,
+      |  CASE cls
+      |    WHEN 4 THEN s[2]::VARCHAR
+      |    WHEN 8 THEN n1::VARCHAR
+      |    ELSE '' END AS prisoner_number_trim_2,
+      |  CASE cls WHEN 4 THEN s[3]::VARCHAR ELSE '' END AS prisoner_number_trim_3,
+      |  CASE cls WHEN 1 THEN 'A' WHEN 6 THEN 'Z' ELSE '' END AS add_info_1,
+      |  '' AS add_info_2,
+      |  cls IN (5, 8, 9) AS prisoner_number_qa
+      |FROM sorted
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
     Q("q20_left_join_renames", q20, Some(q20Sql)),
     Q("q21_normalize_names_scale", q21, Some(q21Sql)),
-    Q("q52_date_branch_matrix", q52, Some(q52Sql)))
+    Q("q52_date_branch_matrix", q52, Some(q52Sql)),
+    Q("q55_prisoner_number_matrix", q55, Some(q55Sql)))
 }
