@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Sentinels, Tables}
-import graft.normalize.{Dates, Names, PrisonerNumbers}
+import graft.normalize.{Dates, Names, Nationality, PrisonerNumbers}
 
 /** Normalization-layer operators surfaced as driver queries with real
   * DuckDB oracles where ANSI SQL can express the expected result
@@ -429,11 +429,89 @@ object Normalization {
       |FROM sorted
       |ORDER BY o_orderkey""".stripMargin
 
+  /** F21's branch matrix oracle-backed at table scale. Eight styles
+    * keyed on `o_orderkey % 8` drive every classification branch of the
+    * nationality standardizer against a fixed three-key dictionary —
+    * exact key hit, multi-value with a VARYING unknown tail
+    * (`fremd<k>`, mixed-part QA fold), the longest-key preference
+    * ("nicht deutsch" wins over its word-boundary substring match
+    * "deutsch" → "Unbekannt"), an unclear-dict hit (→ `?` + QA), a
+    * varying pure-unknown passthrough (+ QA), the dot pre-scrub, a
+    * `/`-separated pair (replacement preserves position: Polen first),
+    * and the empty string (parts == [""], QA true — the reference
+    * classifies "" as raw). Every expectation was derived by running
+    * the REFERENCE's `standardize_nationality` wholesale (Excel loader
+    * shimmed to the same dictionary) over the class samples before
+    * encoding the SQL. Arity is provably 2, so the output schema is
+    * static across SFs.
+    */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val natDict = Map(
+      "deutsch" -> "Deutschland", "polnisch" -> "Polen",
+      "nicht deutsch" -> "Unbekannt")
+    val unclearDict = Map("unklar" -> "?", "fraglich" -> "?")
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val cls = pmod(k, lit(8))
+    val styled = o.select(k.as("o_orderkey"),
+        when(cls === 0, lit("deutsch"))
+          .when(cls === 1, concat(lit("deutsch, fremd"), k.cast("string")))
+          .when(cls === 2, lit("nicht deutsch"))
+          .when(cls === 3, lit("unklar"))
+          .when(cls === 4, concat(lit("fremd"), k.cast("string")))
+          .when(cls === 5, lit("deutsch."))
+          .when(cls === 6, lit("polnisch/deutsch"))
+          .otherwise(lit("")).as("nat_raw"))
+      // single parquet split at bench SFs (see q52's note): the
+      // standardizer UDF runs per row
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+    Nationality.standardize(styled, "nat_raw", natDict, unclearDict)
+      .select(col("o_orderkey"),
+        col("nationality_1"), col("nationality_2"),
+        col("nationality_1_standardized"), col("nationality_2_standardized"),
+        col("nationality_standardized_qa"), col("nationality_quality_level"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q56Sql =
+    """SELECT o_orderkey,
+      |  CASE o_orderkey % 8
+      |    WHEN 0 THEN 'Deutschland'
+      |    WHEN 1 THEN 'Deutschland'
+      |    WHEN 2 THEN 'Unbekannt'
+      |    WHEN 3 THEN 'unklar'
+      |    WHEN 4 THEN 'fremd' || o_orderkey::VARCHAR
+      |    WHEN 5 THEN 'Deutschland'
+      |    WHEN 6 THEN 'Polen'
+      |    ELSE '' END AS nationality_1,
+      |  CASE o_orderkey % 8
+      |    WHEN 1 THEN 'fremd' || o_orderkey::VARCHAR
+      |    WHEN 6 THEN 'Deutschland'
+      |    ELSE NULL END AS nationality_2,
+      |  CASE o_orderkey % 8
+      |    WHEN 0 THEN 'Deutschland'
+      |    WHEN 1 THEN 'Deutschland'
+      |    WHEN 2 THEN 'Unbekannt'
+      |    WHEN 3 THEN '?'
+      |    WHEN 4 THEN 'fremd' || o_orderkey::VARCHAR
+      |    WHEN 5 THEN 'Deutschland'
+      |    WHEN 6 THEN 'Polen'
+      |    ELSE '' END AS nationality_1_standardized,
+      |  CASE o_orderkey % 8
+      |    WHEN 1 THEN 'fremd' || o_orderkey::VARCHAR
+      |    WHEN 6 THEN 'Deutschland'
+      |    ELSE NULL END AS nationality_2_standardized,
+      |  (o_orderkey % 8) IN (1, 3, 4, 7) AS nationality_standardized_qa,
+      |  CASE WHEN (o_orderkey % 8) IN (1, 3, 4, 7) THEN 'Rohdaten'
+      |       ELSE 'technisch standardisiert' END AS nationality_quality_level
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
     Q("q20_left_join_renames", q20, Some(q20Sql)),
     Q("q21_normalize_names_scale", q21, Some(q21Sql)),
     Q("q52_date_branch_matrix", q52, Some(q52Sql)),
-    Q("q55_prisoner_number_matrix", q55, Some(q55Sql)))
+    Q("q55_prisoner_number_matrix", q55, Some(q55Sql)),
+    Q("q56_nationality_matrix", q56, Some(q56Sql)))
 }
