@@ -506,6 +506,109 @@ object Normalization {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** F17/F19 oracle-backed at table scale: the record-linkage
+    * transliteration chains (`preprocess_name` / `preprocess_last_name`)
+    * were pinned only by unit goldens. Eight decoration styles keyed on
+    * `p_partkey % 8` over the corpus words drive every chain rule —
+    * including the quirks the Scaladoc preserves verbatim (`oe` → "a",
+    * the `(?<!a)ue` negative lookbehind with a protected-"aue" style
+    * beside a firing-"bue" style, `ß` → "ss" → dedoubled "s", the
+    * `owa$`/`sohn$`/`(sk|ck)a$` surname endings that only the LAST-name
+    * chain strips — classes 5/6 make the two output columns diverge —
+    * and the maiden-name tail). The DuckDB oracle REPLAYS the whole
+    * chain in reference order: the ascii fold, the ordered umlaut table,
+    * the `ue` rule via protect-substitute-restore (provably equivalent
+    * to the lookbehind because the protected token is exactly the
+    * rule's guard context), the seven phonetic bigram folds, and the
+    * dedouble as a per-letter `list_reduce` (equivalent to the
+    * single-pass backreference regex: a collapse never creates a
+    * cross-letter double, and same-letter runs shrink identically under
+    * non-overlapping left-to-right scans — "abbba" → "abba" both ways).
+    * F19 (`fix_name_uppercasing`) rides along on an all-caps two-word
+    * input. Cross-verified wholesale against the reference's own
+    * `string_utils` functions over the full styled sf0.001 corpus
+    * before commit.
+    */
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val w = split(col("p_name"), " ")
+    val w1 = get(w, lit(0))
+    val w2 = get(w, lit(1))
+    val cls = pmod(col("p_partkey"), lit(8))
+    val styled = p.select(col("p_partkey"),
+        when(cls === 0, w1)
+          .when(cls === 1, concat(w1, lit("ß")))
+          .when(cls === 2, upper(w1))
+          .when(cls === 3, concat(w1, lit("aue")))
+          .when(cls === 4, concat(w1, lit("bue")))
+          .when(cls === 5, concat(w1, lit("sohn")))
+          .when(cls === 6, concat(w1, lit("cka")))
+          .otherwise(concat(w1, lit(" geb. "), w2)).as("nm"),
+        concat(upper(w1), lit(" "), upper(w2)).as("caps"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, col("p_partkey"))
+    styled.select(col("p_partkey"),
+        graft.functions.Udfs.preprocessName(col("nm")).as("pre_name"),
+        graft.functions.Udfs.preprocessLastName(col("nm")).as("pre_lname"),
+        graft.functions.Udfs.fixNameUppercasing(col("caps")).as("fixed_case"))
+      .orderBy(col("p_partkey"))
+  }
+  private val q57Sql =
+    """WITH src AS (
+      |  SELECT p_partkey,
+      |         string_split(p_name, ' ')[1] AS w1,
+      |         string_split(p_name, ' ')[2] AS w2,
+      |         p_partkey % 8 AS cls
+      |  FROM part),
+      |styled AS (
+      |  SELECT p_partkey,
+      |    CASE cls
+      |      WHEN 0 THEN w1
+      |      WHEN 1 THEN w1 || 'ß'
+      |      WHEN 2 THEN upper(w1)
+      |      WHEN 3 THEN w1 || 'aue'
+      |      WHEN 4 THEN w1 || 'bue'
+      |      WHEN 5 THEN w1 || 'sohn'
+      |      WHEN 6 THEN w1 || 'cka'
+      |      ELSE w1 || ' geb. ' || w2 END AS nm,
+      |    upper(w1) || ' ' || upper(w2) AS caps
+      |  FROM src),
+      |-- preprocess_last_name prefix: lower -> surname endings -> maiden
+      |-- strip (reference string_utils order), then both columns share
+      |-- the preprocess_name chain below
+      |lastpre AS (
+      |  SELECT p_partkey, lower(nm) AS pn, caps,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(lower(nm),
+      |        'owa$|ova$', ''), 'sohns$', 'sons'), 'sohn$', 'son'),
+      |        '(sk|ck)a$', '\1i'),
+      |      '\sgeb\.?\s.*', '') AS pl0
+      |  FROM styled),
+      |lastpre2 AS (
+      |  SELECT p_partkey, pn, caps,
+      |         regexp_replace(pl0, '\sgesch\.?\s.*', '') AS pl
+      |  FROM lastpre),
+      |-- shared preprocess_name chain: ascii fold (only ß occurs in this
+      |-- corpus) -> umlaut table in order (ae -> a, oe -> a, then the
+      |-- (?<!a)ue rule via protect/substitute/restore) -> the seven
+      |-- phonetic bigrams in order -> per-letter dedouble
+      |chain AS (
+      |  SELECT p_partkey, caps,
+      |    list_reduce(list_prepend(
+      |      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(pn, 'ß', 'ss'), 'ae', 'a'), 'oe', 'a'), 'aue', chr(1)), 'ue', 'a'), chr(1), 'aue'), 'th', 't'), 'ck', 'k'), 'ph', 'f'), 'w', 'v'), 'y', 'i'), 'j', 'i'), 'tz', 'z'),
+      |      string_split('abcdefghijklmnopqrstuvwxyz', '')),
+      |      (acc, l) -> replace(acc, l || l, l)) AS pre_name,
+      |    list_reduce(list_prepend(
+      |      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(pl, 'ß', 'ss'), 'ae', 'a'), 'oe', 'a'), 'aue', chr(1)), 'ue', 'a'), chr(1), 'aue'), 'th', 't'), 'ck', 'k'), 'ph', 'f'), 'w', 'v'), 'y', 'i'), 'j', 'i'), 'tz', 'z'),
+      |      string_split('abcdefghijklmnopqrstuvwxyz', '')),
+      |      (acc, l) -> replace(acc, l || l, l)) AS pre_lname
+      |  FROM lastpre2)
+      |SELECT p_partkey, pre_name, pre_lname,
+      |  array_to_string(list_transform(string_split(caps, ' '),
+      |    x -> upper(x[1]) || lower(x[2:])), ' ') AS fixed_case
+      |FROM chain
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
@@ -513,5 +616,6 @@ object Normalization {
     Q("q21_normalize_names_scale", q21, Some(q21Sql)),
     Q("q52_date_branch_matrix", q52, Some(q52Sql)),
     Q("q55_prisoner_number_matrix", q55, Some(q55Sql)),
-    Q("q56_nationality_matrix", q56, Some(q56Sql)))
+    Q("q56_nationality_matrix", q56, Some(q56Sql)),
+    Q("q57_transliteration_matrix", q57, Some(q57Sql)))
 }
