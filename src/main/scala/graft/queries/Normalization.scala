@@ -609,6 +609,90 @@ object Normalization {
       |FROM chain
       |ORDER BY p_partkey""".stripMargin
 
+  /** D2 `clean_date` oracle-backed at table scale, BOTH dropdown modes
+    * side by side (q52 pins D1; D2's own preprocessing was pass-G only).
+    * Eight styles keyed on `o_orderkey % 8` over the real order dates:
+    * clean trio; a German month NAME (dropdown mode scrubs it to "",
+    * crowd mode folds it through the month-corrections table — which
+    * has a gap: `d.c[a-z]*` never matches "dezember", so December
+    * alone scrubs to "" there too, a reference quirk the oracle
+    * encodes per month); a digit-prefixed month ("MMabc" → dropdown
+    * takes the 2-digit prefix, crowd scrubs the letters); a dash day
+    * (→ "00", NOT QA-flagged — dash is the no-entry sentinel); a
+    * 2-digit year (dropdown: no century fix, not a full year → ALL
+    * THREE parts blank + validity QA on the pre-blank value; crowd:
+    * century rule → 18yy, below timespan → QA, parts KEPT — the modes'
+    * sharpest divergence); a below-timespan year (QA, value kept); a
+    * ".0" float-artifact day; and "unclear" (QA + scrub to ""). Orders
+    * years 1996–1998 flag the validity QA in every style, so the
+    * timespan branch fires on real data too. Every expectation was
+    * derived by running the REFERENCE's `clean_date` wholesale over a
+    * 12-month × 3-date × 8-class grid in both modes before encoding.
+    */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val y = year(col("o_orderdate"))
+    val mo = month(col("o_orderdate"))
+    val d = dayofmonth(col("o_orderdate"))
+    val names = array(Seq("Januar", "Februar", "März", "April", "Mai", "Juni",
+      "Juli", "August", "September", "Oktober", "November", "Dezember").map(lit): _*)
+    val cls = pmod(k, lit(8))
+    val dd2 = lpad(d.cast("string"), 2, "0")
+    val mm2 = lpad(mo.cast("string"), 2, "0")
+    val styled = o.select(k.as("o_orderkey"),
+        when(cls === 3, lit("-")).when(cls === 6, concat(dd2, lit(".0")))
+          .when(cls === 7, lit("unclear")).otherwise(dd2).as("day_c"),
+        when(cls === 1, element_at(names, mo))
+          .when(cls === 2, concat(mm2, lit("abc"))).otherwise(mm2).as("month_c"),
+        when(cls === 4, lpad(pmod(y, lit(100)).cast("string"), 2, "0"))
+          .when(cls === 5, lit("1899")).otherwise(y.cast("string")).as("year_c"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+    val both = Dates.cleanDate(
+      Dates.cleanDate(styled, "day_c", "month_c", "year_c", "dd",
+        timespan = (1900, 1995), dropdown = true),
+      "day_c", "month_c", "year_c", "cr", timespan = (1900, 1995), dropdown = false)
+    both.select(col("o_orderkey"),
+        col("dd_year_cleaned"), col("dd_month_cleaned"), col("dd_day_cleaned"), col("dd_qa"),
+        col("cr_year_cleaned"), col("cr_month_cleaned"), col("cr_day_cleaned"), col("cr_qa"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q58Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderkey % 8 AS cls,
+      |         EXTRACT(year FROM o_orderdate)::BIGINT AS y,
+      |         lpad(EXTRACT(month FROM o_orderdate)::VARCHAR, 2, '0') AS mm2,
+      |         EXTRACT(month FROM o_orderdate)::BIGINT AS mo,
+      |         lpad(EXTRACT(day FROM o_orderdate)::VARCHAR, 2, '0') AS dd2
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CASE WHEN cls = 4 THEN '' ELSE
+      |    CASE WHEN cls = 5 THEN '1899' ELSE y::VARCHAR END END AS dd_year_cleaned,
+      |  CASE WHEN cls IN (1, 4) THEN '' ELSE mm2 END AS dd_month_cleaned,
+      |  CASE WHEN cls IN (4, 7) THEN '' WHEN cls = 3 THEN '00' ELSE dd2 END AS dd_day_cleaned,
+      |  -- "00" is the unknown-part sentinel: the validity check skips
+      |  -- it, so a 2-digit year of exactly 00 does NOT flag (reference
+      |  -- behavior, checked directly)
+      |  (cls IN (5, 7) OR (cls = 4 AND y % 100 <> 0)
+      |    OR (cls NOT IN (4, 5, 7) AND y > 1995)) AS dd_qa,
+      |  -- century rule on the 2-digit year: >= 50 -> 18yy (below the
+      |  -- timespan -> QA), else 19yy (1900/1901 are IN range -> no QA)
+      |  CASE WHEN cls = 4 THEN
+      |         (CASE WHEN y % 100 >= 50 THEN '18' ELSE '19' END)
+      |           || lpad((y % 100)::VARCHAR, 2, '0')
+      |       WHEN cls = 5 THEN '1899' ELSE y::VARCHAR END AS cr_year_cleaned,
+      |  -- the month-corrections table has no pattern matching "dezember"
+      |  -- (its December entry is 'd.c[a-z]*'), so December alone scrubs
+      |  -- to '' on the crowd path
+      |  CASE WHEN cls = 1 THEN (CASE WHEN mo = 12 THEN '' ELSE mm2 END)
+      |       ELSE mm2 END AS cr_month_cleaned,
+      |  CASE WHEN cls = 7 THEN '' WHEN cls = 3 THEN '00' ELSE dd2 END AS cr_day_cleaned,
+      |  (cls IN (5, 7) OR (cls = 4 AND y % 100 >= 50)
+      |    OR (cls NOT IN (4, 5, 7) AND y > 1995)) AS cr_qa
+      |FROM src
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
@@ -617,5 +701,6 @@ object Normalization {
     Q("q52_date_branch_matrix", q52, Some(q52Sql)),
     Q("q55_prisoner_number_matrix", q55, Some(q55Sql)),
     Q("q56_nationality_matrix", q56, Some(q56Sql)),
-    Q("q57_transliteration_matrix", q57, Some(q57Sql)))
+    Q("q57_transliteration_matrix", q57, Some(q57Sql)),
+    Q("q58_clean_date_matrix", q58, Some(q58Sql)))
 }
