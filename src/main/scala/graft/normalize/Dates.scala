@@ -234,11 +234,18 @@ object Dates {
     val normalized = normaliseDate(input, corrCol, outName, dataSource, timespan)
     def joined(prefix: String) = concat_ws(".",
       col(s"${prefix}_year_cleaned"), col(s"${prefix}_month_cleaned"), col(s"${prefix}_day_cleaned"))
-    val same = joined(origName) === joined(outName)
-    Seq("year", "month", "day").foldLeft(normalized) { (d, part) =>
+    // Stage the comparison BEFORE overwriting any part column: a chained
+    // withColumn re-resolves the predicate against the frame it is
+    // applied to, so after the first fold step blanked the year, the
+    // "same" test compared ".MM.dd" to the original and month/day
+    // survived dismissal (caught by q59's oracle; the unit golden only
+    // asserted the year).
+    val sameCol = s"__dc_${outName}_same"
+    val staged = normalized.withColumn(sameCol, joined(origName) === joined(outName))
+    Seq("year", "month", "day").foldLeft(staged) { (d, part) =>
       val c = s"${outName}_${part}_cleaned"
-      d.withColumn(c, when(same, lit("")).otherwise(col(c)))
-    }
+      d.withColumn(c, when(col(sameCol), lit("")).otherwise(col(c)))
+    }.drop(sameCol)
   }
 
   /** D4 `date_timing_check` (aux_functions.py:337-408): lexicographic

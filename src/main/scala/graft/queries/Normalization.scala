@@ -693,6 +693,103 @@ object Normalization {
       |FROM src
       |ORDER BY o_orderkey""".stripMargin
 
+  /** D3 `date_correction` + D4 `date_timing_check` oracle-backed at
+    * table scale (both were pass-G only; D3 is DEAD CODE in the
+    * reference — `cp.normalise_date` references an import that does not
+    * exist and no test or script calls it, so the port implements the
+    * evident intent, verified here by running the reference with that
+    * one-line defect patched). Five correction styles: identical date
+    * (dismissed -> blank parts, QA carried through), +1 year (kept, the
+    * validity QA fires because y+1 always exceeds the 1995 timespan
+    * cap), unparseable "n/a" (kept EMPTY parts — ".." never equals the
+    * joined original), transposed `MM.dd.yyyy` (three subcases: day>12
+    * -> the swap reconstructs the original -> dismissed; day==month ->
+    * transposed equals original -> dismissed; else kept with month/day
+    * exchanged), and +1 month wrapped (always kept). D4 runs six timing
+    * classes over the same rows: equal / t2-later (consistent), each
+    * part one step earlier (its `_t1 > _t2` label), and a non-numeric
+    * year (the reference swallows the int() error -> consistent).
+    * Expectations from wholesale reference runs of both functions.
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val y = year(col("o_orderdate"))
+    val mo = month(col("o_orderdate"))
+    val d = dayofmonth(col("o_orderdate"))
+    val yy4 = y.cast("string")
+    val mm2 = lpad(mo.cast("string"), 2, "0")
+    val dd2 = lpad(d.cast("string"), 2, "0")
+    val cls = pmod(k, lit(5))
+    val cls6 = pmod(k, lit(6))
+    val base = o.select(k.as("o_orderkey"),
+        yy4.as("orig_year_cleaned"), mm2.as("orig_month_cleaned"),
+        dd2.as("orig_day_cleaned"),
+        when(cls === 0, concat(dd2, lit("."), mm2, lit("."), yy4))
+          .when(cls === 1, concat(dd2, lit("."), mm2, lit("."), (y + 1).cast("string")))
+          .when(cls === 2, lit("n/a"))
+          .when(cls === 3, concat(mm2, lit("."), dd2, lit("."), yy4))
+          .otherwise(concat(dd2, lit("."),
+            lpad((pmod(mo, lit(12)) + 1).cast("string"), 2, "0"), lit("."), yy4))
+          .as("corr_raw"),
+        when(cls6 === 5, lit("x"))
+          .when(cls6 === 1, (y + 1).cast("string"))
+          .when(cls6 === 2, (y - 1).cast("string"))
+          .otherwise(yy4).as("t2_year"),
+        when(cls6 === 3, (mo - 1).cast("string")).otherwise(mo.cast("string")).as("t2_month"),
+        when(cls6 === 4, (d - 1).cast("string")).otherwise(d.cast("string")).as("t2_day"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+    val corrected = Dates.dateCorrection(base, "corr_raw", "orig", "corr",
+      timespan = (1900, 1995))
+    val (timing, timingQa) = Dates.dateTimingCheck(
+      col("orig_year_cleaned"), col("orig_month_cleaned"), col("orig_day_cleaned"),
+      col("t2_year"), col("t2_month"), col("t2_day"))
+    corrected.select(col("o_orderkey"),
+        col("corr_year_cleaned"), col("corr_month_cleaned"),
+        col("corr_day_cleaned"), col("corr_qa"),
+        timing.as("timing"), timingQa.as("timing_qa"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q59Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderkey % 5 AS cls, o_orderkey % 6 AS cls6,
+      |         EXTRACT(year FROM o_orderdate)::BIGINT AS y,
+      |         EXTRACT(month FROM o_orderdate)::BIGINT AS mo,
+      |         EXTRACT(day FROM o_orderdate)::BIGINT AS d,
+      |         lpad(EXTRACT(month FROM o_orderdate)::VARCHAR, 2, '0') AS mm2,
+      |         lpad(EXTRACT(day FROM o_orderdate)::VARCHAR, 2, '0') AS dd2
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CASE cls
+      |    WHEN 0 THEN ''
+      |    WHEN 1 THEN (y + 1)::VARCHAR
+      |    WHEN 2 THEN ''
+      |    WHEN 3 THEN CASE WHEN d > 12 OR d = mo THEN '' ELSE y::VARCHAR END
+      |    ELSE y::VARCHAR END AS corr_year_cleaned,
+      |  CASE cls
+      |    WHEN 1 THEN mm2
+      |    WHEN 3 THEN CASE WHEN d > 12 OR d = mo THEN '' ELSE dd2 END
+      |    WHEN 4 THEN lpad((mo % 12 + 1)::VARCHAR, 2, '0')
+      |    ELSE '' END AS corr_month_cleaned,
+      |  CASE cls
+      |    WHEN 1 THEN dd2
+      |    WHEN 3 THEN CASE WHEN d > 12 OR d = mo THEN '' ELSE mm2 END
+      |    WHEN 4 THEN dd2
+      |    ELSE '' END AS corr_day_cleaned,
+      |  CASE cls
+      |    WHEN 1 THEN true
+      |    WHEN 2 THEN false
+      |    ELSE y > 1995 END AS corr_qa,
+      |  CASE cls6
+      |    WHEN 2 THEN 'year_t1 > year_t2'
+      |    WHEN 3 THEN 'month_t1 > month_t2'
+      |    WHEN 4 THEN 'day_t1 > day_t2'
+      |    ELSE 'consistent' END AS timing,
+      |  cls6 IN (2, 3, 4) AS timing_qa
+      |FROM src
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
@@ -702,5 +799,6 @@ object Normalization {
     Q("q55_prisoner_number_matrix", q55, Some(q55Sql)),
     Q("q56_nationality_matrix", q56, Some(q56Sql)),
     Q("q57_transliteration_matrix", q57, Some(q57Sql)),
-    Q("q58_clean_date_matrix", q58, Some(q58Sql)))
+    Q("q58_clean_date_matrix", q58, Some(q58Sql)),
+    Q("q59_date_correction_matrix", q59, Some(q59Sql)))
 }

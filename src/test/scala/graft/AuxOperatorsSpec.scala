@@ -66,6 +66,11 @@ class AuxOperatorsSpec extends SparkSpec {
       .toDF("birth_year_cleaned", "birth_month_cleaned", "birth_day_cleaned", "correction")
     val out = Dates.dateCorrection(df, "correction", "birth", "birth_corrected").collect()
     assert(out(0).getAs[String]("birth_corrected_year_cleaned") === "")
+    // ALL THREE parts must be dismissed, not just the year — the staged
+    // comparison regression q59's oracle caught (a chained withColumn
+    // re-resolved the equality after the year was already blanked)
+    assert(out(0).getAs[String]("birth_corrected_month_cleaned") === "")
+    assert(out(0).getAs[String]("birth_corrected_day_cleaned") === "")
     assert(out(1).getAs[String]("birth_corrected_year_cleaned") === "1944")
     assert(out(1).getAs[String]("birth_corrected_day_cleaned") === "15")
   }
