@@ -515,11 +515,96 @@ object Linkage {
       |FROM combined
       |ORDER BY o_orderkey""".stripMargin
 
+  /** E13/E14/E15 oracle-backed at table scale (all three cluster tools
+    * were pass-G only). One row-grain result over a constructed
+    * clustering of the orders keys:
+    *  - E13 `clean_td_cases`: every fifth row carries a TD number (and
+    *    every fifth-plus-one the `-` NA sentinel, which must NOT
+    *    re-segment) — the output column shows TD rows leaving their
+    *    computed cluster for the atomic `td:` cluster;
+    *  - E14 `merge_clusterings`: assignment A groups keys by /8, B by
+    *    /16 — every component is provably one 16-block (B nests two A
+    *    blocks), and the deterministic representative is the
+    *    lexicographic min row-id string (digit vids always sort below
+    *    the `c1:`/`c2:` label vertices), which SQL derives as
+    *    `min(k::VARCHAR) OVER (PARTITION BY k // 16)`;
+    *  - E15 `cluster_integrety`: clusters are the /2 blocks (≤ 2
+    *    members by construction, so every per-member reduction is a
+    *    1-or-2-element FP-order-free aggregate); blocks holding a
+    *    k%4==1 member pair an identical person with a +1-year dob →
+    *    every metric reads the E6 combine 2/3·100 + 1/3·96 computed
+    *    with the same IEEE association in SQL; singletons and
+    *    variant-free pairs read exactly 100.
+    */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    import graft.linkage.Clustering
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val persons = o.select(k.as("id"),
+        lit("hans").as("strGName_processed"), lit("muler").as("strLName_processed"),
+        when(pmod(k, lit(4)) === 1, lit("19440312"))
+          .otherwise(lit("19430312")).as("strDoB_processed"),
+        concat(lit("c"), floor(k / 2).cast("long")).as("cluster_id"),
+        when(pmod(k, lit(5)) === 0, concat(lit("TD"), pmod(k, lit(97))))
+          .when(pmod(k, lit(5)) === 1, lit("-"))
+          .otherwise(lit(null).cast("string")).as("TD_number"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+    val td = Clustering.cleanTdCases(persons)
+      .select(col("id"), col("cluster_id").as("td_cluster"))
+    val l1 = o.select(k.as("id"), concat(lit("a"), floor(k / 8).cast("long")).as("cluster_id"))
+    val l2 = o.select(k.as("id"), concat(lit("b"), floor(k / 16).cast("long")).as("cluster_id"))
+    val merged = Clustering.mergeClusterings(l1, l2)
+      .select(col("id"), col("cluster_id").as("merged_cluster"))
+    val quality = Clustering.clusterQuality(persons.drop("TD_number"))
+    persons.select(col("id"), col("cluster_id"))
+      .join(td, "id").join(merged, "id").join(quality, "cluster_id")
+      .select(col("id"), col("td_cluster"), col("merged_cluster"),
+        col("size"), col("average"), col("average_link"),
+        col("single_link"), col("max_link"))
+      .orderBy(col("id"))
+  }
+  private val q60Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k FROM orders),
+      |blocks AS (
+      |  SELECT k,
+      |    count(*) OVER (PARTITION BY k // 2) AS n,
+      |    max(CASE WHEN k % 4 = 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY k // 2) AS v,
+      |    min(k::VARCHAR) OVER (PARTITION BY k // 16) AS m16
+      |  FROM src)
+      |SELECT k AS id,
+      |  CASE WHEN k % 5 = 0 THEN 'td:TD' || (k % 97)::VARCHAR
+      |       ELSE 'c' || (k // 2)::VARCHAR END AS td_cluster,
+      |  m16 AS merged_cluster,
+      |  n::INT AS size,
+      |  -- an IDENTICAL pair still runs the kernel: 2/3*100 + 1/3*100 =
+      |  -- 99.999999999999986 in IEEE doubles (the q22 rounding note) —
+      |  -- only a true singleton would read the literal 100.0, and the
+      |  -- contiguous key space provably has none (every /2 block is
+      |  -- full), mirroring the Scala Seq(100.0) branch being dead here
+      |  CASE WHEN n = 1 THEN 100.0
+      |       WHEN v = 0 THEN 2.0/3 * 100.0 + 1.0/3 * 100.0
+      |       ELSE 2.0/3 * 100.0 + 1.0/3 * 96.0 END AS average,
+      |  CASE WHEN n = 1 THEN 100.0
+      |       WHEN v = 0 THEN 2.0/3 * 100.0 + 1.0/3 * 100.0
+      |       ELSE 2.0/3 * 100.0 + 1.0/3 * 96.0 END AS average_link,
+      |  CASE WHEN n = 1 THEN 100.0
+      |       WHEN v = 0 THEN 2.0/3 * 100.0 + 1.0/3 * 100.0
+      |       ELSE 2.0/3 * 100.0 + 1.0/3 * 96.0 END AS single_link,
+      |  CASE WHEN n = 1 THEN 100.0
+      |       WHEN v = 0 THEN 2.0/3 * 100.0 + 1.0/3 * 100.0
+      |       ELSE 2.0/3 * 100.0 + 1.0/3 * 96.0 END AS max_link
+      |FROM blocks
+      |ORDER BY id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
     Q("q34_minhash_preclustering", q34, Some(clusterHistogramSql)),
     Q("q51_jaro_similarity", q51, Some(q51Sql)),
     Q("q53_date_similarity", q53, Some(q53Sql)),
-    Q("q54_person_config_matrix", q54, Some(q54Sql)))
+    Q("q54_person_config_matrix", q54, Some(q54Sql)),
+    Q("q60_cluster_tools_matrix", q60, Some(q60Sql)))
 }
