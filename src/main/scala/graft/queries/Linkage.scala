@@ -599,6 +599,52 @@ object Linkage {
       |FROM blocks
       |ORDER BY id""".stripMargin
 
+  /** J4 (`allow_duplicates=False`, matching.py:87-93) oracle-backed by
+    * construction: TWO source transcriptions per person — an identical
+    * copy and a dob+1-year variant — matched against ONE target copy.
+    * Every source's top-1 is its own person (identical: exactly 100
+    * after the 6dp round; variant: ~99.5 vs ≤ ~98.4 for any other
+    * same-name target, the q23 bound argument), so both copies of a
+    * person hit the same target and the dedupe keeps the 100. The
+    * variant therefore loses its ONLY match and must be re-sentineled
+    * to `(-1, null)` — the branch q22 (allow_duplicates=true) never
+    * runs. Every-fourth part key only, to bound the candidate volume
+    * (the full-corpus variant measured 7.4 s at sf0.1 — J4's branch
+    * needs the dedupe semantics exercised, not a second q22-scale
+    * join).
+    */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    val p = persons(spark, dir).filter(pmod(col("pid"), lit(4)) === 0)
+    val trg = p.withColumnRenamed("pid", "trgID")
+    val srcIdentical = p.select((col("pid") * 2).as("srcID"),
+      col("strGName_processed"), col("strLName_processed"),
+      col("strDoB_processed"), col("strPoB_processed"), col("prisoner_number"))
+    val srcVariant = p.select((col("pid") * 2 + 1).as("srcID"),
+      col("strGName_processed"), col("strLName_processed"),
+      concat((substring(col("strDoB_processed"), 1, 4).cast("int") + 1).cast("string"),
+        substring(col("strDoB_processed"), 5, 4)).as("strDoB_processed"),
+      col("strPoB_processed"), col("prisoner_number"))
+    val m = PersonMatching.personMatching(
+      srcIdentical.unionByName(srcVariant), trg,
+      MatchConfig(topN = 1, minScore = 80.0, allowDuplicates = false))
+    m.withColumn("score", round(col("score"), 6)).orderBy(col("srcID"))
+  }
+  private val q61Sql =
+    """WITH base AS (
+      |  SELECT p_partkey FROM part
+      |  WHERE length(split_part(p_name, ' ', 1)) >= 2
+      |    AND length(split_part(p_name, ' ', 2)) >= 2
+      |    AND p_partkey % 4 = 0)
+      |SELECT srcID, score, trgID FROM (
+      |  SELECT p_partkey * 2 AS srcID, CAST(100.0 AS DOUBLE) AS score,
+      |         p_partkey AS trgID
+      |  FROM base
+      |  UNION ALL
+      |  SELECT p_partkey * 2 + 1 AS srcID, CAST(-1.0 AS DOUBLE) AS score,
+      |         CAST(NULL AS BIGINT) AS trgID
+      |  FROM base)
+      |ORDER BY srcID""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
@@ -606,5 +652,6 @@ object Linkage {
     Q("q51_jaro_similarity", q51, Some(q51Sql)),
     Q("q53_date_similarity", q53, Some(q53Sql)),
     Q("q54_person_config_matrix", q54, Some(q54Sql)),
-    Q("q60_cluster_tools_matrix", q60, Some(q60Sql)))
+    Q("q60_cluster_tools_matrix", q60, Some(q60Sql)),
+    Q("q61_dedupe_targets", q61, Some(q61Sql)))
 }
