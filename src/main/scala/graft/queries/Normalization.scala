@@ -790,6 +790,82 @@ object Normalization {
       |FROM src
       |ORDER BY o_orderkey""".stripMargin
 
+  /** F18 `fix_visual_character_decoding` + F20 wikidata/geonames id
+    * parsing oracle-backed at table scale (both pass-G only; the two
+    * reference F20 functions are DEAD CODE with the `qa | parsed !=
+    * raw` precedence defect the Scaladoc documents — the oracle pins
+    * the port's stated intended-semantics contract). F18 styles over
+    * the corpus words: identity letters, the `7`→`T` digit map, a
+    * single OCR-confusable `α`→`a`, an all-confusable "ααα" hitting
+    * the whole-value rejection, and a dropped unknown `?` — with the
+    * reference's quirk that its "non-ascii" table also contains the
+    * ASCII keys `1`/`m`/`.`/`'`, so plain `m`s count toward the 30%
+    * rejection ratio (reference-verified: "med" and "smallα" both
+    * reject wholesale; the oracle replays the m-count arithmetic).
+    * F20:
+    * `Q<k>` passthrough (no QA), bare digits → `Q`-prefixed (QA:
+    * parsed differs from raw), `unclear` (QA regex + emptied), the
+    * `-` no-entry (emptied, QA via the parsed≠raw arm), and for
+    * geonames a whitespace-padded id (parse strips, compare is
+    * against the UNstripped raw → QA with the trimmed id kept).
+    */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val k = col("p_partkey")
+    val w1 = get(split(col("p_name"), " "), lit(0))
+    val f = pmod(k, lit(5))
+    val wcls = pmod(k, lit(4))
+    val gcls = pmod(k, lit(3))
+    val styled = p.select(k,
+        when(f === 0, w1).when(f === 1, concat(w1, lit("7")))
+          .when(f === 2, concat(w1, lit("α"))).when(f === 3, lit("ααα"))
+          .otherwise(concat(w1, lit("?"))).as("visual_raw"),
+        when(wcls === 0, concat(lit("Q"), k.cast("string")))
+          .when(wcls === 1, k.cast("string"))
+          .when(wcls === 2, lit("unclear")).otherwise(lit("-")).as("wiki"),
+        when(gcls === 0, k.cast("string"))
+          .when(gcls === 1, concat(lit("g"), k.cast("string")))
+          .otherwise(concat(lit(" "), k.cast("string"), lit(" "))).as("geo"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, k)
+    val withIds = graft.normalize.Geo.cleanGeonameIds(
+      graft.normalize.Geo.cleanWikidataIds(styled, "wiki"), "geo")
+    withIds.select(col("p_partkey"),
+        graft.functions.Udfs.fixVisualDecoding(col("visual_raw")).as("visual_fixed"),
+        col("wiki"), col("wiki_qa"), col("geo"), col("geo_qa"))
+      .orderBy(col("p_partkey"))
+  }
+  private val q62Sql =
+    """WITH src AS (
+      |  SELECT p_partkey, string_split(p_name, ' ')[1] AS w1,
+      |         p_partkey % 5 AS f, p_partkey % 4 AS wcls, p_partkey % 3 AS gcls
+      |  FROM part)
+      |SELECT p_partkey,
+      |  -- the reference's visual_non_ascii_replacements table contains
+      |  -- the ASCII keys '1', 'm', '.', and the apostrophe, so plain
+      |  -- letters count toward the 30% suspect-rejection ratio: "med"
+      |  -- and "smallm" reject wholesale (reference-verified). The
+      |  -- replay counts w1's m's like the kernel does.
+      |  CASE f
+      |    WHEN 0 THEN CASE WHEN (length(w1) - length(replace(w1,'m','')))
+      |           / length(w1)::DOUBLE > 0.3 THEN '' ELSE w1 END
+      |    WHEN 1 THEN CASE WHEN (length(w1) - length(replace(w1,'m','')))
+      |           / (length(w1) + 1)::DOUBLE > 0.3 THEN '' ELSE w1 || 'T' END
+      |    WHEN 2 THEN CASE WHEN (length(w1) - length(replace(w1,'m','')) + 1)
+      |           / (length(w1) + 1)::DOUBLE > 0.3 THEN '' ELSE w1 || 'a' END
+      |    WHEN 3 THEN ''
+      |    ELSE CASE WHEN (length(w1) - length(replace(w1,'m','')))
+      |           / (length(w1) + 1)::DOUBLE > 0.3 THEN '' ELSE w1 END
+      |  END AS visual_fixed,
+      |  CASE wcls WHEN 0 THEN 'Q' || p_partkey::VARCHAR
+      |            WHEN 1 THEN 'Q' || p_partkey::VARCHAR
+      |            ELSE '' END AS wiki,
+      |  wcls <> 0 AS wiki_qa,
+      |  CASE gcls WHEN 1 THEN '' ELSE p_partkey::VARCHAR END AS geo,
+      |  gcls <> 0 AS geo_qa
+      |FROM src
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q18_date_parse_buckets", q18, Some(q18Sql)),
     Q("q19_sentinel_mask", q19, Some(q19Sql)),
@@ -800,5 +876,6 @@ object Normalization {
     Q("q56_nationality_matrix", q56, Some(q56Sql)),
     Q("q57_transliteration_matrix", q57, Some(q57Sql)),
     Q("q58_clean_date_matrix", q58, Some(q58Sql)),
-    Q("q59_date_correction_matrix", q59, Some(q59Sql)))
+    Q("q59_date_correction_matrix", q59, Some(q59Sql)),
+    Q("q62_visual_geo_matrix", q62, Some(q62Sql)))
 }
