@@ -361,11 +361,81 @@ object Pipeline {
       |FROM payload
       |ORDER BY doc_id""".stripMargin
 
+  /** A9 `Enc_Matcher.stats` + A10 has_qa oracle-backed at table scale
+    * (both pass-G only). Transcription groups of three rows per document
+    * (`o_orderkey / 3`), two matched columns whose per-document class is
+    * `doc % 4` and `(doc+1) % 4` respectively — the two stats rows carry
+    * DIFFERENT counts from the same corpus:
+    *   - class 0: three identical values -> a consensus (matched);
+    *   - class 1: three distinct single-token values -> no majority ->
+    *     ambiguous (n > 1 keeps it out of too_few);
+    *   - class 2: one value + two `-` sentinels -> exclude-empty
+    *     short-circuits and the single informative entry counts as
+    *     too_few_entries, not ambiguous;
+    *   - class 3: all `-` -> without_entries.
+    * The tail document may hold fewer than three rows, so the oracle
+    * derives each document's row count and applies the SAME class
+    * semantics (a one-row class-0/1 document is too_few — its lone
+    * entry can never vote), rather than assuming full groups.
+    */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.core.Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val doc = floor(k / 3).cast("long")
+    def valueFor(cls: org.apache.spark.sql.Column, tag: String) =
+      when(cls === 0, concat(lit(tag), doc.cast("string")))
+        .when(cls === 1, element_at(
+          array(lit("aa"), lit("bb"), lit("cc")), (pmod(k, lit(3)) + 1).cast("int")))
+        .when(cls === 2,
+          when(pmod(k, lit(3)) === 0, concat(lit("x"), doc.cast("string")))
+            .otherwise(lit("-")))
+        .otherwise(lit("-"))
+    val input = o.select(
+        doc.cast("string").as("doc_id"), k.as("row_id"),
+        valueFor(pmod(doc, lit(4)), "v").as("field_a"),
+        valueFor(pmod(doc + 1, lit(4)), "w").as("field_b"),
+        lit("false").as("field_a_qa"), lit("false").as("field_b_qa"))
+      // single parquet split at bench SFs (see q52's note)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val spec = DedupSpec(idCol = "doc_id",
+      otherStrictCols = Seq("field_a", "field_b"))
+    val result = EncDeduplicater.run(input, spec)
+    EncDeduplicater.matchStats(input, spec, result)
+      .orderBy(col("column"))
+  }
+  private val q63Sql =
+    """WITH docs AS (
+      |  SELECT o_orderkey // 3 AS doc, count(*) AS r
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT doc, r, doc % 4 AS ca, (doc + 1) % 4 AS cb FROM docs),
+      |stats AS (
+      |  SELECT 'field_a' AS col_name,
+      |    sum(CASE WHEN ca IN (0,1,2) THEN 1 ELSE 0 END) AS with_entries,
+      |    sum(CASE WHEN ca = 3 THEN 1 ELSE 0 END) AS without_entries,
+      |    sum(CASE WHEN ca = 0 AND r >= 2 THEN 1 ELSE 0 END) AS matched,
+      |    sum(CASE WHEN ca = 1 AND r >= 2 THEN 1 ELSE 0 END) AS ambiguous,
+      |    sum(CASE WHEN (ca IN (0,1) AND r = 1) OR ca = 2 THEN 1 ELSE 0 END) AS too_few_entries
+      |  FROM c
+      |  UNION ALL
+      |  SELECT 'field_b',
+      |    sum(CASE WHEN cb IN (0,1,2) THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN cb = 0 AND r >= 2 THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN cb = 1 AND r >= 2 THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN (cb IN (0,1) AND r = 1) OR cb = 2 THEN 1 ELSE 0 END)
+      |  FROM c)
+      |SELECT col_name AS "column", with_entries, without_entries, matched,
+      |       ambiguous, too_few_entries
+      |FROM stats
+      |ORDER BY col_name""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q16_unpack_repeat_groups", q16, Some(q16Sql)),
     Q("q17_consensus_dedup", q17, Some(q17Sql)),
     Q("q33_consensus_vote_scale", q18c, Some(q18cSql)),
     Q("q39_json_unpack_scale", q39, Some(q39Sql)),
     Q("q41_consensus_strict_date", q41, Some(q41Sql)),
-    Q("q43_zooniverse_unpack", q43, Some(q43Sql)))
+    Q("q43_zooniverse_unpack", q43, Some(q43Sql)),
+    Q("q63_match_stats", q63, Some(q63Sql)))
 }
