@@ -645,6 +645,35 @@ object Linkage {
       |  FROM base)
       |ORDER BY srcID""".stripMargin
 
+  /** E11 `known-cluster seeding` oracle-backed (pass-G only): rows
+    * sharing a non-empty known-cluster key become edges. Key classes
+    * over the orders ids: k%4==0 shares `K<k/8>` with its 8-block
+    * partner (exactly one seeded edge per full block), k%4==1 carries
+    * the `-` NA sentinel and k%4==2 a NULL (both must seed NOTHING —
+    * the sentinel-filter branch), k%4==3 a unique key (no partner).
+    * The oracle derives the surviving (8i, 8i+4) pairs directly from
+    * the key space, including tail blocks where the partner is absent.
+    */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val cls = pmod(k, lit(4))
+    val persons = o.select(k.as("id"),
+        when(cls === 0, concat(lit("K"), floor(k / 8).cast("long")))
+          .when(cls === 1, lit("-"))
+          .when(cls === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("U"), k.cast("string"))).as("known_key"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+    graft.linkage.Clustering.knownClusterEdges(persons, "known_key")
+      .orderBy(col("a"), col("b"))
+  }
+  private val q64Sql =
+    """WITH keys AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT l.k AS a, r.k AS b
+      |FROM keys l JOIN keys r
+      |  ON l.k // 8 = r.k // 8 AND l.k < r.k
+      |ORDER BY a, b""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("q22_person_match_self", q22, Some(q22Sql)),
     Q("q23_person_clustering", q23, Some(clusterHistogramSql)),
@@ -653,5 +682,6 @@ object Linkage {
     Q("q53_date_similarity", q53, Some(q53Sql)),
     Q("q54_person_config_matrix", q54, Some(q54Sql)),
     Q("q60_cluster_tools_matrix", q60, Some(q60Sql)),
-    Q("q61_dedupe_targets", q61, Some(q61Sql)))
+    Q("q61_dedupe_targets", q61, Some(q61Sql)),
+    Q("q64_known_cluster_edges", q64, Some(q64Sql)))
 }
