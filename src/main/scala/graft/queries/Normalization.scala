@@ -534,7 +534,7 @@ object Normalization {
     val w = split(col("p_name"), " ")
     val w1 = get(w, lit(0))
     val w2 = get(w, lit(1))
-    val cls = pmod(col("p_partkey"), lit(8))
+    val cls = pmod(col("p_partkey"), lit(10))
     val styled = p.select(col("p_partkey"),
         when(cls === 0, w1)
           .when(cls === 1, concat(w1, lit("ß")))
@@ -543,6 +543,8 @@ object Normalization {
           .when(cls === 4, concat(w1, lit("bue")))
           .when(cls === 5, concat(w1, lit("sohn")))
           .when(cls === 6, concat(w1, lit("cka")))
+          .when(cls === 8, concat(w1, lit("owa")))
+          .when(cls === 9, concat(w1, lit("sohns")))
           .otherwise(concat(w1, lit(" geb. "), w2)).as("nm"),
         concat(upper(w1), lit(" "), upper(w2)).as("caps"))
       // single parquet split at bench SFs (see q52's note)
@@ -558,7 +560,7 @@ object Normalization {
       |  SELECT p_partkey,
       |         string_split(p_name, ' ')[1] AS w1,
       |         string_split(p_name, ' ')[2] AS w2,
-      |         p_partkey % 8 AS cls
+      |         p_partkey % 10 AS cls
       |  FROM part),
       |styled AS (
       |  SELECT p_partkey,
@@ -570,6 +572,8 @@ object Normalization {
       |      WHEN 4 THEN w1 || 'bue'
       |      WHEN 5 THEN w1 || 'sohn'
       |      WHEN 6 THEN w1 || 'cka'
+      |      WHEN 8 THEN w1 || 'owa'
+      |      WHEN 9 THEN w1 || 'sohns'
       |      ELSE w1 || ' geb. ' || w2 END AS nm,
       |    upper(w1) || ' ' || upper(w2) AS caps
       |  FROM src),
