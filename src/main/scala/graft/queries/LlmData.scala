@@ -137,12 +137,13 @@ object LlmData {
       |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
       |toks AS (
       |  -- mirrors wordShingles' normalization exactly: tokenless docs
-      |  -- (no \S char) produce NO tokens, and trailing whitespace is
-      |  -- stripped before the split so it cannot become a trailing
-      |  -- empty token (string_split_regex keeps trailing empties, as
-      |  -- does Spark's split)
+      |  -- (no \S char) produce NO tokens, and whitespace is stripped
+      |  -- from BOTH edges before the split so it cannot become an edge
+      |  -- empty token (string_split_regex emits leading/trailing
+      |  -- empties, as does Spark's split; 'g' flag so the alternation
+      |  -- hits both edges)
       |  SELECT doc_id,
-      |    string_split_regex(regexp_replace(lower(trim(text)), '\s+$', ''), '\s+') AS t
+      |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
       |  FROM corpus WHERE regexp_matches(text, '\S')),
       |grams AS (
       |  SELECT DISTINCT doc_id,
@@ -181,11 +182,11 @@ object LlmData {
   private val q28Sql =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  -- mirrors tokenCount's r18 rules: tokenless (no \S char) is 0,
-      |  -- trailing whitespace stripped pre-split (both split functions
-      |  -- keep trailing empty tokens)
+      |  -- mirrors tokenCount's r19 rules: tokenless (no \S char) is 0,
+      |  -- both-edge whitespace stripped pre-split (both split functions
+      |  -- emit leading/trailing empty tokens)
       |  CASE WHEN NOT regexp_matches(text, '\S') THEN 0
-      |       ELSE len(string_split_regex(regexp_replace(trim(text), '\s+$', ''), '\s+')) END AS n_tokens,
+      |       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
       |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -219,7 +220,7 @@ object LlmData {
     """WITH m AS (
       |  SELECT doc_id, text,
       |    length(text) AS n,
-      |    string_split_regex(regexp_replace(trim(lower(text)), '\s+$', ''), '\s+') AS toks,
+      |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks,
       |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
       |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
       |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,

@@ -31,14 +31,17 @@ object Dedup {
 
   /** Word k-shingles of the lowercased text (codegen'd column expr). */
   def wordShingles(text: Column, k: Int): Column = {
-    // trailing whitespace is stripped BEFORE the split: Spark's split
-    // keeps trailing empty tokens (limit -1), so "hello world\t" would
-    // otherwise tokenize as ["hello","world",""] and shingle to
+    // leading AND trailing whitespace are stripped BEFORE the split:
+    // Java regex split emits an empty token at BOTH edges (a leading
+    // empty for "^\s", trailing empties for limit -1), so "\thello"
+    // would tokenize as ["","hello"] and mint a phantom empty-string
+    // shingle token, and "hello world\t" would shingle to
     // "hello world " — never matching the identical document without
-    // the trailing tab. Spark trim alone is not enough (it strips only
-    // spaces), hence the regexp. The SQL oracle's gram derivation
-    // (q27Sql) mirrors this exact normalization.
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    // the edge whitespace. Spark trim alone is not enough (it strips
+    // only spaces), hence the ^\s+|\s+$ regexp (r19; the r18 fix
+    // stripped only the trailing side). The SQL oracle's gram
+    // derivation (q27Sql) mirrors this exact normalization.
+    val toks = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
     // TOKENLESS text (empty or all-whitespace) shingles as NOTHING:
     // split("") is [""], so the short-text fallback below would hand
     // every such document one identical phantom shingle — all blanks

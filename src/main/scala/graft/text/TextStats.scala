@@ -19,15 +19,16 @@ object TextStats {
     * perfect distinct-token ratio in the quality score). rlike(\S), not
     * length(trim(..)) === 0 — Spark trim strips only SPACES, so a
     * tab-only document passed the old guard and counted TWO phantom
-    * tokens (the leading and trailing empty splits). Trailing
-    * whitespace is stripped pre-split for the same reason (Spark's
-    * split keeps trailing empties): "a\t" is one token, not two. The
-    * q28/q29 oracle SQL mirrors both rules (r18; the wordShingles
-    * precedent).
+    * tokens (the leading and trailing empty splits). Whitespace is
+    * stripped from BOTH edges pre-split: Java regex split emits an
+    * empty token at either edge ("\thello" splits as ["","hello"] = 2
+    * tokens; "a\t" as ["a",""]). The q28/q29 oracle SQL mirrors both
+    * rules (r19; the wordShingles precedent — r18 stripped only the
+    * trailing side).
     */
   def tokenCount(text: Column): Column =
     when(!text.rlike("\\S"), 0)
-      .otherwise(size(split(regexp_replace(trim(text), "\\s+$", ""), "\\s+")))
+      .otherwise(size(split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")))
 
   /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
     * suffixes, letter runs, digit runs, punctuation runs, whitespace
@@ -54,10 +55,10 @@ object TextStats {
     * guard is on tokenless TEXT, not an empty token array — split("")
     * is [""], so size(toks) === 0 never fires (the pre-fix dead
     * guard). Same tokenization rules as [[tokenCount]]: rlike(\S)
-    * guard, trailing whitespace stripped pre-split.
+    * guard, both-edge whitespace stripped pre-split.
     */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    val toks = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
     when(!text.rlike("\\S"), 0.0).otherwise(
       size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
   }
@@ -69,7 +70,7 @@ object TextStats {
     * split survives a trim-based guard, a 0.5.
     */
   def distinctTokenRatio(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+$", ""), "\\s+")
+    val toks = split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
     when(!text.rlike("\\S"), 0.0)
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }

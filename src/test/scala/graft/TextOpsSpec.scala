@@ -106,7 +106,11 @@ class TextOpsSpec extends SparkSpec {
       // trailing tab counted one phantom token. Expected values below
       // were cross-verified against the q28/q29 oracle SQL run in
       // DuckDB on this exact corpus at authoring time (SURVEY r18 log).
-      (6L, "\t\t"), (7L, "a\t"), (8L, "the the cat\t\n"))
+      (6L, "\t\t"), (7L, "a\t"), (8L, "the the cat\t\n"),
+      // the r19 cases: Java regex split ALSO emits a LEADING empty
+      // token, so "\thello" tokenized as ["","hello"] = 2 tokens under
+      // the r18 trailing-only strip. Both edges now stripped pre-split.
+      (9L, "\thello"), (10L, "\n\tthe cat\t "))
       .toDF("doc_id", "text")
     // tokenCount: the [""] split artifact must not count one phantom token
     val toks = weird.select(col("doc_id"), TextStats.tokenCount(col("text")).as("n"))
@@ -116,6 +120,8 @@ class TextOpsSpec extends SparkSpec {
     assert(toks(6L) === 0, "tab-only text must count zero tokens")
     assert(toks(7L) === 1, "trailing tab must not count a phantom token")
     assert(toks(8L) === 3, "trailing whitespace run must not count a phantom token")
+    assert(toks(9L) === 1, "leading tab must not count a phantom token")
+    assert(toks(10L) === 2, "leading+trailing whitespace must not count phantom tokens")
     // quality: an empty document must not collect the distinct-token 0.15
     val q = weird.filter(col("doc_id") === 1L)
       .select(TextStats.qualityScore(col("text"))).head().getDouble(0)
@@ -126,9 +132,15 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
     assert(dr(6L) === 0.0, s"tab-only distinct ratio: ${dr(6L)}")
     assert(math.abs(dr(8L) - 2.0 / 3) < 1e-9, s"trailing-ws distinct ratio: ${dr(8L)}")
+    // leading-ws doc 10 ("the cat"): 2 real tokens, both distinct, one
+    // stopword — a phantom leading empty would read 2/3 and 1/3
+    assert(dr(10L) === 1.0, s"leading-ws distinct ratio: ${dr(10L)}")
     val sw = weird.filter(col("doc_id") === 8L)
       .select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
     assert(math.abs(sw - 2.0 / 3) < 1e-9, s"stopword ratio over real tokens only: $sw")
+    val sw10 = weird.filter(col("doc_id") === 10L)
+      .select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
+    assert(sw10 === 0.5, s"leading-ws stopword ratio: $sw10")
     // minhash over null/empty texts: no NPE, no bogus pairs from the
     // constant empty-signature, real duplicates still found
     val pairs = Dedup.minHashDuplicates(weird, "doc_id", "text",
@@ -290,9 +302,14 @@ class TextOpsSpec extends SparkSpec {
       (0L, Some("")), (1L, Some("   ")), (2L, Some("\t\t")), (3L, Option.empty[String]),
       (4L, Some("the quick brown fox")), (5L, Some("the quick brown fox")),
       (6L, Some("the quick brown wolf")), (7L, Some("totally different text here")),
-      (8L, Some("\n\t")), (9L, Some("hello world\t")), (10L, Some("hello world"))
+      (8L, Some("\n\t")), (9L, Some("hello world\t")), (10L, Some("hello world")),
+      // r19: the LEADING mirror of doc 9 — Java regex split emits an
+      // empty token at the leading edge too ("\thello world" splits as
+      // ["","hello","world"] without the ^\s+ strip), so pre-r19 this
+      // doc shingled to " hello world" and never matched 9/10.
+      (11L, Some("\thello world"))
     ).toDF("doc_id", "text")
-    val expected = Set((4L, 5L, 1.0), (9L, 10L, 1.0))
+    val expected = Set((4L, 5L, 1.0), (9L, 10L, 1.0), (9L, 11L, 1.0), (10L, 11L, 1.0))
     // q25's production parameters: identical docs agree on every band,
     // so LSH surfaces the complete >=0.5 exact-Jaccard set here
     val mh = Dedup.minHashDuplicates(corpus, "doc_id", "text",
