@@ -99,7 +99,10 @@ object LlmData {
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
       |toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM corpus),
+      |  -- [ \t\n\x0b\f\r] = JAVA's \s, spelled out: RE2's \s lacks
+      |  -- \x0b (VT), so '\s+' here would mint a token the Spark kernel
+      |  -- treats as whitespace (hostile_diff.py finding, r19)
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+')) AS tok FROM corpus),
       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
       |bits AS (
       |  SELECT doc_id, i,
@@ -141,10 +144,12 @@ object LlmData {
       |  -- from BOTH edges before the split so it cannot become an edge
       |  -- empty token (string_split_regex emits leading/trailing
       |  -- empties, as does Spark's split; 'g' flag so the alternation
-      |  -- hits both edges)
+      |  -- hits both edges). [ \t\n\x0b\f\r] = JAVA's \s spelled out:
+      |  -- RE2's \s lacks \x0b, so a VT-only document would read as a
+      |  -- token here while the kernel sees whitespace (hostile_diff.py)
       |  SELECT doc_id,
-      |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
-      |  FROM corpus WHERE regexp_matches(text, '\S')),
+      |    string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') AS t
+      |  FROM corpus WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
       |grams AS (
       |  SELECT DISTINCT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -182,12 +187,18 @@ object LlmData {
   private val q28Sql =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  -- mirrors tokenCount's r19 rules: tokenless (no \S char) is 0,
-      |  -- both-edge whitespace stripped pre-split (both split functions
-      |  -- emit leading/trailing empty tokens)
-      |  CASE WHEN NOT regexp_matches(text, '\S') THEN 0
-      |       ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
-      |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
+      |  -- mirrors tokenCount's r19 rules: tokenless (no Java-\S char)
+      |  -- is 0, both-edge whitespace stripped pre-split (both split
+      |  -- functions emit leading/trailing empty tokens). The class
+      |  -- [ \t\n\x0b\f\r] is JAVA's \s spelled out — RE2's \s lacks
+      |  -- \x0b (hostile_diff.py finding, r19)
+      |  CASE WHEN NOT regexp_matches(text, '[^ \t\n\x0b\f\r]') THEN 0
+      |       ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+      |  -- empty-text guard mirrors charRatio's when(length===0, 0.0):
+      |  -- without it DuckDB reads 0.0/0 = NaN where the kernel reads 0.0
+      |  -- (hostile_diff.py finding, r19; latent on the non-empty corpus)
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) END AS digit_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -220,15 +231,22 @@ object LlmData {
     """WITH m AS (
       |  SELECT doc_id, text,
       |    length(text) AS n,
-      |    string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks,
+      |    -- [ \t\n\x0b\f\r] = Java's \s spelled out (RE2 \s lacks \x0b)
+      |    string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') AS toks,
       |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
       |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
       |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
-      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |    -- fingerprint norm replays the JVM exactly: collapse JAVA-\s
+      |    -- runs (not RE2 \s — no \x0b there), then strip the edges the
+      |    -- way java.lang.String.trim does — EVERY char <= U+0020, NOT
+      |    -- DuckDB trim, which is unicode-aware and also strips
+      |    -- NBSP/U+3000 that the JVM keeps (hostile_diff.py finding)
+      |    regexp_replace(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'),
+      |                   '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS norm
       |  FROM documents
       |), counts AS (
       |  SELECT *,
-      |    CASE WHEN NOT regexp_matches(text, '\S') THEN 0 ELSE len(toks) END AS n_toks,
+      |    CASE WHEN NOT regexp_matches(text, '[^ \t\n\x0b\f\r]') THEN 0 ELSE len(toks) END AS n_toks,
       |    len(list_distinct(toks)) AS n_distinct,
       |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','be','that','it','for','on','with','as'], x))) AS n_stop,
       |    len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are'], x))) AS c_en,
@@ -269,7 +287,11 @@ object LlmData {
       |    + (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / n_toks END) * 0.15
       |    + (1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n END) * 4.0, 1.0)) * 0.15,
       |    6) AS quality,
-      |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+      |  -- the \s inside the BPE pre-tokenizer is spelled out as JAVA's
+      |  -- class [ \t\n\x0b\f\r]: RE2's \s lacks \x0b, which would split
+      |  -- a VT+FF run into two pre-tokens where the kernel sees one
+      |  -- whitespace run (hostile_diff.py finding, r19)
+      |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|[ \t\n\x0b\f\r]+')) AS n_bpe_tokens,
       |  CAST(CASE WHEN fpu >= CAST('9223372036854775808' AS HUGEINT)
       |       THEN fpu - CAST('18446744073709551616' AS HUGEINT) ELSE fpu END AS BIGINT) AS fingerprint
       |FROM fp
