@@ -110,7 +110,11 @@ class TextOpsSpec extends SparkSpec {
       // the r19 cases: Java regex split ALSO emits a LEADING empty
       // token, so "\thello" tokenized as ["","hello"] = 2 tokens under
       // the r18 trailing-only strip. Both edges now stripped pre-split.
-      (9L, "\thello"), (10L, "\n\tthe cat\t "))
+      (9L, "\thello"), (10L, "\n\tthe cat\t "),
+      // r19 hostile_diff.py pins: \x0b (VT) IS whitespace in Java's \s
+      // (the kernel's semantics; RE2's \s disagrees — the oracle SQL
+      // spells out Java's class), and NBSP is NOT whitespace in either
+      (11L, "\u000b\u000c"), (12L, "\u000bword\u000b"), (13L, "\u00a0"))
       .toDF("doc_id", "text")
     // tokenCount: the [""] split artifact must not count one phantom token
     val toks = weird.select(col("doc_id"), TextStats.tokenCount(col("text")).as("n"))
@@ -122,6 +126,9 @@ class TextOpsSpec extends SparkSpec {
     assert(toks(8L) === 3, "trailing whitespace run must not count a phantom token")
     assert(toks(9L) === 1, "leading tab must not count a phantom token")
     assert(toks(10L) === 2, "leading+trailing whitespace must not count phantom tokens")
+    assert(toks(11L) === 0, "VT+FF-only text is tokenless (Java \\s includes \\x0b)")
+    assert(toks(12L) === 1, "VT-wrapped word is one token")
+    assert(toks(13L) === 1, "NBSP is a token char, not whitespace")
     // quality: an empty document must not collect the distinct-token 0.15
     val q = weird.filter(col("doc_id") === 1L)
       .select(TextStats.qualityScore(col("text"))).head().getDouble(0)
