@@ -40,17 +40,32 @@ LAST_NAMES = [
     "Petersohn", "gestrichen", "Mc Donald", "unklar", "N.N.", "-",
     "Huber und Wolf", "  spaced  ", "Prof. Dr. Lang", "D'Angelo",
     "von. Trapp", "name mit    vielen   spaces", "Ova", "Müller Ene",
+    # r19 additions: unicode folds beyond umlauts, stacked birth-name
+    # markers, cased noble prefixes, edge punctuation, hyphen chains,
+    # more female endings, embedded digits, quote shapes
+    "Łukasz", "Şahin", "Đorđević", "Ñoño", "Müller geb. Schmidt geb. Weber",
+    "Van Der Meer", "VON TRAPP", "v. Berg", "Müller,", ";Schmidt",
+    "(Klammer)", "a-b-c-d-e", "Horváthová", "Kovačová", "Petrova",
+    "Schmidt2", "M3yer", "O''Hara", "K.", "zuletzt Meier",
 ]
 FIRST_NAMES = [
     "Dr.Alice", "Dr. Alice", "Alice ", "Bob1 Bob2", "A", "Hans-Peter",
     "None", "Maria;Anna", "mr. John", "J", "O t t o", "?", "keine",
     "Jean-Claude", "ANNA", "fritz oder franz", "x y z", "Säugling Karl",
+    # r19 additions: spaced hyphens, stacked titles, accented Latin,
+    # ordinal suffixes, more keyword shapes
+    "Hans - Peter", "ANNA-MARIA", "Dr. Dr. h.c. Karl", "Frl. Eva",
+    "José", "François", "Karl II", "unleserlich", "E.", "Ing. Petr",
 ]
 PRISONER_NOS = [
     "111", "A 12345", "A-12345", "12.345", "B 4711; 12 345", "Haftnr. 99",
     "None", "12345 A", "A12345", "1;2;3;4;5;6", "12 345", "123.456",
     "Z4711", "r 88", "-", "9;8;7", "00123", "12a34", "A 1", "B-22",
     "nummer unbekannt", "1 234 567",
+    # r19 additions: trailing letter, slashed/sectioned numbers,
+    # zero-shapes, mixed separators, bare markers
+    "A12345B", "12-345-67", "Nr. 12345", "12345/6", "000", "0",
+    " 123 ", "ABC", "12.34.56", "123?;456", "B", "A.12345",
 ]
 RAW_DATES = [
     "12.3.1943", "1943", "3.12.43", "19430312", "431203", "12/03/1943",
@@ -64,6 +79,15 @@ RAW_DATES = [
     # of the swap guard, bare 20xx years, sub-50 2-digit year, German age
     "??.04.1995", "04.19.1995", "04.07.1995", "2000", "2001", "01/02/01",
     "34 Jahre", "15.08.2001",
+    # r19 additions: leap-day both ways (1900 is NOT a leap year),
+    # invalid day-month combos, timespan boundary years both sides,
+    # roman-numeral and dotted-abbrev months, 6-digit year edges,
+    # approximate-date markers, degenerate repeats
+    "29.02.1944", "29.02.1943", "29.02.1900", "31.04.1943", "31.11.1943",
+    "31.12.1850", "01.01.1950", "31.12.1849", "01.01.1951",
+    "12.III.1943", "1.Jan.1944", "12. Dez. 1943", "ca. 1943", "etwa 1940",
+    "450312", "120350", "12.3.50", "12.3.00", "1943.03.12", "1943/03/12",
+    "13.13.13", "1.1.1", "00.05.1943", "05.00.1943",
 ]
 
 def dump(df, name):
@@ -108,6 +132,13 @@ TRIPLES = [
     ("3", "Jan", "43"), ("-", "5", "1943"), ("31", "13", ""),
     ("09", "04", "1900"), ("00", "00", "0000"), ("1", "unclear", "1920"),
     ("20", "8", "1944"), ("5", "Mai", "49"), ("", "", ""), ("12", "3.0", "1935.0"),
+    # r19 additions: leap days (1944 yes, 1900 no), invalid day-month,
+    # German month names and dotted abbreviations, all-sentinel,
+    # boundary years
+    ("29", "02", "1944"), ("29", "02", "1900"), ("31", "11", "1943"),
+    ("15", "März", "1943"), ("1", "Jan.", "44"), ("-", "-", "-"),
+    ("31", "12", "1850"), ("01", "01", "1950"), ("3", "3", "3"),
+    ("12", "00", "1943"),
 ]
 td = pd.DataFrame({"d": [t[0] for t in TRIPLES], "m": [t[1] for t in TRIPLES],
                    "y": [t[2] for t in TRIPLES]})
