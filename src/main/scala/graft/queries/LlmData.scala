@@ -205,13 +205,14 @@ object LlmData {
   /** Language-ID heuristic + quality scoring + BPE-ish token counts +
     * Rabin–Karp fingerprint, all hash-verified against a full DuckDB
     * replay ([[q29Sql]]):
-    *  - language-ID: the stopword-profile counting and the maxBy
-    *    `(count, lang)` tie-break are replayed verbatim; all four
-    *    script-block branches (ideograph/kana/Hangul/Cyrillic, incl.
-    *    the halfwidth-katakana / compatibility-jamo / CJK-Ext-A block
-    *    extensions) are provably no-ops because this corpus is pure
-    *    ASCII (the replay's `n_alpha = 0` guard covers the only other
-    *    early exit);
+    *  - language-ID: replayed in FULL since r19 — the four script-block
+    *    branches (ideograph/kana/Hangul/Cyrillic, incl. the halfwidth-
+    *    katakana / compatibility-jamo / CJK-Ext-A extensions) as
+    *    codepoint-range counts over the kernel's exact letter
+    *    population (BMP-only, per-UTF-16-unit — astral letters count
+    *    zero on both sides), then the stopword-profile counting and the
+    *    maxBy `(count, lang)` tie-break verbatim. Exercised by
+    *    hostile_diff.py's CJK/Hangul/Cyrillic/halfwidth shapes;
     *  - quality: the exact composite formula, term by term in double;
     *  - BPE count: the same pre-tokenizer regex via `regexp_extract_all`
     *    (Java and RE2 agree on every construct the pattern uses);
@@ -242,10 +243,25 @@ object LlmData {
       |    -- DuckDB trim, which is unicode-aware and also strips
       |    -- NBSP/U+3000 that the JVM keeps (hostile_diff.py finding)
       |    regexp_replace(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'),
-      |                   '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS norm
+      |                   '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS norm,
+      |    -- script-ID replay (r19): the kernel's letter loop walks
+      |    -- UTF-16 units, so astral letters count ZERO (each surrogate
+      |    -- fails isLetter) — replayed by dropping codepoints >= 0x10000
+      |    -- before the \p{L} filter. Block ranges are the JDK's:
+      |    -- CJK U+4E00-9FFF + ExtA U+3400-4DBF; hiragana U+3040-309F +
+      |    -- katakana U+30A0-30FF + halfwidth-kana U+FF66-FF9D; Hangul
+      |    -- syllables U+AC00-D7AF + jamo U+1100-11FF + compat jamo
+      |    -- U+3130-318F; Cyrillic U+0400-04FF
+      |    list_filter(list_transform(range(1, length(text) + 1), i -> unicode(text[i])),
+      |                c -> c < 65536 AND regexp_matches(chr(c), '\p{L}')) AS lcp
       |  FROM documents
       |), counts AS (
       |  SELECT *,
+      |    len(lcp) AS n_let,
+      |    len(list_filter(lcp, c -> (c >= 19968 AND c <= 40959) OR (c >= 13312 AND c <= 19903))) AS n_ideo,
+      |    len(list_filter(lcp, c -> (c >= 12352 AND c <= 12543) OR (c >= 65382 AND c <= 65437))) AS n_kana,
+      |    len(list_filter(lcp, c -> (c >= 44032 AND c <= 55215) OR (c >= 4352 AND c <= 4607) OR (c >= 12592 AND c <= 12687))) AS n_hang,
+      |    len(list_filter(lcp, c -> c >= 1024 AND c <= 1279)) AS n_cyr,
       |    CASE WHEN NOT regexp_matches(text, '[^ \t\n\x0b\f\r]') THEN 0 ELSE len(toks) END AS n_toks,
       |    len(list_distinct(toks)) AS n_distinct,
       |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','be','that','it','for','on','with','as'], x))) AS n_stop,
@@ -278,7 +294,17 @@ object LlmData {
       |  FROM lang
       |)
       |SELECT doc_id,
-      |  CASE WHEN n_alpha = 0 OR len(ltoks) = 0 THEN 'unknown'
+      |  -- full branch order of the kernel: null/empty -> no letters ->
+      |  -- the four script thresholds -> stopword profiles. n_let (the
+      |  -- kernel's per-unit letter count), NOT n_alpha (codepoint count
+      |  -- incl. astral): the two differ on astral-letter text
+      |  CASE WHEN text IS NULL OR n = 0 THEN 'unknown'
+      |       WHEN n_let = 0 THEN 'unknown'
+      |       WHEN CAST(n_kana AS DOUBLE) / n_let > 0.1 THEN 'ja'
+      |       WHEN CAST(n_hang AS DOUBLE) / n_let > 0.3 THEN 'ko'
+      |       WHEN CAST(n_ideo AS DOUBLE) / n_let > 0.3 THEN 'zh'
+      |       WHEN CAST(n_cyr AS DOUBLE) / n_let > 0.3 THEN 'ru'
+      |       WHEN len(ltoks) = 0 THEN 'unknown'
       |       WHEN mx >= 2 THEN best_lang ELSE 'unknown' END AS predicted_lang,
       |  round(
       |    least(n / 200.0, 1.0) * 0.2

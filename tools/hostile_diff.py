@@ -32,9 +32,9 @@ Unicode tables, not kernel bugs, and the driver corpus is ASCII):
   - astral codepoints: the fingerprint kernel hashes JVM UTF-16 code
     units (surrogate pairs = 2 units); the SQL replays codepoints ->
     differs beyond the BMP (emoji, math alphanumerics);
-  - q29's oracle replays the stopword-profile half of language-ID but
-    not the script-block branches (CJK/kana/Hangul/Cyrillic), which
-    are provable no-ops only on an ASCII corpus.
+  (q29's script-ID branches are replayed in full since r19, so
+  CJK/Hangul/Cyrillic/halfwidth shapes now live in the DEFAULT corpus;
+  only the folding/astral shapes remain divergent.)
 
 q25 (MinHash-LSH) is excluded by default: its oracle is the EXACT
 Jaccard pair set and the pipeline reports the LSH-surfaced subset --
@@ -90,6 +90,17 @@ TEXTS = [
     "मानक हिन्दी",                        # Devanagari (no case to fold)
     "مرحبا بالعالم",                     # RTL Arabic
     "נקודה עברית",                       # RTL Hebrew
+    # script-ID branches (q29's oracle replays them in full since r19)
+    "日本語のテキストです",                # kana+kanji -> ja
+    "한국어 텍스트 입니다",                 # Hangul -> ko
+    "中文文本没有假名",                    # ideographs only -> zh
+    "Привет мир привет",                 # Cyrillic -> ru
+    "ﾊﾝｶｸｶﾀｶﾅ ﾃｽﾄ",                      # halfwidth katakana (U+FF66-FF9D) -> ja
+    "ㄱㄴㄷㄹ ㅏㅑㅓ",                     # compatibility jamo -> ko
+    "㐀㐁㐂㐃㐄㐅",                        # CJK Extension A -> zh
+    "ＡＢＣ ｄｅｆ",                       # fullwidth Latin: same block as halfwidth kana, must stay Latin
+    "テスト test test test tests",        # kana ratio just over the 0.1 threshold
+    "的 latin words dominate here ok",    # ideo ratio under 0.3 -> falls to profiles
     # --- punctuation / digits -------------------------------------------
     "!!! ??? ... ---",                   # ASCII punct only
     "„quoted“ «guillemets» – dash…",     # unicode punct (not \p{Punct}/[:punct:] in either)
@@ -109,12 +120,9 @@ DIVERGENT = [
     "ΑΒΓΔΟΣ",                            # word-final sigma: contextual in Java only
     "ΣΙΣΥΦΟΣ ΟΔΥΣΣΕΥΣ",                  # two words ending in sigma
     "İstanbul ısız I i",                 # dotted/dotless I
-    "😀😀 😀",                            # astral: UTF-16 units vs codepoints
+    "😀😀 😀",                            # astral: UTF-16 units vs codepoints in the fingerprint
     "👨‍👩‍👧 family",          # ZWJ sequence (astral)
     "𝕳𝖊𝖑𝖑𝖔 𝖂𝖔𝖗𝖑𝖉",                      # math alphanumerics (astral)
-    "日本語のテキストです",                # script-ID branch the oracle doesn't replay
-    "한국어 텍스트 입니다",
-    "Привет мир привет",
 ]
 
 DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50"]
