@@ -282,14 +282,24 @@ object LlmData {
       |         ELSE 'de' END AS best_lang
       |  FROM counts
       |), fp AS (
-      |  -- JVM wrapping arithmetic: fold 31*h + codepoint in HUGEINT mod
-      |  -- 2^64 (seed prepended: list_reduce has no initial-value arg).
+      |  -- JVM wrapping arithmetic: fold 31*h + UTF-16 UNIT in HUGEINT
+      |  -- mod 2^64 (seed prepended: list_reduce has no initial-value
+      |  -- arg). The kernel's charAt loop walks UTF-16 code units, so an
+      |  -- astral codepoint hashes as its SURROGATE PAIR — replayed here
+      |  -- by expanding c >= 0x10000 into [0xD800 + ((c-0x10000) >> 10),
+      |  -- 0xDC00 + ((c-0x10000) & 0x3FF)] before the fold (r19; a
+      |  -- codepoint fold diverges on any emoji/astral text).
       |  -- NULL text is 0, the kernel's explicit null return — without
-      |  -- the guard the NULL codepoint list collapses to the bare seed
+      |  -- the guard the NULL unit list collapses to the bare seed
       |  -- (empty text's legitimate value) instead of null-matching
       |  SELECT *, CASE WHEN text IS NULL THEN CAST(0 AS HUGEINT) ELSE list_reduce(
       |      list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |        list_transform(range(1, length(norm) + 1), i -> CAST(unicode(norm[i]) AS HUGEINT))),
+      |        flatten(list_transform(range(1, length(norm) + 1), i ->
+      |          CASE WHEN unicode(norm[i]) < 65536
+      |               THEN [CAST(unicode(norm[i]) AS HUGEINT)]
+      |               ELSE [CAST(55296 + ((unicode(norm[i]) - 65536) // 1024) AS HUGEINT),
+      |                     CAST(56320 + ((unicode(norm[i]) - 65536) % 1024) AS HUGEINT)]
+      |          END))),
       |      (acc, c) -> (31 * acc + c) % CAST('18446744073709551616' AS HUGEINT)) END AS fpu
       |  FROM lang
       |)

@@ -28,13 +28,12 @@ Unicode tables, not kernel bugs, and the driver corpus is ASCII):
   - context-sensitive case folding: Java toLowerCase maps word-final
     capital sigma to U+03C2 and U+0130 to "i"+U+0307; DuckDB's
     utf8proc folds context-free -> q29 fingerprint differs on Greek /
-    Turkish-dotted-I text;
-  - astral codepoints: the fingerprint kernel hashes JVM UTF-16 code
-    units (surrogate pairs = 2 units); the SQL replays codepoints ->
-    differs beyond the BMP (emoji, math alphanumerics);
-  (q29's script-ID branches are replayed in full since r19, so
-  CJK/Hangul/Cyrillic/halfwidth shapes now live in the DEFAULT corpus;
-  only the folding/astral shapes remain divergent.)
+    Turkish-dotted-I text.
+  (Two former divergence classes were CLOSED in r19 by upgrading the
+  oracle replay: the script-ID branches are replayed in full, so
+  CJK/Hangul/Cyrillic/halfwidth shapes live in the DEFAULT corpus, and
+  the fingerprint replay expands astral codepoints into UTF-16
+  surrogate pairs, so emoji/astral shapes do too.)
 
 q25 (MinHash-LSH) is excluded by default: its oracle is the EXACT
 Jaccard pair set and the pipeline reports the LSH-surfaced subset --
@@ -86,6 +85,10 @@ TEXTS = [
     # --- combining marks / normalization (NO normalization expected) ---
     "café café",                   # NFD vs NFC spellings must stay distinct
     "á̂̃ stacked",       # stacked combining marks (BMP)
+    # --- astral (fingerprint replays surrogate pairs since r19) ---------
+    "😀😀 😀",                            # emoji: hashes as UTF-16 surrogate pairs on both sides
+    "👨‍👩‍👧 family",          # ZWJ sequence
+    "𝕳𝖊𝖑𝖑𝖔 𝖂𝖔𝖗𝖑𝖉",                      # math alphanumerics: zero letters in BOTH engines' letter loop
     # --- scripts (BMP, no case, no astral) -------------------------------
     "मानक हिन्दी",                        # Devanagari (no case to fold)
     "مرحبا بالعالم",                     # RTL Arabic
@@ -120,9 +123,6 @@ DIVERGENT = [
     "ΑΒΓΔΟΣ",                            # word-final sigma: contextual in Java only
     "ΣΙΣΥΦΟΣ ΟΔΥΣΣΕΥΣ",                  # two words ending in sigma
     "İstanbul ısız I i",                 # dotted/dotless I
-    "😀😀 😀",                            # astral: UTF-16 units vs codepoints in the fingerprint
-    "👨‍👩‍👧 family",          # ZWJ sequence (astral)
-    "𝕳𝖊𝖑𝖑𝖔 𝖂𝖔𝖗𝖑𝖉",                      # math alphanumerics (astral)
 ]
 
 DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50"]
