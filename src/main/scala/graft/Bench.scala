@@ -419,7 +419,12 @@ object Bench {
       "q34_minhash_preclustering", "q35_cosine_near_dup",
       // media representative: per-row demux+decode should read ~linear
       // (exponent ≈ 1), the contrast class to the join-shaped families
-      "q44_video_frame_decode")
+      "q44_video_frame_decode",
+      // r19: the round's two heaviest newcomers — q60 (cluster tools:
+      // real iterative CC over the merge graph + the pairwise quality
+      // kernel) and q61 (best-match dedupe join) — so the bench's
+      // heaviest query carries measured growth, not an argued audit
+      "q60_cluster_tools_matrix", "q61_dedupe_targets")
     val liftedCapTargets = Seq("q24_exact_dedup", "q26_simhash_dedup")
     // "0" = never, "force" = even under SPARK_GRAFT_ONLY (focused
     // iteration on one query's scaling behavior), default = full runs only
@@ -905,7 +910,8 @@ object Bench {
     }
     val sf1Targets = Seq("q22_person_match_self", "q23_person_clustering",
       "q27_ngram_jaccard_dedup", "q31_ann_lsh_topk",
-      "q34_minhash_preclustering", "q35_cosine_near_dup")
+      "q34_minhash_preclustering", "q35_cosine_near_dup",
+      "q60_cluster_tools_matrix", "q61_dedupe_targets")
       .filter(n => onlySelects(only, n))
     var sf1Retries = List.empty[String]
     val scalingSf1: Seq[(String, Double)] =

@@ -537,7 +537,12 @@ object Linkage {
     */
   private def q60(spark: SparkSession, dir: String): DataFrame = {
     import graft.linkage.Clustering
-    val o = Tables.orders(spark, dir)
+    // ScaleKnob so the bench scaling/sf1 passes can grow the cluster-
+    // tools corpus (identity on every driver/Verify run: frac 1,
+    // replicate 1). Replicated ids stay contiguous (id·n + k over all
+    // k < n covers 0..nN-1), so the /2, /8, /16 block constructions
+    // keep their shapes at every factor.
+    val o = graft.core.ScaleKnob.sample(Tables.orders(spark, dir), "o_orderkey")
     val k = col("o_orderkey")
     val persons = o.select(k.as("id"),
         lit("hans").as("strGName_processed"), lit("muler").as("strLName_processed"),
