@@ -156,6 +156,38 @@ def build_corpus(texts):
     return len(rows)
 
 
+def q25_recall_report():
+    """q25 is excluded from the pass/fail gate (LSH recall at J=0.5 is
+    probabilistic by design), but its recall on this corpus is still
+    worth MEASURING: run the pipeline once and report surfaced/true
+    pairs per Jaccard bucket. Identical-document pairs (J=1.0) must
+    always be surfaced — identical shingle sets give identical
+    signatures — so a miss there IS a bug and exits nonzero.
+    """
+    import json, subprocess as sp
+    r = sp.run(["python3", "tools/check.py", DIR, "q25"],
+               capture_output=True, text=True, cwd="/root/repo")
+    import duckdb, pandas as pd
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DIR}/documents.parquet')")
+    oracle = json.load(open("/tmp/graft_verify/oracle_sql.json"))["q25_minhash_dedup"]
+    exp = con.execute(oracle).df()
+    got = pd.read_parquet("/tmp/graft_verify/q25_minhash_dedup")
+    es = {(a, b): j for a, b, j in exp[["a", "b", "jaccard"]].values.tolist()}
+    gs = set(map(tuple, got[["a", "b"]].values.tolist()))
+    exact = [p for p, j in es.items() if j >= 0.999999]
+    border = [p for p, j in es.items() if j < 0.999999]
+    missed_exact = [p for p in exact if p not in gs]
+    hit_border = [p for p in border if p in gs]
+    print(f"q25 LSH recall: exact-dup pairs {len(exact) - len(missed_exact)}/{len(exact)}"
+          f" (must be total), borderline (0.5<=J<1) {len(hit_border)}/{len(border)}"
+          f" (probabilistic: ~64% per pair at J=0.5 with 16 bands x 4 rows)")
+    if missed_exact:
+        print(f"FAIL q25: missed EXACT duplicate pairs {sorted(missed_exact)[:10]}")
+        return 1
+    return 0
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     divergent = "--divergent" in sys.argv
@@ -164,5 +196,7 @@ if __name__ == "__main__":
     n = build_corpus(texts)
     print(f"hostile corpus: {n} rows ({'with' if divergent else 'without'} "
           f"divergent shapes) -> {DIR}/documents.parquet")
-    sys.exit(subprocess.call(
-        ["python3", "tools/check.py", DIR] + queries, cwd="/root/repo"))
+    rc = subprocess.call(["python3", "tools/check.py", DIR] + queries, cwd="/root/repo")
+    if not args:  # default runs also measure q25's LSH recall
+        rc = max(rc, q25_recall_report())
+    sys.exit(rc)
