@@ -46,7 +46,22 @@ object Ann {
     // all-zero embedding would rank #1 against every query in the
     // exact, LSH, and IVF top-k paths alike
     val denom = na * nb
-    when(denom === 0.0d, lit(0.0d)).otherwise(dot / denom)
+    // CORRUPT vectors (any NaN/Inf component — at 100 TB they exist)
+    // are the same poisoning one step removed: denom === 0 is FALSE
+    // for a NaN/Inf denom, the ratio reads NaN, and the corrupt row
+    // ranks #1 for every query. Non-finite scores therefore collapse
+    // to 0 (rank last, pair with nothing) exactly like zero vectors.
+    // The division stays INSIDE the non-zero branch: under ANSI mode
+    // (the Spark 4 default) an unconditional dot/denom subexpression
+    // throws DIVIDE_BY_ZERO on the zero-vector row the outer guard
+    // exists for. A NaN/Inf denom does NOT throw (only exact zero
+    // does), so the inner guard sees the non-finite ratio and zeroes
+    // it; finite inputs keep |ratio| ≈ 1 and pass through.
+    val raw = dot / denom
+    when(denom === 0.0d, lit(0.0d)).otherwise(
+      when(isnan(raw) ||
+        raw === Double.PositiveInfinity || raw === Double.NegativeInfinity,
+        lit(0.0d)).otherwise(raw))
   }
 
   /** Exact top-k by cosine: broadcast the (small) query side, scan the

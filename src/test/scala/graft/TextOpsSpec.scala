@@ -174,6 +174,37 @@ class TextOpsSpec extends SparkSpec {
     assert(top(3) === 3L, s"zero vector must rank last with score 0: $top")
   }
 
+  test("corrupt embeddings (NaN/Inf components) score 0 and rank last, never first (r19)") {
+    // the zero-vector guard one step removed: denom === 0 is FALSE for
+    // a NaN/Inf denom, so pre-fix a single corrupt vector scored NaN
+    // and outranked every genuine neighbor for EVERY query (NaN is the
+    // largest double under desc). At 100 TB corrupt embeddings exist.
+    val session = SparkSpec.spark
+    import session.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(Float.NaN, 1.0f, 0.0f)),              // NaN component
+      (4L, Array(Float.PositiveInfinity, 0.0f, 0.0f)), // Inf component
+      (5L, Array(0.5f, 0.5f, Float.NegativeInfinity))) // -Inf component
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1L)
+    val top = graft.text.Ann.cosineTopK(q, vecs, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.head._2 === 1L, s"self must rank first: ${top.toSeq}")
+    assert(top(1)._2 === 2L, s"finite neighbor second: ${top.toSeq}")
+    // the three corrupt rows fill the tail with exact-zero scores
+    val tail = top.drop(2)
+    assert(tail.map(_._2).toSet === Set(3L, 4L, 5L), s"corrupt last: ${top.toSeq}")
+    assert(tail.forall(_._3 === 0.0), s"corrupt scores must be 0: ${top.toSeq}")
+    // near-dup path: corrupt vectors must pair with NOTHING even at
+    // threshold 0 over an all-pairs-eligible corpus
+    val dup = graft.text.Ann.cosineNearDuplicates(vecs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dup.exists(p => Set(3L, 4L, 5L).contains(p._1) || Set(3L, 4L, 5L).contains(p._2)),
+      s"corrupt vectors must never pair: $dup")
+  }
+
   test("language detection heuristic on real sentences") {
     assert(TextStats.detectLanguage("the cat sat on the mat and it was happy") === "en")
     assert(TextStats.detectLanguage("der Hund und die Katze sind nicht im Haus") === "de")
