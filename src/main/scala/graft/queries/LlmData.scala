@@ -461,9 +461,16 @@ object LlmData {
       |  FROM (SELECT unnest(generate_series(0, 63)) AS p),
       |       (SELECT unnest(generate_series(0, 63)) AS i)),
       |vecs AS (
+      |  -- mirrors the kernel's pre-banding degenerate filter (r19):
+      |  -- zero/NaN/Inf vectors are excluded from candidate generation
+      |  -- on the Spark side (they all land in bucket t:0 and can only
+      |  -- ever rescore to the defined 0), so the replay excludes them
+      |  -- too. Identity on this corpus (all vectors finite, non-zero).
       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
       |  FROM embeddings,
-      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+      |  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
       |dots AS (
       |  SELECT v.vec_id, pl.p, SUM(v.x * pl.s) AS d
       |  FROM vecs v JOIN planes pl ON v.i = pl.i

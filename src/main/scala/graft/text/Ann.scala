@@ -215,7 +215,21 @@ object Ann {
     // riding through the explode ×tables
     def vecs(df: DataFrame, id: String) = df
       .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
+    // DEGENERATE vectors (zero, empty, or any NaN/Inf component) are
+    // excluded BEFORE banding: every hyperplane dot reads NaN or 0, so
+    // they ALL land in bucket "t:0" of every table — a corrupt-heavy
+    // corpus would pair them quadratically in one hot bucket (the
+    // blank-document minhash blowup, vector edition) only for the
+    // rescore to zero every pair out (their cosine is DEFINED 0, which
+    // can never reach a positive threshold or beat a genuine
+    // neighbor). LSH contract unchanged: misses possible, never false
+    // accepts. The exact cosineTopK path still scans and ranks them
+    // (last, score 0).
+    def finiteNonZero(v: Column) =
+      !exists(v, x => isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity) &&
+        exists(v, x => x =!= 0.0d)
     def withBuckets(df: DataFrame, id: String) = vecs(df, id)
+      .filter(finiteNonZero(col(s"__v_$id")))
       .select(col(id), explode(sigUdf(col(s"__v_$id"))).as("bucket"))
     // SELF-JOIN fast path (cosineNearDuplicates passes the SAME frame on
     // both sides, by reference): the signature UDF — tables×bits dot

@@ -197,12 +197,15 @@ class TextOpsSpec extends SparkSpec {
     val tail = top.drop(2)
     assert(tail.map(_._2).toSet === Set(3L, 4L, 5L), s"corrupt last: ${top.toSeq}")
     assert(tail.forall(_._3 === 0.0), s"corrupt scores must be 0: ${top.toSeq}")
-    // near-dup path: corrupt vectors must pair with NOTHING even at
-    // threshold 0 over an all-pairs-eligible corpus
-    val dup = graft.text.Ann.cosineNearDuplicates(vecs, threshold = 0.5)
+    // near-dup path: degenerate vectors (corrupt AND zero — they all
+    // land in LSH bucket t:0 and are pre-filtered before banding, the
+    // blank-document minhash blowup in vector form) must pair with
+    // NOTHING, while the genuine pair still surfaces
+    val withZero = vecs.unionByName(
+      Seq((6L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val dup = graft.text.Ann.cosineNearDuplicates(withZero, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(!dup.exists(p => Set(3L, 4L, 5L).contains(p._1) || Set(3L, 4L, 5L).contains(p._2)),
-      s"corrupt vectors must never pair: $dup")
+    assert(dup === Set((1L, 2L)), s"only the genuine pair may surface: $dup")
   }
 
   test("language detection heuristic on real sentences") {
