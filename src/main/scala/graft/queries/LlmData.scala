@@ -588,6 +588,11 @@ object LlmData {
     */
   private def q32(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // DEFINED null-event-time semantics (r19): rows without a
+      // timestamp are dropped, matching what the streaming twin's
+      // watermark does — rather than an accidental engine-specific
+      // null-window group. The oracle mirrors the filter.
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n_events"))
@@ -596,6 +601,7 @@ object LlmData {
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n_events
       |FROM events
+      |WHERE ts IS NOT NULL
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
@@ -609,6 +615,8 @@ object LlmData {
     */
   private def q36(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // same defined null-event-time semantics as q32
+      .filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
@@ -620,7 +628,7 @@ object LlmData {
       |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
       |              > INTERVAL '30 minutes'
       |      THEN 1 ELSE 0 END AS brk
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |numbered AS (
       |  SELECT user_id, ts,
       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

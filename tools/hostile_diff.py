@@ -125,7 +125,36 @@ DIVERGENT = [
     "İstanbul ısız I i",                 # dotted/dotless I
 ]
 
-DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50"]
+DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50", "q32", "q36"]
+
+# Hostile event rows: (event_id, ts literal or None, user_id, event_type).
+# Targets the window/session boundary semantics the generated corpus
+# (microsecond-random timestamps) can never exercise: exact hour
+# boundaries, exact 30-minute session gaps, duplicate instants, null
+# timestamps (defined: dropped, both engines), pre-1970 and far-future
+# instants.
+EVENTS = [
+    (0, "2024-01-01 00:00:00",        1, "a"),   # exact hour boundary
+    (1, "2024-01-01 00:59:59.999999", 1, "a"),   # last micro of the hour
+    (2, "2024-01-01 01:00:00",        1, "a"),   # first micro of the next
+    (3, "2024-01-01 01:00:00",        1, "b"),   # duplicate instant, other type
+    (4, None,                          1, "a"),   # null ts: dropped
+    # user 2: EXACT 30-minute gaps — the session boundary. Spark's
+    # session window is [start, last+gap): an event at exactly
+    # last+gap does NOT overlap and starts a NEW session.
+    (5, "2024-01-01 00:00:00",        2, "a"),
+    (6, "2024-01-01 00:30:00",        2, "a"),   # exactly at the gap edge
+    (7, "2024-01-01 01:00:00.000001", 2, "a"),   # just past the next edge
+    # user 3: sub-gap chain stays ONE session across an hour boundary
+    (8, "2024-01-01 00:45:00",        3, "a"),
+    (9, "2024-01-01 01:14:59.999999", 3, "a"),
+    (10, "2024-01-01 01:44:59",       3, "a"),
+    # extremes: pre-1970 (negative epoch) and far future
+    (11, "1944-03-12 08:30:00",       4, "a"),
+    (12, "2222-12-31 23:30:00",       4, "a"),
+    (13, "1969-12-31 23:59:59.5",     4, "a"),   # just below epoch 0
+    (14, "1970-01-01 00:00:00",       4, "a"),   # epoch 0 exactly
+]
 
 
 def build_corpus(texts):
@@ -133,10 +162,20 @@ def build_corpus(texts):
         shutil.rmtree(DIR)
     os.makedirs(DIR)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"]:
+              "lineitem", "embeddings"]:
         os.symlink(f"{BASE}/{t}.parquet", f"{DIR}/{t}.parquet")
     import duckdb
     con = duckdb.connect()
+    # hostile events table (micros TIMESTAMP generation — Tables.events
+    # handles it alongside the corpus's TIMESTAMP(NANOS))
+    con.execute("""CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,
+                                    user_id BIGINT, event_type VARCHAR)""")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", EVENTS)
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     1.0 AS value, '{{}}' AS props
+              FROM ev ORDER BY event_id)
+        TO '{DIR}/events.parquet' (FORMAT parquet)""")
     # Two copies of every shape (ids i and i+1000) so the dedup queries
     # have a true duplicate pair for EVERY hostile shape, plus a
     # NULL-text row. 1000 > len(texts) keeps the id spaces disjoint and
