@@ -52,15 +52,28 @@ object Verify {
       // the gate's "[verify] <name> failed" failure scanner.
       try {
         val canonCap = 5000
+        // a STALE sidecar from an earlier run must never outlive the
+        // parquet it describes: if this run's result exceeds the cap
+        // (or the canon step throws below), leftover forensics would
+        // misrepresent the current result - delete first, write after
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.canon.txt"))
         val back = spark.read.parquet(s"$outDir/$name")
         val cols = back.columns.sorted
         val rows = back.select(cols.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
           .limit(canonCap + 1).collect()
+        // TZ-STABLE rendering: java.sql.Timestamp.toString formats in
+        // the JVM default zone, so the same parquet would canon
+        // differently on a UTC driver box vs a zoned local box -
+        // exactly the cross-host diff this sidecar exists for.
+        // Timestamps render as their UTC instant instead.
+        def render(v: Any): String = v match {
+          case null                  => "NULL"
+          case t: java.sql.Timestamp => t.toInstant.toString
+          case other                 => other.toString
+        }
         if (rows.length <= canonCap) {
-          val lines = rows.map(r => cols.indices.map { i =>
-            val v = r.get(i)
-            if (v == null) "NULL" else v.toString
-          }.mkString("")).sorted
+          val lines = rows.map(r => cols.indices.map(i => render(r.get(i)))
+            .mkString("")).sorted
           Files.writeString(Paths.get(s"$outDir/$name.canon.txt"),
             lines.mkString("", "\n", "\n"))
         }

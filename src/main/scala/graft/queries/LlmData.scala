@@ -11,6 +11,17 @@ import graft.text.{Ann, Dedup, TextStats}
   */
 object LlmData {
 
+  /** JAVA's \s character class spelled out for the DuckDB oracle SQL —
+    * RE2's \s lacks \x0b (VT), so a literal '\s' in an oracle regex
+    * diverges from the Spark kernel's Java semantics on VT text (the
+    * r19 hostile_diff find). ONE definition; oracle SQL references it
+    * via the <WS> placeholder so a retyped literal can never silently
+    * drop a member of the class.
+    */
+  private val JavaWs = """[ \t\n\x0b\f\r]"""
+  private def withJavaWs(sql: String): String = sql.replace("<WS>", JavaWs)
+
+
   /** Documents with injected duplicates: every doc_id divisible by 5 gets
     * a verbatim copy (id + 100000), every doc_id divisible by 7 gets a
     * near-copy with a token appended (id + 200000). Deterministic, and
@@ -92,17 +103,17 @@ object LlmData {
     Dedup.simHashDuplicates(corpusWithDups(spark, dir), "doc_id", "text", maxDistance = 3)
       .orderBy(col("a"), col("b"))
   private val q26Sql =
-    """WITH corpus AS (
+    withJavaWs("""WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 2500
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' appended tail token' FROM documents WHERE doc_id % 7 = 0 AND doc_id < 2500),
       |toks AS (
-      |  -- [ \t\n\x0b\f\r] = JAVA's \s, spelled out: RE2's \s lacks
+      |  -- <WS> = JAVA's \s, spelled out: RE2's \s lacks
       |  -- \x0b (VT), so '\s+' here would mint a token the Spark kernel
       |  -- treats as whitespace (hostile_diff.py finding, r19)
-      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+')) AS tok FROM corpus),
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '<WS>+')) AS tok FROM corpus),
       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
       |bits AS (
       |  SELECT doc_id, i,
@@ -119,7 +130,7 @@ object LlmData {
       |  GROUP BY 1, 2)
       |SELECT a, b, CAST(hamming AS INTEGER) AS hamming FROM ham
       |WHERE hamming <= 3
-      |ORDER BY a, b""".stripMargin
+      |ORDER BY a, b""".stripMargin)
 
   /** N-gram Jaccard dedup via the inverted-index join. The oracle
     * recomputes 3-token-shingle Jaccard in SQL from first principles —
@@ -132,7 +143,7 @@ object LlmData {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("a"), col("b"))
   private val q27Sql =
-    """WITH corpus AS (
+    withJavaWs("""WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 2500
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500
@@ -144,11 +155,11 @@ object LlmData {
       |  -- from BOTH edges before the split so it cannot become an edge
       |  -- empty token (string_split_regex emits leading/trailing
       |  -- empties, as does Spark's split; 'g' flag so the alternation
-      |  -- hits both edges). [ \t\n\x0b\f\r] = JAVA's \s spelled out:
+      |  -- hits both edges). <WS> = JAVA's \s spelled out:
       |  -- RE2's \s lacks \x0b, so a VT-only document would read as a
       |  -- token here while the kernel sees whitespace (hostile_diff.py)
       |  SELECT doc_id,
-      |    string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') AS t
+      |    string_split_regex(regexp_replace(lower(text), '^<WS>+|<WS>+$', '', 'g'), '<WS>+') AS t
       |  FROM corpus WHERE regexp_matches(text, '[^ \t\n\x0b\f\r]')),
       |grams AS (
       |  SELECT DISTINCT doc_id,
@@ -172,7 +183,7 @@ object LlmData {
       |JOIN sizes sa ON sa.doc_id = a
       |JOIN sizes sb ON sb.doc_id = b
       |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
-      |ORDER BY a, b""".stripMargin
+      |ORDER BY a, b""".stripMargin)
 
   /** Text statistics with a DuckDB oracle: char count, whitespace token
     * count, digit ratio — independently derivable in SQL.
@@ -185,22 +196,22 @@ object LlmData {
         round(TextStats.digitRatio(col("text")), 6).as("digit_ratio"))
       .orderBy(col("doc_id"))
   private val q28Sql =
-    """SELECT doc_id,
+    withJavaWs("""SELECT doc_id,
       |  length(text) AS n_chars,
       |  -- mirrors tokenCount's r19 rules: tokenless (no Java-\S char)
       |  -- is 0, both-edge whitespace stripped pre-split (both split
       |  -- functions emit leading/trailing empty tokens). The class
-      |  -- [ \t\n\x0b\f\r] is JAVA's \s spelled out — RE2's \s lacks
+      |  -- <WS> is JAVA's \s spelled out — RE2's \s lacks
       |  -- \x0b (hostile_diff.py finding, r19)
       |  CASE WHEN NOT regexp_matches(text, '[^ \t\n\x0b\f\r]') THEN 0
-      |       ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+      |       ELSE len(string_split_regex(regexp_replace(text, '^<WS>+|<WS>+$', '', 'g'), '<WS>+')) END AS n_tokens,
       |  -- empty-text guard mirrors charRatio's when(length===0, 0.0):
       |  -- without it DuckDB reads 0.0/0 = NaN where the kernel reads 0.0
       |  -- (hostile_diff.py finding, r19; latent on the non-empty corpus)
       |  CASE WHEN length(text) = 0 THEN 0.0
       |       ELSE round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) END AS digit_ratio
       |FROM documents
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin)
 
   /** Language-ID heuristic + quality scoring + BPE-ish token counts +
     * Rabin–Karp fingerprint, all hash-verified against a full DuckDB
@@ -229,11 +240,11 @@ object LlmData {
       .orderBy(col("doc_id"))
 
   private val q29Sql =
-    """WITH m AS (
+    withJavaWs("""WITH m AS (
       |  SELECT doc_id, text,
       |    length(text) AS n,
-      |    -- [ \t\n\x0b\f\r] = Java's \s spelled out (RE2 \s lacks \x0b)
-      |    string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+') AS toks,
+      |    -- <WS> = Java's \s spelled out (RE2 \s lacks \x0b)
+      |    string_split_regex(regexp_replace(lower(text), '^<WS>+|<WS>+$', '', 'g'), '<WS>+') AS toks,
       |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ltoks,
       |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
       |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
@@ -242,7 +253,7 @@ object LlmData {
       |    -- way java.lang.String.trim does — EVERY char <= U+0020, NOT
       |    -- DuckDB trim, which is unicode-aware and also strips
       |    -- NBSP/U+3000 that the JVM keeps (hostile_diff.py finding)
-      |    regexp_replace(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'),
+      |    regexp_replace(regexp_replace(lower(text), '<WS>+', ' ', 'g'),
       |                   '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS norm,
       |    -- script-ID replay (r19): the kernel's letter loop walks
       |    -- UTF-16 units, so astral letters count ZERO (each surrogate
@@ -324,14 +335,14 @@ object LlmData {
       |    + (1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n END) * 4.0, 1.0)) * 0.15,
       |    6) AS quality,
       |  -- the \s inside the BPE pre-tokenizer is spelled out as JAVA's
-      |  -- class [ \t\n\x0b\f\r]: RE2's \s lacks \x0b, which would split
+      |  -- class <WS>: RE2's \s lacks \x0b, which would split
       |  -- a VT+FF run into two pre-tokens where the kernel sees one
       |  -- whitespace run (hostile_diff.py finding, r19)
-      |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|[ \t\n\x0b\f\r]+')) AS n_bpe_tokens,
+      |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0b\f\r\p{L}\p{N}]+|<WS>+')) AS n_bpe_tokens,
       |  CAST(CASE WHEN fpu >= CAST('9223372036854775808' AS HUGEINT)
       |       THEN fpu - CAST('18446744073709551616' AS HUGEINT) ELSE fpu END AS BIGINT) AS fingerprint
       |FROM fp
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin)
 
   /** Winnowing document sketch (TextStats.winnowingSketch): per-doc
     * k-gram rolling hashes → per-window minimum → dedup. The full hash
@@ -469,7 +480,7 @@ object LlmData {
       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
       |  FROM embeddings,
       |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
-      |  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      |  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x) OR x IS NULL)) = 0
       |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
       |dots AS (
       |  SELECT v.vec_id, pl.p, SUM(v.x * pl.s) AS d

@@ -21,6 +21,17 @@ import graft.unpack.Unpack
   */
 object Pipeline {
 
+  /** JAVA's \s character class spelled out for the DuckDB oracle SQL —
+    * RE2's \s lacks \x0b (VT), so a literal '\s' in an oracle regex
+    * diverges from the Spark kernel's Java semantics on VT text (the
+    * r19 hostile_diff find). ONE definition; oracle SQL references it
+    * via the <WS> placeholder so a retyped literal can never silently
+    * drop a member of the class.
+    */
+  private val JavaWs = """[ \t\n\x0b\f\r]"""
+  private def withJavaWs(sql: String): String = sql.replace("<WS>", JavaWs)
+
+
   /** X1/X3/S1: CSV scan → JSON repeat-group unpack → numbered columns. */
   private def q16(spark: SparkSession, dir: String): DataFrame = {
     val raw = Csv.readStrings(spark, Fixtures.path("raw_enc_data.csv"), indexCol = true)
@@ -134,7 +145,24 @@ object Pipeline {
     val base = graft.core.Tables.documents(spark, dir)
       .filter(col("doc_id") < 2500)
       .select(col("doc_id"),
-        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).as("field"))
+        // ALPHANUMERIC fold FIRST (construction choice, not cleaning):
+        // the consensus matcher canonicalizes its values — an
+        // NFKD→ASCII fold (U+3000 decomposes to a space, emoji/CJK
+        // tokens vanish) plus an empty-winner escape that turns an
+        // all-punctuation winner into None — golden-domain semantics
+        // (q17/ColMatcherSpec) no SQL oracle can replay (both are
+        // hostile_diff r19 catches). Restricting the field to ASCII
+        // alphanumerics + whitespace up front keeps this query's vote
+        // in the SQL-expressible verbatim domain at every corpus. The
+        // whitespace members are spelled out (not \s) so the kept set
+        // is identical under Java and RE2 — VT is Java-\s only. Then
+        // both-edge strip + Java \s split, the r19 canonical
+        // tokenization (a bare trim is space-only, so edge tabs/VT
+        // minted a leading empty token; q18cSql mirrors the class).
+        concat_ws(" ",
+          slice(split(regexp_replace(
+            regexp_replace(col("text"), "[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]", ""),
+            "^\\s+|\\s+$", ""), "\\s+"), 1, 3)).as("field"))
     val transcripts = base.select(col("doc_id"), col("field"), lit(0L).as("row_id"))
       .unionByName(base.select(col("doc_id"),
         concat(col("field"), lit(" xtok")).as("field"), lit(1L).as("row_id")))
@@ -152,11 +180,27 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
   private val q18cSql =
-    """SELECT doc_id,
-      |  array_to_string(string_split_regex(trim(text), '\s+')[1:3], ' ') AS consensus
-      |FROM documents
-      |WHERE doc_id < 2500
-      |ORDER BY doc_id""".stripMargin
+    // <WS> = JAVA's \s spelled out (RE2's \s lacks \x0b) and a
+    // both-edge regexp strip instead of DuckDB trim (unicode-aware: it
+    // strips NBSP/U+3000 the JVM keeps). Tokenless/null documents get
+    // the '-' NA sentinel: their field is '' so the vote sees
+    // ['', ' xtok', ''], exclude-empty leaves one informative entry,
+    // and the reference's too-few path emits '-' (hostile_diff r19
+    // catch — the 'provably verbatim' construction claim holds only
+    // for documents that HAVE tokens).
+    withJavaWs("""WITH folded AS (
+      |  SELECT doc_id,
+      |    regexp_replace(text, '[^a-zA-Z0-9 \t\n\x0b\f\r]', '', 'g') AS t
+      |  FROM documents WHERE doc_id < 2500)
+      |SELECT doc_id,
+      |  CASE WHEN t IS NULL OR NOT regexp_matches(t, '[^ \t\n\x0b\f\r]')
+      |       THEN '-'
+      |       ELSE array_to_string(
+      |         string_split_regex(
+      |           regexp_replace(t, '^<WS>+|<WS>+$', '', 'g'),
+      |           '<WS>+')[1:3], ' ') END AS consensus
+      |FROM folded
+      |ORDER BY doc_id""".stripMargin)
 
   /** X1 at corpus scale WITH a json_extract oracle: repeat-group JSON is
     * synthesized deterministically from each document's tokens (1–3

@@ -125,7 +125,7 @@ DIVERGENT = [
     "İstanbul ısız I i",                 # dotted/dotless I
 ]
 
-DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50", "q32", "q36"]
+DEFAULT_QUERIES = ["q24", "q26", "q27", "q28", "q29", "q50", "q32", "q36", "q33"]
 
 # Hostile event rows: (event_id, ts literal or None, user_id, event_type).
 # Targets the window/session boundary semantics the generated corpus
@@ -139,12 +139,14 @@ EVENTS = [
     (2, "2024-01-01 01:00:00",        1, "a"),   # first micro of the next
     (3, "2024-01-01 01:00:00",        1, "b"),   # duplicate instant, other type
     (4, None,                          1, "a"),   # null ts: dropped
-    # user 2: EXACT 30-minute gaps — the session boundary. Spark's
-    # session window is [start, last+gap): an event at exactly
-    # last+gap does NOT overlap and starts a NEW session.
+    # user 2: EXACT 30-minute gaps — the session boundary. VERIFIED
+    # (Spark 4.1.2): an event at exactly last+gap MERGES into the
+    # session (the boundary is inclusive), matching the q36 oracle's
+    # strict '> 30 minutes' break; only a gap strictly past 30 minutes
+    # starts a new session (event 7).
     (5, "2024-01-01 00:00:00",        2, "a"),
-    (6, "2024-01-01 00:30:00",        2, "a"),   # exactly at the gap edge
-    (7, "2024-01-01 01:00:00.000001", 2, "a"),   # just past the next edge
+    (6, "2024-01-01 00:30:00",        2, "a"),   # exactly at the gap edge: merges
+    (7, "2024-01-01 01:00:00.000001", 2, "a"),   # strictly past the edge: new session
     # user 3: sub-gap chain stays ONE session across an hour boundary
     (8, "2024-01-01 00:45:00",        3, "a"),
     (9, "2024-01-01 01:14:59.999999", 3, "a"),
@@ -206,6 +208,15 @@ def q25_recall_report():
     import json, subprocess as sp
     r = sp.run(["python3", "tools/check.py", DIR, "q25"],
                capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode not in (0, 1):  # 1 = expected hash FAIL (LSH subset)
+        print(r.stdout[-2000:]); print(r.stderr[-2000:])
+        print("FAIL q25 recall: check.py crashed (see output above)")
+        return 1
+    if "no spark result" in r.stdout or "crashed in Verify" in r.stdout \
+            or "oracle error" in r.stdout:
+        print(r.stdout[-2000:])
+        print("FAIL q25 recall: Verify or oracle failed (see output above)")
+        return 1
     import duckdb, pandas as pd
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DIR}/documents.parquet')")
