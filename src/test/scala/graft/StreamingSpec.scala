@@ -153,6 +153,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionization gap boundary: exactly-at-gap merges, strictly-past splits (streaming = batch)") {
+    // the r19 hostile-events pin, streaming edition: Spark's batch
+    // session_window MERGES an event landing exactly at last+gap
+    // (verified against 4.1.2 in tools/hostile_diff.py) — the
+    // streaming interval-merge must agree on the same boundary, which
+    // the random minute-granularity sweep above only covers by chance.
+    implicit val sqlCtx = session.sqlContext
+    val events = Seq(
+      // user 1: exactly-at-gap chain — ONE session of three
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00")),
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+      // ...then strictly past the edge by 1 ms — a SECOND session
+      (1L, Timestamp.valueOf("2024-01-01 01:30:00.001")),
+      // user 2: duplicate instants — one session, n = 3
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00")))
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = Streams.userSessions(input.toDF().toDF("user_id", "ts"),
+      gapMs = 30L * 60L * 1000, watermark = "2 hours")
+    val q = stream.toDF().writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((999L, Timestamp.valueOf("2024-01-02 23:00:00"))) // flush
+      q.processAllAvailable()
+      val got = session.table("sessions_boundary").filter(col("user_id") =!= 999L)
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      val expected = events.toDF("user_id", "ts")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(got === expected,
+        s"boundary sessions diverge\nstreaming: $got\nbatch: $expected")
+      // the semantics themselves, pinned against both engines: the
+      // exactly-at-gap chain is ONE session (inclusive boundary)
+      assert(expected === Set(
+        (1L, "2024-01-01 00:00:00.0", 3L),
+        (1L, "2024-01-01 01:30:00.001", 1L),
+        (2L, "2024-01-01 05:00:00.0", 3L)), s"batch semantics moved: $expected")
+    } finally q.stop()
+  }
+
   test("streaming media triage parses AVI headers and drops corrupt clips in-flight") {
     implicit val sqlCtx = session.sqlContext
     import graft.text.Multimodal.AviCodec
