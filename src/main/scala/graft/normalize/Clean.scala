@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Clean {
   /** Python `str.strip()` (all whitespace, not just spaces). */
-  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  // (?U): python's \s (and \b/\w) are unicode-aware on str — NBSP and
+  // the other Zs spaces are whitespace to the reference. Java matches
+  // only with UNICODE_CHARACTER_CLASS (r19: the NBSP golden probes
+  // caught the ASCII-\s divergence — " Edged " kept its edges).
+  def pyStrip(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
 
   /** F1 `clean_copy` (aux_functions.py:11-37): canonicalize dash-words →
     * `-`, deleted-words → ``, unclear-words → `?`, separators → `;`,
@@ -26,7 +30,7 @@ object Clean {
       Regexes.QuestionMarkWords -> "?",
       Regexes.SemicolonWords -> ";",
       ";+" -> ";",
-      "^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
+      "(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
       "-+" -> "-")
     replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
@@ -41,7 +45,7 @@ object Clean {
       Regexes.QuestionMarkWords -> "?",
       Regexes.SemicolonWords -> ";",
       ";+" -> ";",
-      "^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
+      "(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
       "-+|^$" -> "-")
     replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }

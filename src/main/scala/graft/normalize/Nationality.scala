@@ -64,7 +64,7 @@ object Nationality {
   // hoisted per-row scrub patterns (String.replaceAll compiles per call)
   private val dots = java.util.regex.Pattern.compile("\\.")
   private val separators =
-    java.util.regex.Pattern.compile("(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+")
+    java.util.regex.Pattern.compile("(?U)(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+")
 
   /** Per-JOB hoisted state for [[standardizeValue]]: the compiled
     * word-boundary patterns plus the three membership sets. Building

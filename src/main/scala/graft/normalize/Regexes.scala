@@ -8,42 +8,42 @@ package graft.normalize
   */
 object Regexes {
   val DashWords =
-    "(?i)\\bblank\\b|\\b\\[blank\\]\\b|\\b\\(blank\\)\\b|\\bblanc\\b|\\bnone\\b|\\bleer\\b|nicht bekannt|\\bk\\.+\\s*a\\b\\.*|\\bk\\.*\\s*a\\b\\.+|\\bnn\\b|\\bfehlt\\b|\\bempty\\b|\\bmissing\\b|\\bna\\b|\\bNA\\b|\\bNa\\b|\\bnot\\b|unklear|keine angabe|entfällt|unavailable|not listet|not statet|no information|\\bno\\b|nr\\. unbekannt|nicht angegeben|keine nummer|unknown|unbekant|\\bnil\\b|no data|xxx|unbekannt\\b|\\bkeine\\b|\\bohne\\b|_|^0+$"
+    "(?U)(?i)\\bblank\\b|\\b\\[blank\\]\\b|\\b\\(blank\\)\\b|\\bblanc\\b|\\bnone\\b|\\bleer\\b|nicht bekannt|\\bk\\.+\\s*a\\b\\.*|\\bk\\.*\\s*a\\b\\.+|\\bnn\\b|\\bfehlt\\b|\\bempty\\b|\\bmissing\\b|\\bna\\b|\\bNA\\b|\\bNa\\b|\\bnot\\b|unklear|keine angabe|entfällt|unavailable|not listet|not statet|no information|\\bno\\b|nr\\. unbekannt|nicht angegeben|keine nummer|unknown|unbekant|\\bnil\\b|no data|xxx|unbekannt\\b|\\bkeine\\b|\\bohne\\b|_|^0+$"
   val DeletedWords =
-    "(?i)lined out|crossed out|durchgestrichen|gestrichen|scored out|\\[strikethrough\\]|\"+"
+    "(?U)(?i)lined out|crossed out|durchgestrichen|gestrichen|scored out|\\[strikethrough\\]|\"+"
   val QuestionMarkWords =
-    "(?i)illegible|unclear|unsure|not clear|unreadable|unklar|nicht erkennbar|nicht lesbar|\\?+|unlesbar|unleserlich|ungenau|andere angabe"
+    "(?U)(?i)illegible|unclear|unsure|not clear|unreadable|unklar|nicht erkennbar|nicht lesbar|\\?+|unlesbar|unleserlich|ungenau|andere angabe"
   val SemicolonWords =
-    "(?i),|\\bor\\b|\\boder\\b|\\band\\b|\\bund\\b|/|\\(|\\)|:|\\[|\\]"
+    "(?U)(?i),|\\bor\\b|\\boder\\b|\\band\\b|\\bund\\b|/|\\(|\\)|:|\\[|\\]"
 
   val KeyWords =
-    "(\\b|\\()(mr\\.|mrs\\.|frau|fr\\.\\s|herr|herrn|frl\\.|ing\\.|tote|toter|died|neugeborenes|unbekannter\\stoter|unbekannte\\stote|auch|vel|freifrau|prinz|prinzessin|erbprinz|freiherr|freifr|reichsgraf|reichsgräfin|graf|gräfin|freiin|säugling|kind|wwe\\.|gefr\\.|soldat|baron|baronin|hr\\.|ehefrau|vel|alias|baby|wwe|schwester|wife|gattin|gatte|or|oder|od\\.\\s|jude|jüdin|bruder|heil|hitler)(\\s|\\b|\\)|$)"
+    "(?U)(\\b|\\()(mr\\.|mrs\\.|frau|fr\\.\\s|herr|herrn|frl\\.|ing\\.|tote|toter|died|neugeborenes|unbekannter\\stoter|unbekannte\\stote|auch|vel|freifrau|prinz|prinzessin|erbprinz|freiherr|freifr|reichsgraf|reichsgräfin|graf|gräfin|freiin|säugling|kind|wwe\\.|gefr\\.|soldat|baron|baronin|hr\\.|ehefrau|vel|alias|baby|wwe|schwester|wife|gattin|gatte|or|oder|od\\.\\s|jude|jüdin|bruder|heil|hitler)(\\s|\\b|\\)|$)"
 
-  val AcademicTitle = "\\b([dD]r\\.|[pP]rof\\.|[mM]udr\\.)"
+  val AcademicTitle = "(?U)\\b([dD]r\\.|[pP]rof\\.|[mM]udr\\.)"
 
   val NobleName =
-    "\\b(?![a-z]\\')(van(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|von(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|de la|del|di|der|den|vom|dal|della|dell|dalla|da|d|(v\\.\\s?d\\.)|v\\.|von\\.|d\\.|du|de|le|la|v|d|mc|ter|ten|te|san)(\\b|\\s)(?=[a-zA-Z]){2,}"
+    "(?U)\\b(?![a-z]\\')(van(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|von(([^a-zA-Z]+(der|den|de|d\\.))|\\.)?|de la|del|di|der|den|vom|dal|della|dell|dalla|da|d|(v\\.\\s?d\\.)|v\\.|von\\.|d\\.|du|de|le|la|v|d|mc|ter|ten|te|san)(\\b|\\s)(?=[a-zA-Z]){2,}"
   val NoblePrefixClean = "[^a-zA-Z]"
 
-  val BirthName = "((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).*)"
-  val BirthNameClean = "((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).)"
+  val BirthName = "(?U)((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).*)"
+  val BirthNameClean = "(?U)((\\b)(geborene|geb\\.|geb|geboren|nee|née|nèe|zd\\.|zd)(\\b).)"
 
   val StripSemicolon = "^;*|;*$"
   val NameSemicolonTransformation =
-    "(?<!\\b(d))(?<!\\b(da|de|di|du|d\\.|la|le|mc|te|v\\.))(?<!\\b(dal|del|der|den|ter|ten|van|vom|von|san))(?<!\\b(von\\.))(?<!\\b(della|dalla))(\\s;|;\\s|\\s+|\\,|\\,\\s|\\-|;+|\\\\)"
-  val SemicolonTransformation = "(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\)+"
+    "(?U)(?<!\\b(d))(?<!\\b(da|de|di|du|d\\.|la|le|mc|te|v\\.))(?<!\\b(dal|del|der|den|ter|ten|van|vom|von|san))(?<!\\b(von\\.))(?<!\\b(della|dalla))(\\s;|;\\s|\\s+|\\,|\\,\\s|\\-|;+|\\\\)"
+  val SemicolonTransformation = "(?U)(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\)+"
 
-  val LetterSpacing = "\\b([A-Za-z])\\s+(?=[A-Za-z]\\b)"
+  val LetterSpacing = "(?U)\\b([A-Za-z])\\s+(?=[A-Za-z]\\b)"
 
   val Qa = "[\\(\\)\\[\\]0-9\\?,:_\\/\\*\\\"#]|\\.\\.|^-|-$|[^a-zA-Z]-[^a-zA-Z]"
-  val QaPrisonerNo = "(.*[^0-9;\\s\\.\\/aAbBrRzZ]+.*)"
+  val QaPrisonerNo = "(?U)(.*[^0-9;\\s\\.\\/aAbBrRzZ]+.*)"
   val QaNoEntry = "^-$"
   val QaPrisonerNoNoEntry = "^-$|[aAbBrRzZ]"
 
-  val PrisonerNumberCharacterSeparator = "(?<=[aAbBrRzZ]{1})(\\s|-)(?=[0-9]{2,})"
+  val PrisonerNumberCharacterSeparator = "(?U)(?<=[aAbBrRzZ]{1})(\\s|-)(?=[0-9]{2,})"
 
   val Digit4Year = "^[12][0-9]{3}$"
-  val DateSplit = "(\\.\\s*|\\/|,\\s*|\\s+|\\s|;|(?<=[0-9])(-)(?=[0-9]))+"
+  val DateSplit = "(?U)(\\.\\s*|\\/|,\\s*|\\s+|\\s|;|(?<=[0-9])(-)(?=[0-9]))+"
   val NoDoubleZerosMd = "^0+(?=[0-9]{2})"
   val NoDoubleZerosY = "^0+(?=[0-9]{4})"
 

@@ -47,6 +47,10 @@ LAST_NAMES = [
     "Van Der Meer", "VON TRAPP", "v. Berg", "Müller,", ";Schmidt",
     "(Klammer)", "a-b-c-d-e", "Horváthová", "Kovačová", "Petrova",
     "Schmidt2", "M3yer", "O''Hara", "K.", "zuletzt Meier",
+    # r19 unicode-whitespace probes: python \s and str.strip are
+    # unicode-aware (NBSP is whitespace), Java's are ASCII-only - these
+    # pin whichever behavior the reference actually exhibits
+    "M\u00fcller\u00a0Meier", "\u00a0Edged\u00a0", "\tTabEdged\t",
 ]
 FIRST_NAMES = [
     "Dr.Alice", "Dr. Alice", "Alice ", "Bob1 Bob2", "A", "Hans-Peter",
