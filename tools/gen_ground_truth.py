@@ -60,6 +60,8 @@ FIRST_NAMES = [
     # ordinal suffixes, more keyword shapes
     "Hans - Peter", "ANNA-MARIA", "Dr. Dr. h.c. Karl", "Frl. Eva",
     "José", "François", "Karl II", "unleserlich", "E.", "Ing. Petr",
+    # r19 unicode-whitespace probes (the last-name NBSP find, mirrored)
+    "Anna\u00a0Maria", "\u00a0Eva\u00a0",
 ]
 PRISONER_NOS = [
     "111", "A 12345", "A-12345", "12.345", "B 4711; 12 345", "Haftnr. 99",
@@ -70,6 +72,8 @@ PRISONER_NOS = [
     # zero-shapes, mixed separators, bare markers
     "A12345B", "12-345-67", "Nr. 12345", "12345/6", "000", "0",
     " 123 ", "ABC", "12.34.56", "123?;456", "B", "A.12345",
+    # r19 unicode-whitespace probes
+    "A\u00a012345", "\u00a0777\u00a0",
 ]
 RAW_DATES = [
     "12.3.1943", "1943", "3.12.43", "19430312", "431203", "12/03/1943",
@@ -92,6 +96,8 @@ RAW_DATES = [
     "12.III.1943", "1.Jan.1944", "12. Dez. 1943", "ca. 1943", "etwa 1940",
     "450312", "120350", "12.3.50", "12.3.00", "1943.03.12", "1943/03/12",
     "13.13.13", "1.1.1", "00.05.1943", "05.00.1943",
+    # r19 unicode-whitespace probes
+    "12.3.1943\u00a0", "\u00a01943", "12\u00a0März\u00a01943",
 ]
 
 def dump(df, name):
