@@ -96,16 +96,23 @@ object PyText {
     val sb = new java.lang.StringBuilder(s.length)
     var prevIsLetter = false
     var i = 0
+    // CODEPOINT walk, not chars (r19): a per-UTF-16-unit walk sees an
+    // astral letter as two non-letter surrogates, resets the run, and
+    // uppercases the NEXT letter ("na𝖒e" -> "Na𝖒E" where python's
+    // title() gives "Na𝖒e"). Run starts take Character.toTitleCase —
+    // python's title() uses the TITLECASE mapping, which differs from
+    // uppercase exactly on the digraphs (ǆ -> ǅ, not Ǆ); goldens
+    // adjudicate both choices against the reference.
     while (i < s.length) {
-      val ch = s.charAt(i)
-      if (Character.isLetter(ch)) {
-        sb.append(if (prevIsLetter) Character.toLowerCase(ch) else Character.toUpperCase(ch))
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        sb.appendCodePoint(if (prevIsLetter) Character.toLowerCase(cp) else Character.toTitleCase(cp))
         prevIsLetter = true
       } else {
-        sb.append(ch)
+        sb.appendCodePoint(cp)
         prevIsLetter = false
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString
   }

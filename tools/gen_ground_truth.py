@@ -51,6 +51,9 @@ LAST_NAMES = [
     # unicode-aware (NBSP is whitespace), Java's are ASCII-only - these
     # pin whichever behavior the reference actually exhibits
     "M\u00fcller\u00a0Meier", "\u00a0Edged\u00a0", "\tTabEdged\t",
+    # r19 astral/titlecase probes: python title() walks codepoints and
+    # uses the TITLECASE mapping (digraphs)
+    "na\U0001D58De", "\U0001D578\u00fcller", "\u01C6ungla",
 ]
 FIRST_NAMES = [
     "Dr.Alice", "Dr. Alice", "Alice ", "Bob1 Bob2", "A", "Hans-Peter",
