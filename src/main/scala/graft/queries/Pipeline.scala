@@ -455,6 +455,10 @@ object Pipeline {
     // counts are unchanged, but a regenerated corpus with key gaps can
     // no longer diverge (an all-sentinel class-2 document is
     // without_entries, exactly as the engine scores it).
+    // The final counters are CAST to BIGINT: DuckDB types bare
+    // sum(CASE...) as HUGEINT, which pandas renders float64 (3750.0)
+    // against Spark's int64 (3750) — the registry-wide convention
+    // every other oracle already follows (r19 verdict root cause).
     """WITH docs AS (
       |  SELECT o_orderkey // 3 AS doc, count(*) AS r,
       |    max(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS has_info
@@ -477,8 +481,12 @@ object Pipeline {
       |    sum(CASE WHEN cb = 1 AND r >= 2 THEN 1 ELSE 0 END),
       |    sum(CASE WHEN (cb IN (0,1) AND r = 1) OR (cb = 2 AND has_info = 1) THEN 1 ELSE 0 END)
       |  FROM c)
-      |SELECT col_name AS "column", with_entries, without_entries, matched,
-      |       ambiguous, too_few_entries
+      |SELECT col_name AS "column",
+      |       CAST(with_entries AS BIGINT) AS with_entries,
+      |       CAST(without_entries AS BIGINT) AS without_entries,
+      |       CAST(matched AS BIGINT) AS matched,
+      |       CAST(ambiguous AS BIGINT) AS ambiguous,
+      |       CAST(too_few_entries AS BIGINT) AS too_few_entries
       |FROM stats
       |ORDER BY col_name""".stripMargin
 
