@@ -83,8 +83,11 @@ object ColMatcher {
   }
 
   /** Translate the reference's Python named-group regex syntax to Java's. */
+  // Regexes.pyS (r20): python's \s also covers U+001C-001F, which
+  // UNICODE_CHARACTER_CLASS alone (White_Space) does not
   private def pyPattern(p: String): Pattern =
-    Pattern.compile(p.replace("(?P<", "(?<"), Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile(graft.normalize.Regexes.pyS(p.replace("(?P<", "(?<")),
+      Pattern.UNICODE_CHARACTER_CLASS)
   private def pyRepl(r: String): String =
     r.replaceAll("\\\\g<([A-Za-z][A-Za-z0-9]*)>", "\\${$1}")
 

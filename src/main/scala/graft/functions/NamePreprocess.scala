@@ -86,8 +86,12 @@ object NamePreprocess {
   def removeLangSpecificLastNameEndings(s: String): String =
     applyChain(s, lastNameEndings)
 
+  // Regexes.pyS + (?U): the reference's \s is python's (White_Space +
+  // U+001C-001F) — a NBSP-joined " geb. " tail must still be stripped
+  // (r20; adjudicated by the string_utils golden fixture)
   private val maidenTails = compiled(Seq(
-    "\\sgeb\\.?\\s.*" -> "", "\\sgesch\\.?\\s.*" -> ""))
+    graft.normalize.Regexes.pyS("(?U)\\sgeb\\.?\\s.*") -> "",
+    graft.normalize.Regexes.pyS("(?U)\\sgesch\\.?\\s.*") -> ""))
 
   /** Strip maiden-name tail: " geb. …" / " gesch. …" (`string_utils.py:176-179`). */
   def removeMaidenName(s: String): String = applyChain(s, maidenTails)
@@ -108,21 +112,27 @@ object NamePreprocess {
   private val nameWord = java.util.regex.Pattern.compile("[a-zA-Zäüöß]+")
 
   /** `fix_name_uppercasing` (`string_utils.py:153-159`): every word
-    * ([a-zA-Zäüöß]+) → first letter upper, rest lower.
+    * ([a-zA-Zäüöß]+) → first letter upper, rest lower. Replayed
+    * EXACTLY, quirks included (r20, golden-adjudicated):
+    *  - python's one-char `.upper()` is the FULL mapping, so a
+    *    word-initial ß expands to "SS" ("ßler" → "SSler");
+    *  - `finditer` spans are taken on the ORIGINAL string but spliced
+    *    into the MUTATED one (`string = string[:start] + fixed +
+    *    string[end:]` in a loop), so after a ß-expansion every later
+    *    span is off by one — the splice must clamp like python slices.
     */
   def fixNameUppercasing(s: String): String = {
     val m = nameWord.matcher(s)
-    val sb = new java.lang.StringBuilder(s.length)
-    var last = 0
+    var cur = s
     while (m.find()) {
-      sb.append(s, last, m.start())
       val w = m.group()
-      sb.append(Character.toUpperCase(w.charAt(0)))
-      sb.append(w.substring(1).toLowerCase(java.util.Locale.ROOT))
-      last = m.end()
+      val fixed = w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) +
+        w.substring(1).toLowerCase(java.util.Locale.ROOT)
+      val start = math.min(m.start(), cur.length)
+      val end = math.min(m.end(), cur.length)
+      cur = cur.substring(0, start) + fixed + cur.substring(math.max(start, end))
     }
-    sb.append(s.substring(last))
-    sb.toString
+    cur
   }
 
   // --- OCR confusable repair (`string_utils.py:46-151`) -------------------

@@ -17,7 +17,11 @@ object Clean {
   // the other Zs spaces are whitespace to the reference. Java matches
   // only with UNICODE_CHARACTER_CLASS (r19: the NBSP golden probes
   // caught the ASCII-\s divergence — " Edged " kept its edges).
-  def pyStrip(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
+  // Regexes.PyS, not bare \s (r20): python also strips the information
+  // separators U+001C-001F, which White_Space excludes — the r20 golden
+  // probes ("Meier\x1c" etc.) caught the residue in every family.
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, Regexes.pyS("(?U)^\\s+|\\s+$"), "")
 
   /** F1 `clean_copy` (aux_functions.py:11-37): canonicalize dash-words →
     * `-`, deleted-words → ``, unclear-words → `?`, separators → `;`,
@@ -30,7 +34,7 @@ object Clean {
       Regexes.QuestionMarkWords -> "?",
       Regexes.SemicolonWords -> ";",
       ";+" -> ";",
-      "(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
+      Regexes.pyS("(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*") -> "",
       "-+" -> "-")
     replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
@@ -45,7 +49,7 @@ object Clean {
       Regexes.QuestionMarkWords -> "?",
       Regexes.SemicolonWords -> ";",
       ";+" -> ";",
-      "(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*" -> "",
+      Regexes.pyS("(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*") -> "",
       "-+|^$" -> "-")
     replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
@@ -86,35 +90,40 @@ object Clean {
 
 /** Pure-Scala kernels for pandas string semantics Spark lacks. */
 object PyText {
-  /** Python `str.title()`: a letter starting a run (preceded by any
-    * non-letter, including digits) is uppercased, the rest lowered.
-    * Differs from Spark `initcap`, which only breaks on whitespace and
-    * is wrong for "bob1 bob2" / "weiss-meyer" shapes.
+  /** Python `str.title()`: runs are keyed on the Unicode CASED property
+    * (not `isLetter` — an uncased Hebrew/CJK/ʻokina letter resets the
+    * run), run starts take the FULL titlecase mapping (one-to-many:
+    * "ß" -> "Ss", "ﬁne" -> "Fine"), run continuations the full lowercase
+    * mapping with the final-sigma context rule. Exact algorithm and the
+    * JVM-vs-CPython exception tables live in [[PyCase]] (r20, closing
+    * the r19 ADVICE item). Differs from Spark `initcap`, which only
+    * breaks on whitespace and is wrong for "bob1 bob2" / "weiss-meyer".
     */
-  def pyTitle(s: String): String = {
+  def pyTitle(s: String): String = PyCase.title(s)
+
+  /** Python `str.isspace` for a single UTF-16 unit: Java's
+    * `Character.isWhitespace` PLUS the no-break spaces (U+00A0, U+2007,
+    * U+202F) and NEL (U+0085) it excludes. Verified identical to the
+    * CPython set by an all-codepoint sweep (r20): both sides resolve to
+    * exactly {09-0D, 1C-1F, 20, 85, A0, 1680, 2000-200A, 2028, 2029,
+    * 202F, 205F, 3000}.
+    */
+  def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == 0x85.toChar || c == 0xA0.toChar ||
+      c == 0x2007.toChar || c == 0x202F.toChar
+
+  /** Python `str.strip()` for plain JVM strings (the Column twin is
+    * [[Clean.pyStrip]]). NOT `String.trim`: trim strips every control
+    * char <= U+0020 (python keeps \x00-\x08 and \x0e-\x1b) and misses
+    * NBSP/NEL, so a `.strip()` replay through trim diverges both ways.
+    */
+  def pyStripStr(s: String): String = {
     if (s == null) return null
-    val sb = new java.lang.StringBuilder(s.length)
-    var prevIsLetter = false
-    var i = 0
-    // CODEPOINT walk, not chars (r19): a per-UTF-16-unit walk sees an
-    // astral letter as two non-letter surrogates, resets the run, and
-    // uppercases the NEXT letter ("na𝖒e" -> "Na𝖒E" where python's
-    // title() gives "Na𝖒e"). Run starts take Character.toTitleCase —
-    // python's title() uses the TITLECASE mapping, which differs from
-    // uppercase exactly on the digraphs (ǆ -> ǅ, not Ǆ); goldens
-    // adjudicate both choices against the reference.
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (Character.isLetter(cp)) {
-        sb.appendCodePoint(if (prevIsLetter) Character.toLowerCase(cp) else Character.toTitleCase(cp))
-        prevIsLetter = true
-      } else {
-        sb.appendCodePoint(cp)
-        prevIsLetter = false
-      }
-      i += Character.charCount(cp)
-    }
-    sb.toString
+    var a = 0
+    var b = s.length
+    while (a < b && pyIsSpace(s.charAt(a))) a += 1
+    while (b > a && pyIsSpace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
   }
 
   // hoisted: sortListInColumn runs per ROW and String.replaceAll

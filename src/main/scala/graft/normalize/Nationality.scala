@@ -57,14 +57,14 @@ object Nationality {
     * standardized value.
     */
   def replaceRawValues(raw: String, matches: Seq[(String, String)]): String =
-    matches.foldLeft(raw) { case (acc, (k, v)) => acc.replace(k.trim, v) }
+    matches.foldLeft(raw) { case (acc, (k, v)) => acc.replace(PyText.pyStripStr(k), v) }
 
   final case class NatResult(parts: Seq[String], standardized: Seq[String], qa: Boolean)
 
   // hoisted per-row scrub patterns (String.replaceAll compiles per call)
   private val dots = java.util.regex.Pattern.compile("\\.")
   private val separators =
-    java.util.regex.Pattern.compile("(?U)(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+")
+    java.util.regex.Pattern.compile(Regexes.pyS("(?U)(\\s;|;\\s|\\s|\\,|\\-|;+|\\\\|/)+"))
 
   /** Per-JOB hoisted state for [[standardizeValue]]: the compiled
     * word-boundary patterns plus the three membership sets. Building
@@ -83,7 +83,7 @@ object Nationality {
     def apply(raw0: String): NatResult = {
       val raw = if (raw0 == null) "" else Nationality.dots.matcher(raw0).replaceAll("")
       val replaced = Nationality.separators
-        .matcher(replaceRawValues(raw, findMatchesWith(pats, natDict, raw)).trim)
+        .matcher(PyText.pyStripStr(replaceRawValues(raw, findMatchesWith(pats, natDict, raw))))
         .replaceAll(";")
       val parts = replaced.split(";", 5).toSeq
       var qa = false

@@ -32,8 +32,8 @@ object PrisonerNumbers {
 
     c = regexp_replace(pyStrip(c), "\\b[a-zA-z]{2,}\\b", "")
     c = regexp_replace(c, "  ", " ")
-    c = regexp_replace(c, "(?U)(?<=[^0-9a-zA-Z])\\s(?=[0-9])|(?<=[a-zA-Z])\\s(?=[^0-9a-zA-Z])", "")
-    c = regexp_replace(c, "(?U)(?<=[0-9]{2})\\s(?=[0-9]{3})", "")
+    c = regexp_replace(c, Regexes.pyS("(?U)(?<=[^0-9a-zA-Z])\\s(?=[0-9])|(?<=[a-zA-Z])\\s(?=[^0-9a-zA-Z])"), "")
+    c = regexp_replace(c, Regexes.pyS("(?U)(?<=[0-9]{2})\\s(?=[0-9]{3})"), "")
     c = regexp_replace(pyStrip(c), Regexes.PrisonerNumberCharacterSeparator, "")
     c = regexp_replace(pyStrip(c), Regexes.SemicolonTransformation, ";")
     c = sortListUdf(c)

@@ -215,7 +215,7 @@ object Ann {
     // riding through the explode ×tables
     def vecs(df: DataFrame, id: String) = df
       .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
-    // DEGENERATE vectors (zero, empty, or any NaN/Inf component) are
+    // DEGENERATE vectors (zero, empty, or any null/NaN/Inf component) are
     // excluded BEFORE banding: every hyperplane dot reads NaN or 0, so
     // they ALL land in bucket "t:0" of every table — a corrupt-heavy
     // corpus would pair them quadratically in one hot bucket (the
@@ -225,8 +225,14 @@ object Ann {
     // neighbor). LSH contract unchanged: misses possible, never false
     // accepts. The exact cosineTopK path still scans and ranks them
     // (last, score 0).
+    // x.isNull is spelled out even though three-valued logic would drop
+    // null-bearing rows anyway (isnan(null) -> null -> filter false):
+    // the exclusion is part of the contract (the DuckDB oracle replay
+    // states `x IS NULL` explicitly), and a refactor to e.g. a forall
+    // must not silently change it.
     def finiteNonZero(v: Column) =
-      !exists(v, x => isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity) &&
+      !exists(v, x => x.isNull || isnan(x) ||
+        x === Double.PositiveInfinity || x === Double.NegativeInfinity) &&
         exists(v, x => x =!= 0.0d)
     def withBuckets(df: DataFrame, id: String) = vecs(df, id)
       .filter(finiteNonZero(col(s"__v_$id")))

@@ -28,7 +28,10 @@ object Unpack {
     * literal string "None" — preserved because downstream NA filtering
     * depends on it).
     */
-  private def pyStr(v: String): String = if (v == null) "None" else v.trim
+  // PyText.pyStrip, not String.trim (r20): python strip keeps \x00-\x08
+  // and strips NBSP/NEL; trim does the opposite on both counts
+  private def pyStr(v: String): String =
+    if (v == null) "None" else graft.normalize.PyText.pyStripStr(v)
 
   /** Regex replace skipping bracketed spans, nesting-aware (SURVEY F22;
     * reference `utils.py:42-57` `re_sub_exclude_parenthesis`).
@@ -39,9 +42,12 @@ object Unpack {
   // memoized per executor (bounded: callers pass literal config strings)
   private val patternCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  // Regexes.pyS (r20): callers pass the reference's python patterns
+  // (default split_re = "[\|;,\s]"), whose \s includes U+001C-001F
   private def compiled(pattern: String): java.util.regex.Pattern =
     patternCache.computeIfAbsent(pattern,
-      p => java.util.regex.Pattern.compile(p, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS))
+      p => java.util.regex.Pattern.compile(graft.normalize.Regexes.pyS(p),
+        java.util.regex.Pattern.UNICODE_CHARACTER_CLASS))
 
   def reSubExcludeParenthesis(s: String, pattern: String, repl: String): String = {
     val p = compiled(pattern)
@@ -70,7 +76,8 @@ object Unpack {
   private val pipeSplit = java.util.regex.Pattern.compile("\\|")
 
   def additionalSplits(values: Seq[String], splitRe: String): Seq[String] =
-    values.flatMap(v => pipeSplit.split(reSubExcludeParenthesis(v.trim, splitRe, "|"), -1).toSeq)
+    values.flatMap(v => pipeSplit.split(
+      reSubExcludeParenthesis(graft.normalize.PyText.pyStripStr(v), splitRe, "|"), -1).toSeq)
 
   /** `filter_na` (unpacking.py:46-56): dedupe preserving order; if more
     * than one value remains, drop empties; never return an empty list.

@@ -23,6 +23,49 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(NamePreprocess.fixNameUppercasing("O'BRIEN") === "O'Brien")
   }
 
+  test("F3 pyTitle is CPython str.title exactly (cased runs, full mappings, sigma)") {
+    import graft.normalize.PyText.pyTitle
+    // every expected value is CPython 3.11 output, re-verified by the
+    // 4.4M-probe all-codepoint TitleSweep (zero mismatches, r20)
+    assert(pyTitle(null) === null)
+    assert(pyTitle("") === "")
+    assert(pyTitle("bob1 bob2") === "Bob1 Bob2")
+    assert(pyTitle("weiss-meyer") === "Weiss-Meyer")
+    // runs key on CASED, not isLetter: uncased letters reset the run
+    assert(pyTitle("אa") === "אA")            // Hebrew aleph
+    assert(pyTitle("中a文b") === "中A文B") // CJK
+    assert(pyTitle("ʻokina") === "ʻOkina")    // ʻokina (Lm, uncased)
+    // ...but cased NON-letters continue runs
+    assert(pyTitle("xʰy") === "Xʰy")          // ʰ Lm Other_Lowercase
+    assert(pyTitle("aⒶ") === "Aⓐ")            // Ⓐ So Other_Uppercase -> ⓐ
+    assert(pyTitle("Ⓐb") === "Ⓐb")
+    assert(pyTitle("ⅷx") === "Ⅷx")            // ⅷ Nl -> Ⅷ
+    assert(pyTitle("𝕳ello") === "𝕳ello") // 𝕳 cased astral
+    assert(pyTitle("na𝖍e") === "Na𝖍e")   // 𝖒 cased astral
+    // full one-to-many mappings (SpecialCasing.txt)
+    assert(pyTitle("ßa") === "Ssa")                // word-initial ß
+    assert(pyTitle("aßb") === "Aßb")          // run-internal ß lowers to itself
+    assert(pyTitle("straße") === "Straße")
+    assert(pyTitle("ﬁne") === "Fine")              // ﬁ ligature
+    assert(pyTitle("ﬃcal") === "Ffical")           // ﬃ
+    assert(pyTitle("ŉa") === "ʼNa")           // ŉ -> ʼN
+    assert(pyTitle("Aİb") === "Ai̇b")         // lower(İ) = i + combining dot
+    assert(pyTitle("İstanbul") === "İstanbul")
+    assert(pyTitle("ᾲ x") === "Ὰͅ X")    // ᾲ -> Ὰ + ypogegrammeni
+    // titlecase digraphs stay TITLE, not upper
+    assert(pyTitle("ǆungla") === "ǅungla")    // ǆ -> ǅ
+    assert(pyTitle("ǅx") === "ǅx")
+    // final-sigma context rule, incl. case-ignorable look-through
+    assert(pyTitle("ΟΔΥΣΣΕΥΣ") === "Οδυσσευς")
+    assert(pyTitle("ΑΣ Β") === "Ας Β")
+    assert(pyTitle("Σ") === "Σ")              // run start: title path, no lowering
+    assert(pyTitle("ΑΣ̈") === "Ας̈") // mark is ignorable -> still final
+    assert(pyTitle("ΑΣ'") === "Ας'")  // apostrophe ignorable -> final
+    assert(pyTitle("Α'Σ") === "Α'Σ")  // ' uncased -> sigma takes TITLE path
+    assert(pyTitle("don't") === "Don'T")                // ' resets the run (uncased)
+    assert(pyTitle("1a2b") === "1A2B")
+  }
+
   test("F23 known abbreviation completion inside the consensus pipeline") {
     val m = new graft.consensus.ColMatcher().withKnownAbbreviationsCompleted()
     assert(m(Vector("Frankfurter Str.", "Frankfurter Straße")) === Some("Frankfurter Straße"))
