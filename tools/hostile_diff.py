@@ -72,6 +72,15 @@ TEXTS = [
     "\r\nhello world\r\n",               # CRLF-wrapped
     "a  b\t\tc\n\nd",                    # interior multi-whitespace runs
     " \t mixed \n edges \t ",            # everything at once
+    # --- information separators + NEL (r20): python treats U+001C-001F
+    # and U+0085 as whitespace, but the TEXT family is Java-\s-defined
+    # (not a python replay) and the oracle spells Java's \s out - both
+    # engines must treat them as TOKEN CHARS here. (The python-parity
+    # normalization kernels handle them as whitespace via Regexes.PyS,
+    # adjudicated by the reference golden fixtures, not this harness.)
+    "\x1c\x1d\x1e\x1f",                  # separators only
+    "a\x1cb c",                          # separator inside a token
+    "\x85nel\x85",                       # NEL-wrapped token
     # --- non-\s unicode "whitespace" (must be TOKEN CHARS in both) -----
     " ",                            # NBSP alone (Java trim keeps it; oracle now replays that)
     "a b",                          # NBSP joins a single token in both engines
