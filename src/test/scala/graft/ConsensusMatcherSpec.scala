@@ -13,6 +13,26 @@ import graft.consensus.{ColMatcher, Matchers}
   */
 class ConsensusMatcherSpec extends AnyFunSuite {
 
+  test("default matcher matches the reference over the r20 golden groups (python-\\s folds)") {
+    // tools/gen_ground_truth.py "col_matcher_ground_truth.csv": 3-entry
+    // groups through the reference's Default_Col_Matcher, incl. the
+    // U+001C-001F/NBSP \s+ folds (python's \s) and the trailing-space
+    // quirk ("m\u00fcller\u001e" folds to "m\u00fcller " and WINS the vote).
+    // Values are comma-free by construction -> naive CSV parse.
+    val in = getClass.getResourceAsStream("/graftfixtures/col_matcher_ground_truth.csv")
+    assert(in != null)
+    val srcIo = scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try srcIo.getLines().toVector finally srcIo.close()
+    assert(lines.length >= 15)
+    for (line <- lines.drop(1)) {
+      val cols = line.split(",", -1)
+      val group = Vector(cols(1), cols(2), cols(3))
+      val expected = cols(4)
+      val got = Matchers.default()(group).getOrElse("")
+      assert(got === expected, s"group $group")
+    }
+  }
+
   test("C1 majority vote: containment scoring with tie-to-last") {
     // ["one two","one tw","on two"]: every token of "one two" is a superstring
     // of supporters; winner needs support > 1.
