@@ -3,6 +3,7 @@ package graft.consensus
 import java.util.regex.Pattern
 import graft.core.Sentinels
 import graft.functions.Fuzz
+import graft.normalize.PyText
 
 /** Per-document consensus voting (the reference's flagship operator).
   *
@@ -56,17 +57,33 @@ object ColMatcher {
   def substituteUmlaute(s: String): String =
     s.replace("ä", "ae").replace("ö", "oe").replace("ü", "ue").replace("ß", "ss")
 
-  /** Python `[\w\.]+` with Unicode word chars. */
-  private val wordRe = Pattern.compile("[\\w\\.]+", Pattern.UNICODE_CHARACTER_CLASS)
+  /** Python `[\w\.]+` — python's `\w` via the Regexes translator, NOT
+    * Java's `(?U)\w` (r20: python `\w` excludes combining marks, so a
+    * decomposed "Mü" is TWO python words; and includes the Unicode-14
+    * letters JDK 17 predates).
+    */
+  private val wordRe = Pattern.compile(graft.normalize.Regexes.pyS("[\\w\\.]+"))
+  private val wordReFast = Pattern.compile("[\\w\\.]+", Pattern.UNICODE_CHARACTER_CLASS)
   // the three automatic-substitution patterns are object-level: they sit
   // on the consensus hot path (once per group per column per document)
   // and recompiling them per invocation is pure waste
   private val umlautRe = Pattern.compile("[üöäß]")
-  private val abbrevRe = Pattern.compile("\\w{3,}\\.", Pattern.UNICODE_CHARACTER_CLASS)
-  private val upperRe = Pattern.compile("[A-Z]\\w*", Pattern.UNICODE_CHARACTER_CLASS)
+  private val abbrevRe = Pattern.compile(graft.normalize.Regexes.pyS("\\w{3,}\\."))
+  private val abbrevReFast = Pattern.compile("\\w{3,}\\.", Pattern.UNICODE_CHARACTER_CLASS)
+  private val upperRe = Pattern.compile(graft.normalize.Regexes.pyS("[A-Z]\\w*"))
+  private val upperReFast = Pattern.compile("[A-Z]\\w*", Pattern.UNICODE_CHARACTER_CLASS)
+
+  // per-string divergence gate (Regexes.mayDiverge): Latin/ASCII strings
+  // behave identically under the native and python-exact \w classes
+  private def wordReFor(s: String) =
+    if (graft.normalize.Regexes.mayDiverge(s)) wordRe else wordReFast
+  private[consensus] def abbrevReFor(s: String) =
+    if (graft.normalize.Regexes.mayDiverge(s)) abbrevRe else abbrevReFast
+  private[consensus] def upperReFor(s: String) =
+    if (graft.normalize.Regexes.mayDiverge(s)) upperRe else upperReFast
 
   private[consensus] def findWords(s: String): Vector[String] = {
-    val m = wordRe.matcher(s)
+    val m = wordReFor(s).matcher(s)
     val b = Vector.newBuilder[String]
     while (m.find()) b += m.group()
     b.result()
@@ -135,9 +152,9 @@ object ColMatcher {
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
         if (candidate.length >= umlautWord.length &&
-          (toAsciiWithUmlaut(umlautWord.toLowerCase(java.util.Locale.ROOT)) == toAsciiWithUmlaut(candidate.toLowerCase(java.util.Locale.ROOT)) ||
-            toAscii(umlautWord.toLowerCase(java.util.Locale.ROOT)) == toAscii(candidate.toLowerCase(java.util.Locale.ROOT)) ||
-            substituteUmlaute(umlautWord.toLowerCase(java.util.Locale.ROOT)) == substituteUmlaute(candidate.toLowerCase(java.util.Locale.ROOT))))
+          (toAsciiWithUmlaut(PyText.pyLower(umlautWord)) == toAsciiWithUmlaut(PyText.pyLower(candidate)) ||
+            toAscii(PyText.pyLower(umlautWord)) == toAscii(PyText.pyLower(candidate)) ||
+            substituteUmlaute(PyText.pyLower(umlautWord)) == substituteUmlaute(PyText.pyLower(candidate))))
           subs(candidate) = umlautWord
       }
     }
@@ -152,7 +169,7 @@ object ColMatcher {
       for {
         words <- wordsPerEntry
         (word, pos) <- words.zipWithIndex
-        if abbrevRe.matcher(word).lookingAt()
+        if abbrevReFor(word).matcher(word).lookingAt()
       } yield (pos, word)
     val subs = collection.mutable.LinkedHashMap.empty[String, String]
     for ((pos, abbreviation) <- abbreviations; words <- wordsPerEntry) {
@@ -174,13 +191,13 @@ object ColMatcher {
       for {
         words <- wordsPerEntry
         (word, pos) <- words.zipWithIndex
-        if upperRe.matcher(word).lookingAt()
+        if upperReFor(word).matcher(word).lookingAt()
       } yield (pos, word)
     val subs = collection.mutable.LinkedHashMap.empty[String, String]
     for (entryWords <- wordsPerEntry; (pos, upper) <- upperWords) {
       if (entryWords.length > pos) {
         val candidate = entryWords(pos)
-        if (candidate != upper && candidate.toLowerCase(java.util.Locale.ROOT) == upper.toLowerCase(java.util.Locale.ROOT))
+        if (candidate != upper && PyText.pyLower(candidate) == PyText.pyLower(upper))
           subs(candidate) = upper
       }
     }

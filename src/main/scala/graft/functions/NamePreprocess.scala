@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.normalize.PyText
+
 /** Name normalization chains for record linkage (reference:
   * `src/aroa_etl/attribute_processing/string_utils.py`).
   *
@@ -103,11 +105,11 @@ object NamePreprocess {
     removeDoubleCharacters(
       replacePhoneticCharacters(
         replaceUmlautCharacters(
-          replaceSpecialCharacters(s.toLowerCase(java.util.Locale.ROOT)))))
+          replaceSpecialCharacters(PyText.pyLower(s)))))
 
   /** `preprocess_last_name` (`string_utils.py:200-205`). */
   def preprocessLastName(s: String): String =
-    preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(s.toLowerCase(java.util.Locale.ROOT))))
+    preprocessName(removeMaidenName(removeLangSpecificLastNameEndings(PyText.pyLower(s))))
 
   private val nameWord = java.util.regex.Pattern.compile("[a-zA-Zäüöß]+")
 
@@ -126,8 +128,7 @@ object NamePreprocess {
     var cur = s
     while (m.find()) {
       val w = m.group()
-      val fixed = w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) +
-        w.substring(1).toLowerCase(java.util.Locale.ROOT)
+      val fixed = PyText.pyUpper(w.substring(0, 1)) + PyText.pyLower(w.substring(1))
       val start = math.min(m.start(), cur.length)
       val end = math.min(m.end(), cur.length)
       cur = cur.substring(0, start) + fixed + cur.substring(math.max(start, end))

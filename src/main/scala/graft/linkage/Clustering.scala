@@ -123,11 +123,23 @@ object Clustering {
       .select("a", "b").distinct()
   }
 
-  /** `get_buckets_for_name` (person_clustering.py:157-158). */
+  /** `get_buckets_for_name` (person_clustering.py:157-158). Python
+    * semantics throughout (r20): `lower()` is the full CPython mapping
+    * (PyText.pyLower), and both `len(sub_name)` and the `[:idx_chars]`
+    * slice count CODEPOINTS — `String.length`/`take` count UTF-16 units
+    * and would split an astral name's blocking key at the wrong place.
+    */
   def bucketsForName(name: String, idxChars: Int, lenUnits: Int): Seq[(String, Int)] =
     if (name == null) Nil
-    else name.split(" ").filter(_.length >= idxChars)
-      .map(s => (s.toLowerCase(java.util.Locale.ROOT).take(idxChars), s.length / lenUnits)).toSeq
+    else name.split(" ").toSeq
+      .map(s => (s, s.codePointCount(0, s.length)))
+      .filter(_._2 >= idxChars)
+      .map { case (s, cps) =>
+        val low = graft.normalize.PyText.pyLower(s)
+        val lowCps = low.codePointCount(0, low.length)
+        val key = low.substring(0, low.offsetByCodePoints(0, math.min(idxChars, lowCps)))
+        (key, cps / lenUnits)
+      }
 
   /** Scored candidate edges `(a, b, score)` with `a < b`: pairs sharing a
     * first-name bucket AND a last-name bucket, scored with

@@ -27,32 +27,64 @@ object Clean {
     * `-`, deleted-words → ``, unclear-words → `?`, separators → `;`,
     * then collapse/trim separators. Chains apply in reference order.
     */
-  def cleanCopy(c: Column): Column = {
+  /** Gated python-parity replace (r20): a cell with no
+    * [[Regexes.DivergenceCover]] char behaves identically under the
+    * native-`\b` fast pattern and the exact PyB pattern (the cover is
+    * case-closed, so chains that case-map in between cannot leak), and
+    * the exact form costs 10-25× — so Latin/ASCII cells take the fast
+    * regex and only potentially-divergent cells pay for exactness.
+    */
+  def pyReplace(c: Column, exact: String, fast: String, repl: String): Column =
+    if (exact == fast) regexp_replace(c, exact, repl)
+    else when(c.rlike(Regexes.DivergenceCover), regexp_replace(c, exact, repl))
+      .otherwise(regexp_replace(c, fast, repl))
+
+  private def cleanChain(in: Column, dash: String, semi: String): Column = {
     val replaced = Seq(
-      Regexes.DashWords -> "-",
+      dash -> "-",
       Regexes.DeletedWords -> "",
       Regexes.QuestionMarkWords -> "?",
-      Regexes.SemicolonWords -> ";",
+      semi -> ";",
       ";+" -> ";",
       Regexes.pyS("(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*") -> "",
       "-+" -> "-")
-    replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    replaced.foldLeft(pyStrip(in)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
+
+  def cleanCopy(c: Column): Column =
+    // one gate for the whole chain: every inserted fragment is ASCII and
+    // the cover is case-closed, so no intermediate can become divergent
+    when(c.rlike(Regexes.DivergenceCover), cleanCopyVariant(c, exact = true))
+      .otherwise(cleanCopyVariant(c, exact = false))
+
+  /** Ungated single-variant form, for callers that hold their own
+    * divergence gate (the name chains gate ONCE per row and build both
+    * variants linearly — per-step gating re-references the accumulated
+    * expression tree per step and blows the plan up exponentially).
+    */
+  private[normalize] def cleanCopyVariant(c: Column, exact: Boolean): Column =
+    if (exact) cleanChain(c, Regexes.DashWords, Regexes.SemicolonWords)
+    else cleanChain(c, Regexes.DashWordsFast, Regexes.SemicolonWordsFast)
 
   /** `clean_copy_2` (aux_functions.py:40-65): identical chain except the
     * final step also maps fully-empty values to the `-` sentinel.
     */
-  def cleanCopy2(c: Column): Column = {
+  private def cleanChain2(in: Column, dash: String, semi: String): Column = {
     val replaced = Seq(
-      Regexes.DashWords -> "-",
+      dash -> "-",
       Regexes.DeletedWords -> "",
       Regexes.QuestionMarkWords -> "?",
-      Regexes.SemicolonWords -> ";",
+      semi -> ";",
       ";+" -> ";",
       Regexes.pyS("(?U)^\\s*;\\s*|\\s*;\\s*$|^\\s+|\\s+$|[\\n\\t]*") -> "",
       "-+|^$" -> "-")
-    replaced.foldLeft(pyStrip(c)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    replaced.foldLeft(pyStrip(in)) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
   }
+
+  def cleanCopy2(c: Column): Column =
+    when(c.rlike(Regexes.DivergenceCover),
+      cleanChain2(c, Regexes.DashWords, Regexes.SemicolonWords))
+      .otherwise(cleanChain2(c, Regexes.DashWordsFast, Regexes.SemicolonWordsFast))
 
   /** F2 `create_qa_col` (aux_functions.py:70-91): flag when the QA regex
     * hits unless the no-entry regex does.
@@ -60,15 +92,19 @@ object Clean {
   def createQaCol(c: Column, qaRegex: String, noEntryRegex: String): Column =
     coalesce(c.rlike(qaRegex), lit(false)) && !coalesce(c.rlike(noEntryRegex), lit(false))
 
-  /** F5 `keyword_removal` (aux_functions.py:139-142) — lowercases. */
+  /** F5 `keyword_removal` (aux_functions.py:139-142) — lowercases with
+    * python semantics (value kept; see [[PyText.pyLower]]).
+    */
   def keywordRemoval(c: Column, regex: String): Column =
-    regexp_replace(lower(c), regex, "")
+    regexp_replace(PyText.pyLowerUdf(c), regex, "")
 
   /** F13 `remove_name_spacing` (aux_functions.py:195-203): collapse
     * "B l o c k e d" letter-spaced words.
     */
   def removeNameSpacing(c: Column): Column =
-    regexp_replace(c, Regexes.LetterSpacing, "$1")
+    removeNameSpacingWith(c, Regexes.LetterSpacing)
+  def removeNameSpacingWith(c: Column, letterSpacing: String): Column =
+    regexp_replace(c, letterSpacing, "$1")
 
   /** `date_validity_check` (aux_functions.py:108-134): flag pure-digit
     * values outside [lower, upper] (0 exempt); any non-digit content in a
@@ -100,6 +136,23 @@ object PyText {
     * breaks on whitespace and is wrong for "bob1 bob2" / "weiss-meyer".
     */
   def pyTitle(s: String): String = PyCase.title(s)
+
+  /** Python `str.lower()`, exact: full lowercase mapping with the
+    * capital-sigma context rule. NOT `String.toLowerCase(ROOT)` (JDK 17
+    * = Unicode 13): CPython on this box is Unicode 14, so the JDK misses
+    * the Vithkuqi/Latin-Extended additions (e.g. U+10570 lowers to
+    * U+10597 in python, stays put in the JDK) and the two sigma context
+    * scans use different Case_Ignorable sets. All-codepoint-swept vs
+    * CPython in four contexts (graft.CaseSweep, r20: 4,448,256 probes,
+    * 0 mismatches).
+    */
+  def pyLower(s: String): String = PyCase.lower(s)
+
+  /** Python `str.upper()`, exact: full uppercase mapping (one-to-many:
+    * "ß" -> "SS", "ﬁ" -> "FI"), no context rules. Swept like
+    * [[pyLower]] (2,224,128 probes, 0 mismatches).
+    */
+  def pyUpper(s: String): String = PyCase.upper(s)
 
   /** Python `str.isspace` for a single UTF-16 unit: Java's
     * `Character.isWhitespace` PLUS the no-break spaces (U+00A0, U+2007,
@@ -142,5 +195,6 @@ object PyText {
   }
 
   val pyTitleUdf = org.apache.spark.sql.functions.udf(pyTitle _)
+  val pyLowerUdf = org.apache.spark.sql.functions.udf(pyLower _)
   val sortListUdf = org.apache.spark.sql.functions.udf(sortListInColumn _)
 }

@@ -28,10 +28,19 @@ object Dates {
   private def zeroPad(c: Column): Column =
     when(length(c) === 1 && c.rlike("^[0-9]"), concat(lit("0"), c)).otherwise(c)
 
-  private def monthNamesToNumbers(c: Column): Column =
-    Regexes.MonthCorrections.foldLeft(lower(c)) { case (acc, (p, r)) =>
-      regexp_replace(lower(acc), p, r)
+  private def monthNamesToNumbers(c: Column): Column = {
+    // the reference re-lowers per correction pass (column_processing.py:
+    // 697,881) but python lower is idempotent (all-codepoint-verified)
+    // and the replacements are lower-fixed ASCII digits, so ONE python-
+    // exact lower up front is the same function — and 13 fewer passes.
+    // Native lower() == python lower off the case-closed divergence
+    // cover, so the UDF only runs on potentially-divergent cells.
+    val lowered = when(c.rlike(Regexes.DivergenceCover), PyText.pyLowerUdf(c))
+      .otherwise(lower(c))
+    Regexes.MonthCorrections.foldLeft(lowered) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
     }
+  }
 
   /** `day_swap`/`month_swap` guard: both parts pure digits, both present.
     * Length caps keep the ANSI long cast safe; >9-digit parts skip the
@@ -75,8 +84,9 @@ object Dates {
             substring(col(s"${P}digits"), 5, 8)))
           .otherwise(col(s"${P}c1")))
       .withColumn(s"${P}c3",
-        regexp_replace(regexp_replace(pyStrip(col(s"${P}c2")),
-          Regexes.NameSemicolonTransformation, ";"), ";{2,}", ";"))
+        regexp_replace(Clean.pyReplace(pyStrip(col(s"${P}c2")),
+          Regexes.NameSemicolonTransformation,
+          Regexes.NameSemicolonTransformationFast, ";"), ";{2,}", ";"))
       // age strings ("23 yrs") carry no date
       .withColumn(s"${P}c4",
         when(col(s"${P}c3").rlike("(y|j|J).*|age"), lit("")).otherwise(col(s"${P}c3")))

@@ -53,27 +53,59 @@ object Names {
       if (alternativeSpelling) s"alternative_spellings_of_${colName}_qa" else s"${colName}_qa"
     val emitBirth = !birthNameInput && !alternativeSpelling
 
-    var c = cleanCopy(col(lastName))
-    c = lower(c)
-    c = removeNameSpacing(c)
-    c = regexp_replace(c, Regexes.AcademicTitle, "")
-    c = keywordRemoval(c, Regexes.KeyWords)
+    // ONE divergence gate per row, on the RAW input (the cover is
+    // case-closed and every chain insertion is ASCII, so no step can
+    // turn a fast-path row divergent — Regexes.DivergenceCover scaladoc).
+    // Both regex-set variants are built as LINEAR chains and branched at
+    // a single point: gating per step would re-reference the accumulated
+    // expression tree 3× per step (gate + two branches) and grow the
+    // plan exponentially — measured as a 7× q21 regression before this
+    // shape, within noise after it.
+    val mayDiv = coalesce(col(lastName).rlike(Regexes.DivergenceCover), lit(false))
 
-    // noble prefix: extracted for QA, left in place (F6)
-    val hasNoble = c.rlike(Regexes.NobleName)
+    def chain(exact: Boolean): (Column, Column, Column) = {
+      val (acad, keyw, noble, birth, birthClean, nameSemi, letter) =
+        if (exact)
+          (Regexes.AcademicTitle, Regexes.KeyWords, Regexes.NobleName,
+            Regexes.BirthName, Regexes.BirthNameClean,
+            Regexes.NameSemicolonTransformation, Regexes.LetterSpacing)
+        else
+          (Regexes.AcademicTitleFast, Regexes.KeyWordsFast, Regexes.NobleNameFast,
+            Regexes.BirthNameFast, Regexes.BirthNameCleanFast,
+            Regexes.NameSemicolonTransformationFast, Regexes.LetterSpacingFast)
+
+      var c = cleanCopyVariant(col(lastName), exact)
+      // value kept (column_processing.py:60) — python lower semantics;
+      // off the case-closed cover Spark's native lower() IS python's
+      // lower (no İ/Σ/U14 present), so only the exact variant pays the
+      // UDF (the fast path stays whole-stage-codegen'd end to end)
+      c = if (exact) PyText.pyLowerUdf(c) else lower(c)
+      c = removeNameSpacingWith(c, letter)
+      c = regexp_replace(c, acad, "")
+      c = regexp_replace(if (exact) PyText.pyLowerUdf(c) else lower(c), keyw, "")
+
+      // noble prefix: extracted for QA, left in place (F6)
+      val hasNoble = c.rlike(noble)
+
+      // birth-name tail: extract then strip from the name (F7)
+      val birthRaw = when(c.rlike(birth),
+        regexp_replace(regexp_extract(c, birth, 1), birthClean, ""))
+        .otherwise(lit(""))
+      val birthName = pyTitleUdf(regexp_replace(birthRaw, birth, ""))
+      if (!birthNameInput) c = regexp_replace(c, birth, "")
+
+      c = regexp_replace(c, Regexes.StripSemicolon, "")
+      c = regexp_replace(pyStrip(c), ";", " ")
+      c = regexp_replace(pyStrip(c), nameSemi, ";")
+      c = regexp_replace(pyStrip(c), ";{2,}", ";")
+      (c, birthName, hasNoble)
+    }
+    val (cExact, birthExact, nobleExact) = chain(exact = true)
+    val (cFast, birthFast, nobleFast) = chain(exact = false)
+    val c = when(mayDiv, cExact).otherwise(cFast)
+    val birthName = when(mayDiv, birthExact).otherwise(birthFast)
+    val hasNoble = when(mayDiv, nobleExact).otherwise(nobleFast)
     val nobleQa = if (flagNoblePrefix) hasNoble else lit(false)
-
-    // birth-name tail: extract then strip from the name (F7)
-    val birthRaw = when(c.rlike(Regexes.BirthName),
-      regexp_replace(regexp_extract(c, Regexes.BirthName, 1), Regexes.BirthNameClean, ""))
-      .otherwise(lit(""))
-    val birthName = pyTitleUdf(regexp_replace(birthRaw, Regexes.BirthName, ""))
-    if (!birthNameInput) c = regexp_replace(c, Regexes.BirthName, "")
-
-    c = regexp_replace(c, Regexes.StripSemicolon, "")
-    c = regexp_replace(pyStrip(c), ";", " ")
-    c = regexp_replace(pyStrip(c), Regexes.NameSemicolonTransformation, ";")
-    c = regexp_replace(pyStrip(c), ";{2,}", ";")
 
     var qa = createQaCol(c, Regexes.Qa, Regexes.QaNoEntry)
     if (!birthNameInput) qa = qa || birthName.rlike(Regexes.Qa)
@@ -141,14 +173,29 @@ object Names {
     val qaName =
       if (alternativeSpelling) s"alternative_spellings_of_${colName}_qa" else s"${colName}_qa"
 
-    var c = cleanCopy(col(firstName))
-    c = pyTitleUdf(c)
-    c = regexp_replace(c, Regexes.AcademicTitle, "")
-    c = keywordRemoval(c, Regexes.KeyWords)
+    // single-branch-point dual chain, gated on the raw input
+    // (see normalizeLastName for the why)
+    val mayDiv = coalesce(col(firstName).rlike(Regexes.DivergenceCover), lit(false))
 
-    val hasNoble = c.rlike(Regexes.NobleName)
-    c = regexp_replace(lower(c), Regexes.NobleName, "") // noble prefix removed here
-    c = regexp_replace(pyStrip(c), Regexes.SemicolonTransformation, ";")
+    def chain(exact: Boolean): (Column, Column) = {
+      val (acad, keyw, noble) =
+        if (exact) (Regexes.AcademicTitle, Regexes.KeyWords, Regexes.NobleName)
+        else (Regexes.AcademicTitleFast, Regexes.KeyWordsFast, Regexes.NobleNameFast)
+      var c = cleanCopyVariant(col(firstName), exact)
+      c = pyTitleUdf(c)
+      c = regexp_replace(c, acad, "")
+      c = regexp_replace(if (exact) PyText.pyLowerUdf(c) else lower(c), keyw, "")
+      val hasNoble = c.rlike(noble)
+      // noble prefix removed here; value kept (column_processing.py:264);
+      // native lower == python lower off the cover (see normalizeLastName)
+      c = regexp_replace(if (exact) PyText.pyLowerUdf(c) else lower(c), noble, "")
+      c = regexp_replace(pyStrip(c), Regexes.SemicolonTransformation, ";")
+      (c, hasNoble)
+    }
+    val (cExact, nobleExact) = chain(exact = true)
+    val (cFast, nobleFast) = chain(exact = false)
+    val c = when(mayDiv, cExact).otherwise(cFast)
+    val hasNoble = when(mayDiv, nobleExact).otherwise(nobleFast)
 
     val qa = createQaCol(c, Regexes.Qa, Regexes.QaNoEntry) || hasNoble
 

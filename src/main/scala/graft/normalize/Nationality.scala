@@ -32,20 +32,29 @@ object Nationality {
     * cache once per job via [[Standardizer]]; this cache only backs the
     * ad-hoc [[findMatches]] entry point.
     */
+  // dual key-pattern maps (r20): python-exact \b is 10-25x the native
+  // one, so Latin/ASCII raw values (Regexes.mayDiverge false) match with
+  // the native (?U)\b patterns - provably identical off the divergence
+  // cover - and only potentially-divergent values pay for PyB
   private val dictPatterns = new java.util.concurrent.ConcurrentHashMap[
-    Map[String, String], Map[String, java.util.regex.Pattern]]()
-  private def patternsFor(natDict: Map[String, String]): Map[String, java.util.regex.Pattern] =
-    dictPatterns.computeIfAbsent(natDict, d =>
-      d.keys.filter(_.nonEmpty).map(k =>
-        k -> java.util.regex.Pattern.compile(
-          "\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap)
+    Map[String, String], (Map[String, java.util.regex.Pattern], Map[String, java.util.regex.Pattern])]()
+  private def patternsFor(natDict: Map[String, String])
+      : (Map[String, java.util.regex.Pattern], Map[String, java.util.regex.Pattern]) =
+    dictPatterns.computeIfAbsent(natDict, d => {
+      val keys = d.keys.filter(_.nonEmpty)
+      (keys.map(k => k -> java.util.regex.Pattern.compile(
+        Regexes.PyB + java.util.regex.Pattern.quote(k) + Regexes.PyB)).toMap,
+        keys.map(k => k -> java.util.regex.Pattern.compile(
+          "(?U)\\b" + java.util.regex.Pattern.quote(k) + "\\b")).toMap)
+    })
 
   def findMatches(natDict: Map[String, String], raw: String): Seq[(String, String)] =
     findMatchesWith(patternsFor(natDict), natDict, raw)
 
   private def findMatchesWith(
-      pats: Map[String, java.util.regex.Pattern],
+      duals: (Map[String, java.util.regex.Pattern], Map[String, java.util.regex.Pattern]),
       natDict: Map[String, String], raw: String): Seq[(String, String)] = {
+    val pats = if (Regexes.mayDiverge(raw)) duals._1 else duals._2
     val hits = natDict.keys.toSeq
       .filter(k => pats.get(k).exists(_.matcher(raw).find()))
       .sortBy(_.length)

@@ -17,9 +17,13 @@ object PrisonerNumbers {
   import Clean._
   import PyText._
 
-  private val CharRegex = "(\\b[aAbBrRzZ](?=[^a-zA-Z])+)"
-  private val DeDot =
+  private val CharRegexSrc = "(\\b[aAbBrRzZ](?=[^a-zA-Z])+)"
+  private val CharRegex = Regexes.pyS(CharRegexSrc)
+  private val CharRegexFast = Regexes.pySFast(CharRegexSrc)
+  private val DeDotSrc =
     "((?<=\\b\\d{1})|(?<=[^\\d]\\d{1})|(?<=\\b\\d{2})|(?<=[^\\d]\\d{2})|(?<=\\b\\d{3})|(?<=[^\\d]\\d{3}))[.](?=\\d{3})"
+  private val DeDot = Regexes.pyS(DeDotSrc)
+  private val DeDotFast = Regexes.pySFast(DeDotSrc)
 
   def normalise(
       input: DataFrame,
@@ -30,7 +34,14 @@ object PrisonerNumbers {
     var c = cleanCopy(col(prisonerNo))
     val qaBase = createQaCol(c, Regexes.QaPrisonerNo, Regexes.QaPrisonerNoNoEntry)
 
-    c = regexp_replace(pyStrip(c), "\\b[a-zA-z]{2,}\\b", "")
+    // shared divergence gate (see Names): raw input, case-closed cover
+    val mayDiv = coalesce(col(prisonerNo).rlike(Regexes.DivergenceCover), lit(false))
+    def gated(exact: Column => Column, fast: Column => Column)(in: Column): Column =
+      when(mayDiv, exact(in)).otherwise(fast(in))
+
+    c = gated(
+      regexp_replace(_, Regexes.pyS("\\b[a-zA-z]{2,}\\b"), ""),
+      regexp_replace(_, Regexes.pySFast("\\b[a-zA-z]{2,}\\b"), ""))(pyStrip(c))
     c = regexp_replace(c, "  ", " ")
     c = regexp_replace(c, Regexes.pyS("(?U)(?<=[^0-9a-zA-Z])\\s(?=[0-9])|(?<=[a-zA-Z])\\s(?=[^0-9a-zA-Z])"), "")
     c = regexp_replace(c, Regexes.pyS("(?U)(?<=[0-9]{2})\\s(?=[0-9]{3})"), "")
@@ -51,11 +62,19 @@ object PrisonerNumbers {
     var qa: Column = col("__pqa")
     for (i <- 0 until k) {
       val trimName = s"${outName}_trim_${i + 1}"
-      val deDotted = regexp_replace(get(col("__pparts"), lit(i)), DeDot, "")
+      // the gate column survives the checkpoint only via re-derivation:
+      // re-test the PART itself (cheap class scan, still one rlike)
+      val part = get(col("__pparts"), lit(i))
+      val partDiv = coalesce(part.rlike(Regexes.DivergenceCover), lit(false))
+      val deDotted = when(partDiv, regexp_replace(part, DeDot, ""))
+        .otherwise(regexp_replace(part, DeDotFast, ""))
       // marker extraction: a single A/B/R/Z ahead of a non-letter
-      val charRaw = regexp_extract(deDotted, CharRegex, 1)
+      val charRaw = when(partDiv, regexp_extract(deDotted, CharRegex, 1))
+        .otherwise(regexp_extract(deDotted, CharRegexFast, 1))
       val charCol = when(coalesce(length(charRaw), lit(0)) === 1, charRaw).otherwise(lit(""))
-      val cleaned = when(length(charCol) === 1, regexp_replace(deDotted, CharRegex, ""))
+      val cleaned = when(length(charCol) === 1,
+        when(partDiv, regexp_replace(deDotted, CharRegex, ""))
+          .otherwise(regexp_replace(deDotted, CharRegexFast, "")))
         .otherwise(deDotted)
       out = out
         .withColumn(trimName, coalesce(cleaned, lit("")))
