@@ -132,12 +132,30 @@ object Clustering {
   def bucketsForName(name: String, idxChars: Int, lenUnits: Int): Seq[(String, Int)] =
     if (name == null) Nil
     else name.split(" ").toSeq
-      .map(s => (s, s.codePointCount(0, s.length)))
+      .map { s =>
+        // BMP fast path: without surrogate pairs, UTF-16 length IS the
+        // codepoint count and substring slices codepoints — the
+        // codePointCount/offsetByCodePoints machinery is only needed for
+        // astral names (this kernel runs once per word per row at
+        // clustering scale)
+        var hasAstral = false
+        var i = 0
+        while (i < s.length && !hasAstral) {
+          if (Character.isHighSurrogate(s.charAt(i))) hasAstral = true
+          i += 1
+        }
+        val cps = if (hasAstral) s.codePointCount(0, s.length) else s.length
+        (s, cps, hasAstral)
+      }
       .filter(_._2 >= idxChars)
-      .map { case (s, cps) =>
+      .map { case (s, cps, hasAstral) =>
         val low = graft.normalize.PyText.pyLower(s)
-        val lowCps = low.codePointCount(0, low.length)
-        val key = low.substring(0, low.offsetByCodePoints(0, math.min(idxChars, lowCps)))
+        val key =
+          if (!hasAstral && low.length == s.length) low.substring(0, idxChars)
+          else {
+            val lowCps = low.codePointCount(0, low.length)
+            low.substring(0, low.offsetByCodePoints(0, math.min(idxChars, lowCps)))
+          }
         (key, cps / lenUnits)
       }
 

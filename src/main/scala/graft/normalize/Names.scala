@@ -113,12 +113,18 @@ object Names {
 
     val parts = split(pyTitleUdf(c), ";", 5)
     // localCheckpoint: the arity aggregation below and the final select
-    // are two consumers of the full regex chain — materialize it once
+    // are two consumers of the full regex chain — materialize it once.
+    // The three derived values are packed into ONE struct column first:
+    // as separate withColumns each would embed its own copy of the dual
+    // exact/fast chain (~30 multi-KB regex instances serialized per
+    // task instead of ~10)
     val df1 = input
-      .withColumn("__parts", parts)
-      .withColumn("__birth", birthName)
-      .withColumn("__qa0", qa)
+      .withColumn("__nm", struct(parts.as("parts"), birthName.as("birth"), qa.as("qa0")))
       .trackedCheckpoint()
+      .withColumn("__parts", col("__nm.parts"))
+      .withColumn("__birth", col("__nm.birth"))
+      .withColumn("__qa0", col("__nm.qa0"))
+      .drop("__nm")
     val k = maxParts(df1, col("__parts"))
 
     // length-cap QA on all split columns but the last (F10), then digit
@@ -201,8 +207,13 @@ object Names {
 
     val parts = split(pyTitleUdf(c), ";", 5)
     // same two-consumer materialization as the last-name family
-    val df1 = input.withColumn("__parts", parts).withColumn("__qa0", qa)
+    // struct-packed for the same reason as normalizeLastName
+    val df1 = input
+      .withColumn("__nm", struct(parts.as("parts"), qa.as("qa0")))
       .trackedCheckpoint()
+      .withColumn("__parts", col("__nm.parts"))
+      .withColumn("__qa0", col("__nm.qa0"))
+      .drop("__nm")
     val k = maxParts(df1, col("__parts"))
 
     val splitCols = (0 until k).map(i => get(col("__parts"), lit(i)))
