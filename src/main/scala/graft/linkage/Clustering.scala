@@ -112,15 +112,28 @@ object Clustering {
       }
     }
     // both join sides reuse one materialized pass of the shingle+MinHash
-    // UDF chain instead of recomputing it per side
-    val banded = persons.select(col("id"),
-      explode(bandsUdf(shingleUdf(col("strGName_processed"), col("strLName_processed"))))
+    // UDF chain instead of recomputing it per side.
+    // The repartition is safe here because the result is checkpointed
+    // (the subtree runs exactly once): it spreads the per-row
+    // shingle+signature UDFs, which otherwise run at the input's scan
+    // parallelism — one task at bench SFs (single-row-group parquet).
+    val banded = persons
+      .select(col("id"), col("strGName_processed"), col("strLName_processed"))
+      .repartition(graft.core.Parallelism.width(persons), col("id"))
+      .select(col("id"),
+        explode(bandsUdf(shingleUdf(col("strGName_processed"), col("strLName_processed"))))
         .as("band"))
       .trackedCheckpoint()
-    banded.select(col("band"), col("id").as("a"))
-      .join(banded.select(col("band"), col("id").as("b")), "band")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // pinned width (r21): the candidate set feeds scorePairs' kernel
+    // stage, which AQE byte-coalescing otherwise shrinks to a handful of
+    // tasks (q34's scoring ran on 8 of 32 cores) — see
+    // [[graft.core.Parallelism.pinnedDistinct]]
+    graft.core.Parallelism.pinnedDistinct(
+      banded.select(col("band"), col("id").as("a"))
+        .join(banded.select(col("band"), col("id").as("b")), "band")
+        .filter(col("a") < col("b"))
+        .select("a", "b"),
+      col("a"), col("b"))
   }
 
   /** `get_buckets_for_name` (person_clustering.py:157-158). Python
@@ -222,16 +235,28 @@ object Clustering {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .trackedCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component")).trackedCheckpoint()
-    // Option: an EMPTY vertex set sums to SQL NULL (getDecimal returns
-    // null), and a raw BigDecimal compareTo would NPE on round 1 —
-    // None == None instead reads as converged, returning the empty frame.
-    // Option equality uses BigDecimal.equals, which is scale-sensitive;
-    // the cast to decimal(38,0) pins both sides to scale 0, so it
-    // coincides with compareTo here.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
+    // Option: an EMPTY vertex set sums to SQL NULL, and a raw BigDecimal
+    // compareTo would NPE on round 1 — None == None instead reads as
+    // converged, returning the empty frame. Option equality uses
+    // BigDecimal.equals, which is scale-sensitive; the cast to
+    // decimal(38,0) pins both sides to scale 0, so it coincides with
+    // compareTo here.
+    // The label sum rides the CHECKPOINT action via observe() (r21): the
+    // old shape ran a separate aggregation job per round on top of the
+    // materialization job — on an iterative loop whose per-round data is
+    // small, those fixed job costs WERE the cost (q60's merge loop spent
+    // ~2 s/run on them). CollectMetrics adds no shuffle and
+    // localCheckpoint's eager materialization is a registered action, so
+    // the observation completes in the same job.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Option[java.math.BigDecimal]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, sum(col("component").cast("decimal(38,0)")).as("__lsum"))
+        .trackedCheckpoint()
+      (cp, Option(obs.get.getOrElse("__lsum", null))
+        .map(_.asInstanceOf[java.math.BigDecimal]))
+    }
+    var (labels, prevSum) =
+      checkpointWithSum(vertices.select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -239,16 +264,15 @@ object Clustering {
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .trackedCheckpoint()
       // min-propagation strictly decreases a label or leaves it alone, so
-      // an unchanged label sum IS convergence — one aggregate per round
-      // instead of a join + count
-      val nextSum = labelSum(next)
-      // `next` is materialized (localCheckpoint is eager + the sum above
-      // read it), so the previous round's blocks are dead — release now,
-      // blocking, so the removal never competes with the next round
+      // an unchanged label sum IS convergence — one observed aggregate
+      // inside the materialization job, no per-round convergence job
+      val (next, nextSum) = checkpointWithSum(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
+      // `next` is materialized (localCheckpoint is eager), so the
+      // previous round's blocks are dead — release now, blocking, so the
+      // removal never competes with the next round
       releaseCheckpoint(labels)
       labels = next
       converged = nextSum == prevSum
@@ -599,41 +623,65 @@ object Clustering {
 
   /** E14 `merge_clusterings`: union-find over co-membership — two
     * assignments merge wherever they share a row.
+    *
+    * Formulation (r21): connected components run over the LABEL graph
+    * only — vertices are the distinct cluster labels (`c1:`/`c2:`
+    * prefixed), and each row star-connects the labels it carries. The
+    * previous shape put every ROW on the graph too (row ↔ label edges):
+    * same components, but with |rows| extra vertices and a diameter of
+    * up to 2× the label-graph's plus one — on q60's corpus that meant 7
+    * propagation rounds over ~180k vertices where the label graph needs
+    * 3 over ~28k (measured: the merge loop was 5.8 s of q60's 6.8 s).
+    * The output is unchanged: the merged cluster label is still the
+    * lexicographic min over ALL the old graph's member vids — attached
+    * row ids (as strings) and label strings — and rows carrying no
+    * (non-null) label were isolated vertices before, i.e. their own
+    * cluster, which the left-join fallback reproduces.
     */
   def mergeClusterings(l1: DataFrame, l2: DataFrame): DataFrame = {
-    // label-graph components: cluster labels become vertices, rows edges.
-    // String vertices are mapped to dense longs first so the numeric
-    // [[connectedComponents]] (one label-sum aggregate per round instead
-    // of a join + count convergence check) runs the propagation.
     val ids = l1.select(col("id")).union(l2.select(col("id"))).distinct()
-    val e1 = l1.select(col("id").as("a"), concat(lit("c1:"), col("cluster_id")).as("lbl"))
-    val e2 = l2.select(col("id").as("a"), concat(lit("c2:"), col("cluster_id")).as("lbl"))
-    val rowIds = ids.withColumn("v", col("id").cast("string"))
-    val edgesStr = e1.union(e2)
-      .select(col("a").cast("string").as("a"), col("lbl").as("b"))
-    val verticesStr = rowIds.select(col("v").as("vid"))
-      .union(edgesStr.select(col("b").as("vid"))).distinct()
-    // monotonically_increasing_id is unique per row but not deterministic
-    // across recomputations — localCheckpoint pins one assignment so both
-    // edge-endpoint joins and the final label join see the same mapping
-    val mapping = verticesStr
+    // (row id, prefixed label); a null cluster_id yields a null label,
+    // which the equi-joins below drop — same as the old shape, where a
+    // null vertex string could never match an edge endpoint
+    val rowLabel = l1.select(col("id"), concat(lit("c1:"), col("cluster_id")).as("lbl"))
+      .union(l2.select(col("id"), concat(lit("c2:"), col("cluster_id")).as("lbl")))
+    // label vertices mapped to dense longs so the numeric
+    // [[connectedComponents]] (observed label-sum convergence) runs the
+    // propagation. monotonically_increasing_id is unique per row but not
+    // deterministic across recomputations — localCheckpoint pins one
+    // assignment so every consumer sees the same mapping.
+    val mapping = rowLabel.select(col("lbl")).distinct()
       .withColumn("nid", monotonically_increasing_id()).trackedCheckpoint()
-    val edgesNum = edgesStr
-      .join(mapping.select(col("vid").as("a"), col("nid").as("na")), "a")
-      .join(mapping.select(col("vid").as("b"), col("nid").as("nb")), "b")
-      .select(col("na").as("a"), col("nb").as("b"))
-    val comps = connectedComponents(mapping.select(col("nid").as("id")), edgesNum)
+    val rowLabelN = rowLabel.join(mapping, "lbl").select(col("id"), col("nid"))
+    // star edges per row: every label of the row hangs off the row's
+    // min-nid label (co-membership connectivity, |labels per row| − 1
+    // edges instead of a per-row clique)
+    val rowMin = rowLabelN.groupBy("id").agg(min(col("nid")).as("mn"))
+    val edges = rowLabelN.join(rowMin, "id")
+      .filter(col("nid") =!= col("mn"))
+      .select(col("mn").as("a"), col("nid").as("b"))
+      .distinct()
+    val comps = connectedComponents(mapping.select(col("nid").as("id")), edges)
+      .withColumnRenamed("id", "nid")
     // component = the min-nid vertex, but nids are partition-layout-
     // dependent — naming clusters after that winner would make labels
     // change across runs/parallelism for identical input. Re-derive the
-    // label as the lexicographic min vid over the component's members:
-    // input-deterministic, one extra aggregate on the component key.
-    val repr = comps.join(mapping.withColumnRenamed("nid", "id"), "id")
+    // label as the lexicographic min vid over the OLD graph's component
+    // members: attached row ids (as strings) and the label strings.
+    val rowComp = rowLabelN.join(comps, "nid").select(col("id"), col("component"))
+    val repr = rowComp.select(col("component"), col("id").cast("string").as("vid"))
+      .union(comps.join(mapping, "nid").select(col("component"), col("lbl").as("vid")))
       .groupBy(col("component")).agg(min(col("vid")).as("cluster_id"))
-    rowIds.join(mapping.select(col("vid").as("v"), col("nid")), "v")
-      .join(comps.withColumnRenamed("id", "nid"), "nid")
-      .join(repr, "component")
+    // a row in both clusterings reaches one component twice (its two
+    // labels are linked by the row itself) — dropDuplicates, not a
+    // multiplicity bug
+    val assigned = rowComp.dropDuplicates("id", "component").join(repr, "component")
       .select(col("id"), col("cluster_id"))
+    // rows with no non-null label were isolated vertices in the old
+    // graph: their own singleton cluster, labelled by their own vid
+    ids.join(assigned, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id").cast("string")).as("cluster_id"))
   }
 
   /** E15 cluster quality: per-cluster average/single/max link statistics

@@ -73,9 +73,15 @@ object PersonMatching {
     val t = exploded(trg, "trgID")
     // the pair predicate runs BEFORE the dedup aggregation: a row-level
     // filter commutes with distinct, and pruning first (e.g. the
-    // self-join's srcID <= trgID) halves what the distinct shuffles
-    val pairs = s.join(t, Seq("fb", "lb")).select("srcID", "trgID")
-      .filter(pairPredicate).distinct()
+    // self-join's srcID <= trgID) halves what the distinct shuffles.
+    // Pinned width (r21): the distinct's output feeds the scoring stage
+    // (broadcast attach joins + the similarity kernels fuse after the
+    // final aggregate), and AQE's byte-based coalescing shrank that
+    // CPU-bound stage to 16 tasks on a 32-core box — see
+    // [[graft.core.Parallelism.pinnedDistinct]].
+    val pairs = graft.core.Parallelism.pinnedDistinct(
+      s.join(t, Seq("fb", "lb")).select("srcID", "trgID").filter(pairPredicate),
+      col("srcID"), col("trgID"))
     // candidate counting is OPT-IN (CountCandidatesProp): CollectMetrics
     // is "free" plan-wise (no shuffle) but not run-wise — an un-consumed
     // Observation leaks its listener on the session, and the metrics
@@ -160,6 +166,17 @@ object PersonMatching {
     val w = Window.partitionBy(col("fb"), col("lb"))
       .orderBy(hash(col(id)), col(id))
     exploded
+      // pinned width (r21): the exploded table is NARROW (id + two short
+      // bucket keys), so the window's ENSURE exchange lands under AQE's
+      // 1 MB-per-partition floor and gets coalesced to ONE task — and
+      // that task then also runs the bucket equi-join, i.e. the stage
+      // that EMITS the candidate pairs (6.3M rows on the r21 baseline)
+      // serializes on one core. The explicit partition count makes the
+      // exchange REPARTITION_BY_NUM, which AQE leaves alone, and the
+      // window reuses the partitioning, so the exchange count is
+      // unchanged. Width scales with the session (Parallelism.width),
+      // not a local constant.
+      .repartition(graft.core.Parallelism.width(exploded), col("fb"), col("lb"))
       .withColumn("__rank", row_number().over(w))
       // coalesce: sum() over zero rows is NULL — an empty side must
       // observe 0 drops, not null (callers compare the metric to 0L)
@@ -369,7 +386,15 @@ object PersonMatching {
         dateMatcher =
           if (simpleDate) graft.similarity.Similarity.simpleDateMatcher
           else graft.similarity.Similarity.dateSimilarity)
-    }
+    }.asNondeterministic()
+    // asNondeterministic (r21, guide §4.4): the minScore filter over the
+    // projected score otherwise gets substituted and PUSHED INTO the
+    // attach join as a join condition while the projection keeps its own
+    // copy — the executed r21-baseline plan evaluated the kernel UDF
+    // TWICE per surviving pair (BroadcastHashJoin ..., (UDF(..) >= 80.0)
+    // under Project [UDF(..) AS score]), doubling the dominant CPU cost
+    // of every blocked join. The kernel is pure, so the only semantic
+    // effect of the flag is blocking that duplication.
     val srcP = src.select(col("srcID"), personStruct(src, cfg).as("__srcP"))
     val trgP = trg.select(col("trgID"), personStruct(trg, cfg).as("__trgP"))
     candidates
@@ -385,13 +410,22 @@ object PersonMatching {
       else {
         require(!cfg.useSimpleDateMatcher,
           "selfJoinMirror needs a symmetric scorer; simple_date_matcher is directional")
-        // kernels run once per unordered pair; the mirror is a projection.
-        // localCheckpoint: the scored half feeds both union branches and
-        // would otherwise be recomputed (kernels included) for the mirror
+        // kernels run once per unordered pair; the mirror is an INLINE
+        // generator over the scored stream (r21) — each scored row
+        // explodes into itself plus, off the diagonal, its swap. The
+        // previous shape localCheckpoint'ed the half and unioned two
+        // reads of it: correct, but it materialized every ≥minScore pair
+        // (73 MB at sf0.1) and re-scanned the blocks once per consumer;
+        // the single-consumer explode keeps the mirror inside the
+        // scoring stage, where the top-k aggregation's map-side partial
+        // then collapses it before anything is shuffled or stored.
         val half = scoredPairs(src, trg, cfg, col("srcID") <= col("trgID"))
-          .trackedCheckpoint()
-        half.unionByName(half.filter(col("srcID") =!= col("trgID"))
-          .select(col("trgID").as("srcID"), col("score"), col("srcID").as("trgID")))
+        val fwd = struct(col("srcID"), col("score"), col("trgID"))
+        val rev = struct(col("trgID").as("srcID"), col("score"), col("srcID").as("trgID"))
+        half.select(explode(when(col("srcID") =!= col("trgID"), array(fwd, rev))
+            .otherwise(array(fwd))).as("__m"))
+          .select(col("__m.srcID").as("srcID"), col("__m.score").as("score"),
+            col("__m.trgID").as("trgID"))
       }
 
     // top-k per source — skipped entirely when every match is kept
@@ -424,7 +458,17 @@ object PersonMatching {
           .select(col("srcID"), col("score"), col("trgID"))
       }
 
-    val matched = if (cfg.allowDuplicates) topK else dedupeTargets(topK)
+    // matched is consumed TWICE (the result union and the unmatched
+    // anti-join's id side), and the anti-join consumer's column pruning
+    // rewrites its copy of the aggregation (the unused min_by drops
+    // out), so the two subtrees stop being exchange-reusable and the
+    // whole scoring pipeline would execute once per consumer.
+    // Checkpointing HERE — after top-k, one row per source — pins a
+    // frame a few hundred KB big; the r20 shape checkpointed the full
+    // ≥minScore pair set instead (73 MB at sf0.1, re-scanned per
+    // consumer).
+    val matched = (if (cfg.allowDuplicates) topK else dedupeTargets(topK))
+      .trackedCheckpoint()
 
     // unmatched sources get the (-1, null) sentinel row (matching.py:80-81)
     val unmatched = src.select(col("srcID"))

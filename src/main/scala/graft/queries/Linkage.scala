@@ -23,6 +23,12 @@ object Linkage {
         lower(col("p_brand")).as("strPoB_processed"),
         col("p_partkey").cast("string").as("prisoner_number"))
       .filter(length(col("strGName_processed")) >= 2 && length(col("strLName_processed")) >= 2)
+  // NOTE (r21): deliberately NOT repartitioned here — this frame is
+  // re-executed 4-6× per consuming query (both join sides, both attach
+  // sides, the unmatched anti-join), so an upstream exchange multiplies
+  // into several extra shuffle jobs (same-window A/B: +1.7-2.9 s on
+  // q23/q34/q61). The kernels that need width are behind single-point
+  // pins instead (capBuckets' (fb,lb) repartition, pinnedDistinct).
 
   /** J5 self-match: the blocked fuzzy join over the synthesized persons,
     * top-1 per source. The oracle is exact: every source's best match is

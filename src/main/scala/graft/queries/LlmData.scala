@@ -52,6 +52,11 @@ object LlmData {
     // doc_id mod 1000, so a duplicate survives iff its base row does.
     graft.core.ScaleKnob.sample(
       d.unionByName(exact).unionByName(near), "doc_id")
+      // one parquet split per union branch at bench SFs (single row
+      // group): without this the shingle/minhash/simhash kernels of
+      // q24–q27 run on 3 tasks — same spread-the-kernels pattern as
+      // q52–q64
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** Exact dedup over the duplicated corpus — md5 content groups. The

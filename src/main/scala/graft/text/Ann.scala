@@ -255,10 +255,16 @@ object Ann {
     // candidatePredicate prunes pairs before the distinct AND before the
     // vector rejoins — a self-join caller passes query_id < id here so
     // each pair is rescored in one orientation only
-    val candidates = bucketsQ
-      .join(bucketsC, "bucket")
-      .filter(candidatePredicate)
-      .select(col("query_id"), col("id")).distinct()
+    // pinned width (r21): the exact-rescore stage (vector rejoins +
+    // cosine) fuses after this dedup's final aggregate, and AQE
+    // byte-coalescing otherwise shrinks it to a handful of tasks — see
+    // [[graft.core.Parallelism.pinnedDistinct]]
+    val candidates = graft.core.Parallelism.pinnedDistinct(
+      bucketsQ
+        .join(bucketsC, "bucket")
+        .filter(candidatePredicate)
+        .select(col("query_id"), col("id")),
+      col("query_id"), col("id"))
     val scored = candidates
       .join(vecs(queries, "query_id"), "query_id")
       .join(vecs(corpus, "id"), "id")

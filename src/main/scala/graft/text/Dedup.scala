@@ -160,11 +160,22 @@ object Dedup {
     // same shape as ngramJaccardDuplicates' rescore
     val banded = shingled
       .select(col("id"), explode(bandsUdf(col("shingles"))).as("band"))
-    val candidates = banded.select(col("band"), col("id").as("a"))
-      .join(banded.select(col("band"), col("id").as("b")), "band")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // pinned width (r21): the candidate set feeds the exact-Jaccard
+    // rescore (array joins + kernel fused after the final aggregate),
+    // which AQE byte-coalescing otherwise runs on a handful of tasks —
+    // see [[graft.core.Parallelism.pinnedDistinct]]
+    val candidates = graft.core.Parallelism.pinnedDistinct(
+      banded.select(col("band"), col("id").as("a"))
+        .join(banded.select(col("band"), col("id").as("b")), "band")
+        .filter(col("a") < col("b"))
+        .select("a", "b"),
+      col("a"), col("b"))
+    // asNondeterministic (r21, guide §4.4): the threshold filter over the
+    // projected jaccard otherwise substitutes the UDF into itself —
+    // filter and projection each evaluate the kernel once per candidate.
+    // The kernel is pure; the flag only blocks that duplication.
     val jacUdf = udf { (a: Seq[String], b: Seq[String]) => jaccard(a, b) }
+      .asNondeterministic()
     candidates
       .join(shingled.select(col("id").as("a"), col("shingles").as("sa")), "a")
       .join(shingled.select(col("id").as("b"), col("shingles").as("sb")), "b")
@@ -254,7 +265,9 @@ object Dedup {
     val banded = hashed.withColumn("band", explode(bandUdf(col("sim"))))
     val l = banded.select(col("band"), col("id").as("a"), col("sim").as("ha"))
     val r = banded.select(col("band"), col("id").as("b"), col("sim").as("hb"))
+    // asNondeterministic: same double-evaluation guard as jacUdf above
     val hamUdf = udf { (x: Long, y: Long) => hammingDistance(x, y) }
+      .asNondeterministic()
     l.join(r, "band")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
@@ -286,24 +299,33 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       array_distinct(wordShingles(col(textCol), k)).as("sh"))
       .trackedCheckpoint()
-    val inv = shingled.select(col("id"), explode(col("sh")).as("g"))
+    // n (distinct grams per doc) carried from the array instead of a
+    // second count-over-partition window (r21): same value — `sh` is
+    // array_distinct'ed, so size(sh) = the doc's inv row count — one
+    // window pass instead of two
+    val inv = shingled.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     // global rarest-first gram order
     val gramDf = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val ranked = inv.join(gramDf, "g")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"))
-    val positioned = ranked
+    // prefix: first n - ceil(t*n) + 1 grams. CHECKPOINTED (r21): the
+    // candidate self-join reads it on both sides, and the join is a
+    // broadcast at this corpus size, so without materialization each
+    // side re-runs the whole df-rank window chain (measured: two
+    // identical 3.5 s-CPU window stages per q27 run).
+    val prefix = ranked
       .withColumn("pos", row_number().over(byDoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")))
-    // prefix: first n - ceil(t*n) + 1 grams
-    val prefix = positioned
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("g", "id")
-    val candidates = prefix.select(col("g"), col("id").as("a"))
-      .join(prefix.select(col("g"), col("id").as("b")), "g")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .trackedCheckpoint()
+    // pinned width (r21), same rationale as minHashDuplicates' candidates
+    val candidates = graft.core.Parallelism.pinnedDistinct(
+      prefix.select(col("g"), col("id").as("a"))
+        .join(prefix.select(col("g"), col("id").as("b")), "g")
+        .filter(col("a") < col("b"))
+        .select("a", "b"),
+      col("a"), col("b"))
     // exact rescore: rejoin each side's distinct-gram ARRAY once per
     // candidate and intersect in a codegen'd expression. Joining the
     // arrays moves |candidates| bounded-size rows; the alternative —
