@@ -41,6 +41,18 @@ object Parallelism {
     * byte-coalesced task count. `keys` must be the frame's full column
     * set for dedup-equivalence with distinct (callers pass every column).
     */
+  /** Insert a pinned-width exchange: spreads the per-row work ABOVE it
+    * to full machine width (bench-SF parquet is single-row-group, so
+    * scans are one task), and — because AQE materializes each exchange
+    * exactly once — makes the subtree BELOW it single-execution even
+    * when the consumer is a global `orderBy`, whose range-partitioner
+    * sampling pass otherwise re-executes the whole child chain a second
+    * time (measured: every per-row-expensive query ending in orderBy ran
+    * its kernel stage twice).
+    */
+  def staged(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(width(df), keys: _*)
+
   def pinnedDistinct(df: DataFrame, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "pinnedDistinct needs the dedup key columns")
     df.repartition(width(df), keys: _*).dropDuplicates()

@@ -22,6 +22,17 @@ object LlmData {
   private def withJavaWs(sql: String): String = sql.replace("<WS>", JavaWs)
 
 
+
+  /** `documents` spread to full width (r21): bench-SF parquet is a
+    * single row group, so the per-row encode/decode kernels of the
+    * media/text queries otherwise run on ONE task — and the final
+    * orderBy's range-sampling pass re-executes the whole chain a second
+    * time (the exchange below the kernels is materialized once by AQE,
+    * so the sample pass re-reads the shuffle instead).
+    */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Parallelism.staged(Tables.documents(spark, dir), col("doc_id"))
+
   /** Documents with injected duplicates: every doc_id divisible by 5 gets
     * a verbatim copy (id + 100000), every doc_id divisible by 7 gets a
     * near-copy with a token appended (id + 200000). Deterministic, and
@@ -194,7 +205,7 @@ object LlmData {
     * count, digit ratio — independently derivable in SQL.
     */
   private def q28(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"),
         length(col("text")).as("n_chars"),
         TextStats.tokenCount(col("text")).as("n_tokens"),
@@ -236,7 +247,7 @@ object LlmData {
     *    re-signed at the end — bit-for-bit the JVM's wrapping `31*h + c`.
     */
   private def q29(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"),
         TextStats.detectLanguageUdf(col("text")).as("predicted_lang"),
         round(TextStats.qualityScore(col("text")), 6).as("quality"),
@@ -369,7 +380,7 @@ object LlmData {
     * the top bit set (~every window, for a 64-bit hash).
     */
   private def q50(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), TextStats.winnowingSketchUdf(col("text")).as("sketch"))
       .select(col("doc_id"),
         size(col("sketch")).cast("long").as("sketch_size"),
@@ -574,6 +585,9 @@ object LlmData {
         (id % 640 + 1).toInt, (id % 480 + 1).toInt, 0L) ++
         text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
+    // plain scan, not docsWide (r21): q37's kernels are stub header
+    // parses — cheap enough that the widening exchange is pure overhead
+    // (A/B'd 1.35x slower with it even in a favorable window)
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), encodeUdf(col("doc_id"), col("text")).as("content"))
     val meta = Multimodal.withMetadata(media, "content")
@@ -694,7 +708,7 @@ object LlmData {
 
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    val imgs = Tables.documents(spark, dir)
+    val imgs = docsWide(spark, dir)
       .select(col("doc_id"), pngImageUdf(col("doc_id")).as("content"))
     Multimodal.withImageMetadata(imgs, "content")
       .select(col("doc_id"),
@@ -733,7 +747,7 @@ object LlmData {
     */
   private def q42(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), wavClipUdf(col("doc_id")).as("content"))
       .select(col("doc_id"), audioMetaUdf(col("content")).as("m"),
         sampleSumUdf(col("content")).as("sample_sum"))
@@ -777,7 +791,7 @@ object LlmData {
     val resizeUdf = udf { (b: Array[Byte]) =>
       Multimodal.ImageIoCodec.resizeNearest(b, 8, 6)
     }
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), resizeUdf(pngImageUdf(col("doc_id"))).as("thumb"))
       .select(col("doc_id"), imageMetaUdf(col("thumb")).as("m"),
         pixelLumaSumUdf(col("thumb")).as("thumb_luma_sum"))
@@ -816,7 +830,7 @@ object LlmData {
   private def q45(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
     val statsUdf = udf { (b: Array[Byte]) => Multimodal.WavCodec.audioStats(b) }
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), statsUdf(wavClipUdf(col("doc_id"))).as("s"))
       .select(col("doc_id"),
         col("s._1").as("n_samples"),
@@ -859,7 +873,7 @@ object LlmData {
   private def q48(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
     val statsUdf = udf { (b: Array[Byte]) => Multimodal.ImageIoCodec.imageStats(b) }
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), statsUdf(pngImageUdf(col("doc_id"))).as("s"))
       .select(col("doc_id"),
         col("s._1").as("n_pixels"),
@@ -906,7 +920,7 @@ object LlmData {
     val resampleUdf = udf { (b: Array[Byte]) =>
       Multimodal.WavCodec.resampleNearest(b, 5000)
     }
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), resampleUdf(wavClipUdf(col("doc_id"))).as("clip"))
       .select(col("doc_id"), audioMetaUdf(col("clip")).as("m"),
         sampleSumUdf(col("clip")).as("sample_sum"))
@@ -963,7 +977,7 @@ object LlmData {
     // ScaleKnob is identity at the default frac=1.0 (oracle unchanged);
     // the bench scaling pass shrinks the corpus to show the media
     // family's per-row linearity alongside the similarity exponents
-    val clips = graft.core.ScaleKnob.sample(Tables.documents(spark, dir), "doc_id")
+    val clips = graft.core.ScaleKnob.sample(docsWide(spark, dir), "doc_id")
       .select(col("doc_id"), aviClipUdf(col("doc_id")).as("content"))
     Multimodal.sampleAviFrames(clips, "content", stride = 2)
       .select(col("doc_id"), col("frame_idx"), imageMetaUdf(col("frame")).as("m"),
@@ -1009,7 +1023,7 @@ object LlmData {
   private def q49(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Multimodal
     val metaUdf = udf { (b: Array[Byte]) => Multimodal.AviCodec.aviMetadata(b) }
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), metaUdf(aviClipUdf(col("doc_id"))).as("m"))
       .select(col("doc_id"),
         col("m._1").as("handler"),

@@ -245,6 +245,66 @@ object Multimodal {
     */
   object WavCodec {
 
+    /** The JDK's audio file readers, resolved ONCE per JVM (r21):
+      * `AudioSystem.getAudioFileFormat`/`getAudioInputStream` funnel
+      * every call through `JDK13Services.getProviders`, a static
+      * SYNCHRONIZED registry — 32 parallel per-row decode tasks
+      * serialize on that monitor (measured: the audio queries ran ~2×
+      * SLOWER parallel than serial). Same provider set and iteration
+      * contract as AudioSystem (ServiceLoader; first reader that
+      * accepts the bytes wins), resolved without the per-call lock.
+      */
+    private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      // container readers FIRST (stable within each group): the JDK's
+      // SoftMidiAudioFileReader otherwise precedes the Wave reader in
+      // ServiceLoader order, and its accept-probe calls
+      // MidiSystem.getSequence, whose JDK13Services provider lookup is a
+      // static SYNCHRONIZED classpath scan per call — a thread-dumped
+      // 32-task decode stage spent 95% of its time blocked on that
+      // monitor. With the RIFF-family readers first, well-formed input
+      // never reaches the MIDI probe; corrupt input still falls through
+      // the full chain (None-on-corrupt contract unchanged).
+      val (container, exotic) = buf.partition { r =>
+        val n = r.getClass.getSimpleName
+        n.startsWith("Wave") || n.startsWith("Aiff") || n.startsWith("Au")
+      }
+      (container ++ exotic).toArray
+    }
+
+    /** AudioSystem.getAudioFileFormat minus the global lock. A FRESH
+      * ByteArrayInputStream per provider attempt instead of relying on
+      * each provider's reset-on-failure contract.
+      */
+    private def fileFormatOf(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+      var i = 0
+      while (i < audioReaders.length) {
+        try return audioReaders(i)
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no registered audio file reader accepts this container")
+    }
+
+    /** AudioSystem.getAudioInputStream minus the global lock. */
+    private def audioStreamOf(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < audioReaders.length) {
+        try return audioReaders(i)
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no registered audio file reader accepts this container")
+    }
+
     /** 44-byte canonical RIFF header + room for `nSamples` PCM16 mono
       * samples; caller writes the samples into the returned buffer.
       */
@@ -287,8 +347,7 @@ object Multimodal {
     def audioMetadata(bytes: Array[Byte]): Option[(String, Int, Int, Long, Long)] = {
       if (bytes == null || bytes.length == 0) return None
       try {
-        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(bytes))
+        val aff = fileFormatOf(bytes)
         val fmt = aff.getFormat
         // the JDK parser accepts a fmt chunk with sample rate 0 — that is
         // corrupt input, not a divide-by-zero crash in a per-row UDF.
@@ -322,8 +381,7 @@ object Multimodal {
         bytes: Array[Byte]): Option[(Array[Short], javax.sound.sampled.AudioFormat)] = {
       if (bytes == null || bytes.length == 0) return None
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = audioStreamOf(bytes)
         try {
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16 ||
