@@ -1,29 +1,53 @@
 package graft
 
 // TEMPORARY optimization-round scratch tool - not part of the library.
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object ScratchPlan {
   def main(args: Array[String]): Unit = {
-    import graft.text.Multimodal.WavCodec
-    val clips = (0 until 500).map { i =>
-      WavCodec.encodeWav(4000 + (i % 37) * 100, 8000, i.toLong)
-    }.toArray
+    val sfDir = Bench.cfg("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = Bench.cfg("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.linkage.{Clustering, PersonMatching}
 
-    def bench(label: String, f: Array[Byte] => Long): Unit = {
-      def runWith(threads: Int): Double = {
-        val t0 = System.nanoTime()
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-        val futs = clips.map(c => pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long = { var acc = 0L; var k = 0; while (k < 8) { acc += f(c); k += 1 }; acc }
-        }))
-        futs.foreach(_.get())
-        pool.shutdown()
-        (System.nanoTime() - t0) / 1e9
-      }
-      clips.take(50).foreach(f)
-      println(f"[scratch] $label: 1t ${runWith(1)}%.3f s, 32t ${runWith(32)}%.3f s, 32t ${runWith(32)}%.3f s")
+    def timed(label: String)(f: => Unit): Unit = {
+      graft.core.SessionHygiene.releaseAll(spark)
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
-    bench("meta", c => WavCodec.audioMetadata(c).map(_._4).getOrElse(-1L))
-    bench("sum ", c => WavCodec.sampleSum(c).getOrElse(-1L))
+    val cfg = Clustering.ClusterConfig(cutoff = 99.0)
+    for (r <- 1 to 2) {
+      val corpus = graft.queries.Linkage.doubledCorpus(spark, sfDir)
+      timed(s"r$r corpus count")(corpus.write.format("noop").mode("overwrite").save())
+      timed(s"r$r scoredEdges") {
+        Clustering.scoredEdges(corpus, cfg).write.format("noop").mode("overwrite").save()
+      }
+      timed(s"r$r edges+CC") {
+        val edges = Clustering.scoredEdges(corpus, cfg).select("a", "b")
+        Clustering.connectedComponents(corpus.select("id"), edges)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed(s"r$r full cluster()") {
+        Clustering.cluster(corpus, cfg).write.format("noop").mode("overwrite").save()
+      }
+      timed(s"r$r q23 query") {
+        SparkEntry.queries("q23_person_clustering")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed(s"r$r q60 query") {
+        SparkEntry.queries("q60_cluster_tools_matrix")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
   }
 }

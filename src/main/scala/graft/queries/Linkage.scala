@@ -74,12 +74,19 @@ object Linkage {
     val base = persons(spark, dir)
       .filter(length(col("strGName_processed")) >= 4 && length(col("strLName_processed")) >= 4)
       .dropDuplicates("strGName_processed", "strLName_processed", "strDoB_processed")
+    import graft.core.SessionHygiene.TrackedCheckpoint
+    // checkpointed (r21): q23's cluster() and q34's minhash+score+CC
+    // consume this frame 4-6 times each (both edge sides, vertices, the
+    // component/assignment join-backs), and each consumption re-executed
+    // the scan + dedup aggregation; one materialized pass (13k narrow
+    // rows at sf0.1) serves them all
     base.select((col("pid") * 2).as("id"), col("strGName_processed"),
         col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
         col("prisoner_number"))
       .unionByName(base.select((col("pid") * 2 + 1).as("id"), col("strGName_processed"),
         col("strLName_processed"), col("strDoB_processed"), col("strPoB_processed"),
         col("prisoner_number")))
+      .trackedCheckpoint()
   }
 
   /** Construction oracle shared by q23/q34: every cluster has exactly the

@@ -42,7 +42,10 @@ object Similarity {
   /** E2 `date_similarity`: per-part scores with zero-parts excluded and a
     * day↔month swap tried both ways (the better sum wins).
     */
-  def dateSimilarity(date1: String, date2: String): Double = {
+  def dateSimilarity(date1: String, date2: String): Double =
+    dateMemo(date1, date2)(dateSimilarityRaw)
+
+  private def dateSimilarityRaw(date1: String, date2: String): Double = {
     (parseDate(date1), parseDate(date2)) match {
       case (Some((y1, m1, d1)), Some((y2, m2, d2))) =>
         val yearScore = partScore(y1, y2)
@@ -75,13 +78,61 @@ object Similarity {
     shared / 3.0 * 100.0
   }
 
+  /** Bounded per-thread memo for the short-string scoring kernels (r21).
+    *
+    * The blocked joins score millions of candidate pairs, but the DISTINCT
+    * (name, name) / (date, date) argument pairs number in the thousands —
+    * name corpora are Zipf-distributed, and co-bucketed candidates share
+    * prefixes by construction — so a hash probe (≈50 ns) replaces a
+    * 1-3 µs kernel on almost every call. Pure functions, so memoization
+    * is semantics-free; per-THREAD maps need no synchronization on the
+    * hot path. Long inputs bypass the memo (keys would hold big strings
+    * for a low hit rate — free text goes through the registered SQL UDFs,
+    * not these person matchers). `clear()` on overflow keeps residency
+    * bounded at cap × threads with zero bookkeeping; a full-and-cleared
+    * map just re-fills from the live key distribution.
+    *
+    * NOTE: a plan-level memo (distinct pairs + broadcast join-back) was
+    * A/B'd twice in earlier rounds and LOST (see PersonMatching's
+    * setScoreCol scaladoc) — the shuffles cost more than the kernels.
+    * This is the opposite shape: no plan change, no shuffle, just a
+    * thread-local cache inside the existing UDF dispatch.
+    */
+  private final class PairMemo(cap: Int, maxKeyChars: Int) {
+    private val tl = new ThreadLocal[java.util.HashMap[String, java.lang.Double]] {
+      override def initialValue(): java.util.HashMap[String, java.lang.Double] =
+        new java.util.HashMap[String, java.lang.Double](256)
+    }
+    def apply(a: String, b: String)(f: (String, String) => Double): Double = {
+      if (a == null || b == null || a.length + b.length > maxKeyChars) return f(a, b)
+      val m = tl.get()
+      // length-prefixed key: a separator char alone would be ambiguous
+      // for inputs that may CONTAIN it ("a b"+"c" vs "a"+"b c")
+      val k = new java.lang.StringBuilder(a.length + b.length + 4)
+        .append(a.length).append(':').append(a).append(b).toString
+      val hit = m.get(k)
+      if (hit != null) return hit.doubleValue()
+      val v = f(a, b)
+      if (m.size >= cap) m.clear()
+      m.put(k, v)
+      v
+    }
+  }
+  private val nameMemo = new PairMemo(cap = 1 << 14, maxKeyChars = 64)
+  private val setMemo = new PairMemo(cap = 1 << 14, maxKeyChars = 64)
+  private val dateMemo = new PairMemo(cap = 1 << 14, maxKeyChars = 32)
+
   /** E4 `name_matcher` = `fuzz.ratio` with default_process. */
   def nameMatcher(src: String, target: String): Double =
-    if (notEmpty(src) && notEmpty(target)) Fuzz.ratio(src, target) else -1.0
+    nameMemo(src, target) { (a, b) =>
+      if (notEmpty(a) && notEmpty(b)) Fuzz.ratio(a, b) else -1.0
+    }
 
   /** E5 `name_set_matcher` = `fuzz.token_set_ratio`. */
   def nameSetMatcher(src: String, target: String): Double =
-    if (notEmpty(src) && notEmpty(target)) Fuzz.tokenSetRatio(src, target) else -1.0
+    setMemo(src, target) { (a, b) =>
+      if (notEmpty(a) && notEmpty(b)) Fuzz.tokenSetRatio(a, b) else -1.0
+    }
 
   /** A person record for matching/clustering; null field = absent. */
   final case class Person(

@@ -75,7 +75,10 @@ object Ann {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
-    c.join(broadcast(q))
+    // staged (r21): the |Q|·N cosine evaluations run in the broadcast
+    // join's probe stage, which otherwise inherits the corpus scan's
+    // parallelism — one task on bench-SF single-row-group parquet
+    graft.core.Parallelism.staged(c, col("id")).join(broadcast(q))
       .withColumn("score", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -119,8 +122,11 @@ object Ann {
     val probeUdf = udf { (v: Seq[Double]) =>
       cB.sortBy(c => -cos(v, c._2)).take(nProbe).map(_._1)
     }
-    val assigned = corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    // staged (r21): the per-row centroid assignment (nList cosines/row)
+    // otherwise runs at single-task scan parallelism at bench SFs
+    val assigned = graft.core.Parallelism.staged(
+        corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv")),
+        col("id"))
       .withColumn("cell", assignUdf(col("cv")))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
@@ -234,8 +240,13 @@ object Ann {
       !exists(v, x => x.isNull || isnan(x) ||
         x === Double.PositiveInfinity || x === Double.NegativeInfinity) &&
         exists(v, x => x =!= 0.0d)
-    def withBuckets(df: DataFrame, id: String) = vecs(df, id)
-      .filter(finiteNonZero(col(s"__v_$id")))
+    // staged (r21): the signature UDF (tables×bits dot products per row)
+    // otherwise runs at scan parallelism — one task on bench-SF
+    // single-row-group parquet. Each side is consumed once (the band
+    // join; the self-join path checkpoints), so the pinned exchange
+    // materializes exactly one UDF pass.
+    def withBuckets(df: DataFrame, id: String) = graft.core.Parallelism.staged(
+        vecs(df, id).filter(finiteNonZero(col(s"__v_$id"))), col(id))
       .select(col(id), explode(sigUdf(col(s"__v_$id"))).as("bucket"))
     // SELF-JOIN fast path (cosineNearDuplicates passes the SAME frame on
     // both sides, by reference): the signature UDF — tables×bits dot

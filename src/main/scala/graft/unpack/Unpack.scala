@@ -159,15 +159,26 @@ object Unpack {
       .trackedCheckpoint()
 
     // ---- pass 1b: inner field order + max arity per group --------------
+    // ONE aggregation job for every group (r21): the per-group loop ran
+    // one collect per repeat group — G driver round-trips of ~50 ms each
+    // dominated unpack's wall time on small fixtures. All groups explode
+    // into one (group, field) aggregation; the per-group first-occurrence
+    // order is re-derived driver-side from the same (row_id, pos) key.
     final case class Field(group: String, name: String, maxLen: Int)
+    val fieldRows = if (keyOrder.isEmpty) Array.empty[org.apache.spark.sql.Row] else flat
+      .select(col("row_id"),
+        explode(map_from_arrays(
+          array(keyOrder.map(lit): _*),
+          array(keyOrder.map(k => col(s"__flat_$k")): _*))).as(Seq("grp", "fvs")))
+      .select(col("row_id"), col("grp"), posexplode(col("fvs")).as(Seq("pos", "fv")))
+      .groupBy(col("grp"), col("fv._1").as("fname"))
+      .agg(min(struct(col("row_id"), col("pos"))).as("first"),
+        max(size(col("fv._2"))).as("maxLen"))
+      .collect()
     val fields: Seq[Field] = keyOrder.flatMap { k =>
-      flat
-        .select(col("row_id"), posexplode(col(s"__flat_$k")).as(Seq("pos", "fv")))
-        .groupBy(col("fv._1").as("fname"))
-        .agg(min(struct(col("row_id"), col("pos"))).as("first"),
-          max(size(col("fv._2"))).as("maxLen"))
-        .orderBy("first")
-        .collect().map(r => Field(k, r.getString(0), r.getInt(2)))
+      fieldRows.filter(_.getString(0) == k)
+        .sortBy { r => val f = r.getStruct(2); (f.getLong(0), f.getInt(1)) }
+        .map(r => Field(k, r.getString(1), r.getInt(3)))
     }
     val byGroup: Map[String, Seq[Field]] = fields.groupBy(_.group)
 
