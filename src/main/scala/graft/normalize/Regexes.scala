@@ -120,6 +120,13 @@ object Regexes {
         }
         i += 2
       } else {
+        // fail-fast on class NESTING (Java '[a[b]]' unions) and on the
+        // '[]...]' literal-bracket form: the flat tracker below would
+        // flip inClass at the wrong place and silently mistranslate a
+        // later \s/\w/\b (r20 ADVICE item — latent only, every current
+        // pattern is flat; same policy as the \W/\B rejections above)
+        require(!(c == '[' && inClass),
+          s"nested character class unsupported by pyS translate(): $p")
         if (c == '[' && !inClass) inClass = true
         else if (c == ']' && inClass) inClass = false
         sb.append(c)

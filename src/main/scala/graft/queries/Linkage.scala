@@ -294,9 +294,6 @@ object Linkage {
       .select(k.as("o_orderkey"),
         graft.expressions.FuzzColumns.dateSimilarity(src, trg).as("e2_sim"),
         graft.functions.Udfs.simpleDateMatcher(srcE3, trgE3).as("e3_sim"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q53Sql =
@@ -462,9 +459,6 @@ object Linkage {
           nameOnly = false, simpleDate = false).as("score_no_secondary"),
         sim(useDate = true, usePrisoner = true, usePob = true,
           nameOnly = false, simpleDate = true).as("score_simple_date"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q54Sql =

@@ -301,9 +301,6 @@ object Normalization {
     Dates.normaliseDate(styled, "date_string", "nd", timespan = (1900, 1995))
       .select(col("o_orderkey"), col("nd_year_cleaned"), col("nd_month_cleaned"),
         col("nd_day_cleaned"), col("nd_qa"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q52Sql =
@@ -402,9 +399,6 @@ object Normalization {
         col("prisoner_number_trim_1_additional_information").as("add_info_1"),
         col("prisoner_number_trim_2_additional_information").as("add_info_2"),
         col("prisoner_number_qa"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q55Sql =
@@ -482,9 +476,6 @@ object Normalization {
         col("nationality_1"), col("nationality_2"),
         col("nationality_1_standardized"), col("nationality_2_standardized"),
         col("nationality_standardized_qa"), col("nationality_quality_level"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q56Sql =
@@ -569,9 +560,6 @@ object Normalization {
         graft.functions.Udfs.preprocessName(col("nm")).as("pre_name"),
         graft.functions.Udfs.preprocessLastName(col("nm")).as("pre_lname"),
         graft.functions.Udfs.fixNameUppercasing(col("caps")).as("fixed_case"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("p_partkey")))
       .orderBy(col("p_partkey"))
   }
   private val q57Sql =
@@ -679,9 +667,6 @@ object Normalization {
     both.select(col("o_orderkey"),
         col("dd_year_cleaned"), col("dd_month_cleaned"), col("dd_day_cleaned"), col("dd_qa"),
         col("cr_year_cleaned"), col("cr_month_cleaned"), col("cr_day_cleaned"), col("cr_qa"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q58Sql =
@@ -775,9 +760,6 @@ object Normalization {
         col("corr_year_cleaned"), col("corr_month_cleaned"),
         col("corr_day_cleaned"), col("corr_qa"),
         timing.as("timing"), timingQa.as("timing_qa"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("o_orderkey")))
       .orderBy(col("o_orderkey"))
   }
   private val q59Sql =
@@ -862,9 +844,6 @@ object Normalization {
     withIds.select(col("p_partkey"),
         graft.functions.Udfs.fixVisualDecoding(col("visual_raw")).as("visual_fixed"),
         col("wiki"), col("wiki_qa"), col("geo"), col("geo_qa"))
-      // staged (r21): materialize the kernel chain once before the
-      // orderBy range-sampler re-executes its child (Parallelism.staged)
-      .transform(df => graft.core.Parallelism.staged(df, col("p_partkey")))
       .orderBy(col("p_partkey"))
   }
   private val q62Sql =

@@ -301,10 +301,6 @@ object Pipeline {
         Row(id, strictM(rows.map(_.getString(2)).toVector).orNull,
           dateM(rows.map(_.getString(3)).toVector).orNull)
       }(Encoders.row(schema))
-      // staged (r21): materialize the consensus mapGroups once before the
-      // orderBy range-sampler re-executes its child (it ran twice, at an
-      // AQE-coalesced 10 tasks; the pin also restores full width)
-      .transform(df => graft.core.Parallelism.staged(df, col("doc_id")))
       .orderBy(col("doc_id"))
   }
   private val q41Sql =
@@ -449,8 +445,6 @@ object Pipeline {
       otherStrictCols = Seq("field_a", "field_b"))
     val result = EncDeduplicater.run(input, spec)
     EncDeduplicater.matchStats(input, spec, result)
-      // staged (r21): same orderBy double-execution guard as q41
-      .transform(df => graft.core.Parallelism.staged(df, col("column")))
       .orderBy(col("column"))
   }
   private val q63Sql =

@@ -293,6 +293,38 @@ class KernelPropertiesSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(before)
   }
 
+  test("DivergenceCover is a fixpoint under case mapping (closure invariant)") {
+    // The dual-chain gate's soundness argument (Regexes.DivergenceCover
+    // scaladoc): a string with no cover char must STAY cover-free under
+    // lower/upper/title, or a chain that case-maps between boundary
+    // steps could smuggle a divergent char past the input-side gate.
+    // Asserted from checked-in data (PyCase tables + mayDiverge), no
+    // external CPython needed — r20 verified it only in tool-side
+    // sweeps that regenerate TSVs (r20 VERDICT item 3).
+    import graft.normalize.{PyCase, Regexes}
+    var cp = 0
+    var checked = 0
+    while (cp <= 0x10FFFF) {
+      if (Character.isDefined(cp) && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+        val s = new String(Character.toChars(cp))
+        if (!Regexes.mayDiverge(s)) {
+          checked += 1
+          for (img <- Seq(PyCase.lower(s), PyCase.upper(s), PyCase.title(s)))
+            assert(!Regexes.mayDiverge(img),
+              f"cover not closed: U+$cp%04X is outside the cover but its " +
+                f"case image '$img' contains a cover char")
+        }
+      }
+      cp += 1
+    }
+    // sanity: the loop really swept the non-cover space. ~52k defined
+    // codepoints sit outside the cover on this JDK (the cover contains
+    // the entire astral plane plus several large BMP blocks, so "most
+    // of Unicode" is IN it); the bound just guards against a refactor
+    // accidentally skipping the sweep.
+    assert(checked > 40000)
+  }
+
   test("preprocess_name double-letter collapse is single-pass (reference semantics)") {
     // re.sub's non-overlapping matching leaves "aaa" as "aa" — the chain
     // is deliberately NOT idempotent, matching the reference exactly
